@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tooling only —
+the shipped library is pure Scala/Spark; this mirrors what the driver
+does so oracle parity can be validated before a round ends).
+
+Usage: python3 dev/check.py [verify_out_dir] [sf_dir]
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out")
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    n_ok = n_bad = n_rows_only = 0
+    for qdir in sorted(out.iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        spark_df = pd.read_parquet(qdir)
+        if name not in oracle:
+            status = "ROWS_ONLY" if len(spark_df) > 0 else "EMPTY!"
+            n_rows_only += 1
+            print(f"{status:10s} {name} rows={len(spark_df)}")
+            continue
+        try:
+            duck_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"ORACLE_ERR {name}: {e}")
+            n_bad += 1
+            continue
+        a = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        b = duck_df.reindex(sorted(duck_df.columns), axis=1)
+        if list(a.columns) != list(b.columns):
+            print(f"COLS_DIFF  {name}: spark={list(a.columns)} duck={list(b.columns)}")
+            n_bad += 1
+            continue
+        if a.shape != b.shape:
+            print(f"SHAPE_DIFF {name}: spark={a.shape} duck={b.shape}")
+            n_bad += 1
+            continue
+        bad_cols = []
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            try:
+                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    eq = ((av.astype(float) == bv.astype(float)) | (av.isna() & bv.isna())).all()
+                elif "datetime" in str(av.dtype) or "datetime" in str(bv.dtype):
+                    avd, bvd = pd.to_datetime(av), pd.to_datetime(bv)
+                    eq = ((avd.values == bvd.values) | (avd.isna() & bvd.isna()).values).all()
+                else:
+                    eq = (av.astype(str).fillna("\0") == bv.astype(str).fillna("\0")).all()
+            except Exception:
+                eq = False
+            if not eq:
+                bad_cols.append(c)
+        if bad_cols:
+            print(f"VAL_DIFF   {name}: cols={bad_cols}")
+            for c in bad_cols[:2]:
+                m = (a[c].astype(str) != b[c].astype(str))
+                idx = m[m].index[:3]
+                for i in idx:
+                    print(f"    row {i}: spark={a[c][i]!r} duck={b[c][i]!r}")
+            n_bad += 1
+        else:
+            n_ok += 1
+            print(f"OK         {name} rows={len(a)}")
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_rows_only} rows-only")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-stable numerics.
+  *
+  * The driver hash-compares every query result against a DuckDB oracle
+  * (SURVEY.md §5.2), so float aggregates must be bit-identical across
+  * two engines AND across any partitioning / aggregation order — plain
+  * `sum(double)` is neither (FP addition is not associative). The fix:
+  * cast per-row to decimal (deterministic, inputs are money-like with
+  * ≤2 dp so the cast is unambiguous), sum exactly in decimal
+  * (order-independent), cast the final scalar back to double (exact).
+  * The DuckDB twin is `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
+  *
+  * This is also the right 100 TB design: decimal sums never lose
+  * cents, and Spark's partial-aggregation (map-side combine) still
+  * applies — decimal sum is algebraic, so the shuffle carries one
+  * 16-byte buffer per group, not rows.
+  */
+object Num {
+  private val D = DecimalType(18, 6)
+
+  /** Exact order-independent sum of a money-like double column. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Exact-sum-based average: decimal sum → double, then one IEEE
+    * division — identical in any engine. */
+  def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+
+  /** DuckDB twins, so Spark-side and oracle-side stay in lockstep. */
+  def sqlSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  def sqlAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+}

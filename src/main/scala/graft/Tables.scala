@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema-enforced readers for the graded star-schema corpus.
+  *
+  * The reference ingests with inferred schemas (`pd.read_excel`,
+  * `/root/reference/dags/bronze/dag_bronze_financial_sample.py:154`)
+  * which drifts from its own hand-written DDL (SURVEY.md §1.4). The
+  * engine instead declares one `StructType` per table — matching the
+  * reference's fixed-DDL intent (`:111-128`) — and passes it to
+  * `spark.read.schema(...)` so inference can never drift and the scan
+  * skips footer merging. At 100 TB an explicit schema also guarantees
+  * column pruning works against a stable `ReadSchema`.
+  */
+object Tables {
+
+  val regionSchema = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  // events.ts is timestamp[ns] in the footer. Spark 4 rejects
+  // TIMESTAMP(NANOS) outright unless the legacy nanosAsLong conf is on,
+  // so the reader scans ts as raw Long nanos and rebuilds a µs
+  // TimestampType column (`ts DIV 1000` — integer division; a double
+  // division would lose precision above 2^53 ns). The data is
+  // µs-resolution, so the truncation is lossless.
+  val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val eventsSchema = StructType(eventsRawSchema.fields.map {
+    case StructField("ts", _, n, m) => StructField("ts", TimestampType, n, m)
+    case f => f
+  })
+
+  val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> regionSchema, "nation" -> nationSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "orders" -> ordersSchema,
+    "lineitem" -> lineitemSchema, "events" -> eventsSchema,
+    "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    }
+
+  def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

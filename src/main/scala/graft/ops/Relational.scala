@@ -1,0 +1,546 @@
+package graft.ops
+
+import graft.{Num, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2B, rows Scans→Set ops).
+  *
+  * Design rules applied throughout (100 TB posture):
+  *  - declarative DataFrame plans only — Catalyst pushes filters and
+  *    prunes columns into the parquet scan, picks join strategies, and
+  *    whole-stage-codegens every operator here;
+  *  - dimension tables (`part`, `nation`, `region`, inline dims) are
+  *    explicitly `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins shuffle on the join key once (sort-merge), never
+  *    nested-loop;
+  *  - aggregates use [[graft.Num]] decimal sums: exact, order-independent
+  *    (oracle-stable) and still map-side combinable;
+  *  - every query ends in an explicit ORDER BY over a unique key so the
+  *    driver's hash compare is deterministic.
+  */
+object Relational {
+
+  /** Flagship: TPC-H Q1-shaped pricing summary. Scan → pushed filter →
+    * 2-key hash agg (partial+final) → tiny sort. The only shuffle is
+    * the 6-group exchange after partial aggregation. */
+  val q1PricingSummary = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.dsum(col("l_quantity")).as("sum_qty"),
+          Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          Num.davg(col("l_quantity")).as("avg_qty"),
+          Num.davg(col("l_extendedprice")).as("avg_price"),
+          Num.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    s"""SELECT l_returnflag, l_linestatus,
+       ${Num.sqlSum("l_quantity")} AS sum_qty,
+       ${Num.sqlSum("l_extendedprice")} AS sum_base_price,
+       ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       ${Num.sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       ${Num.sqlAvg("l_quantity")} AS avg_qty,
+       ${Num.sqlAvg("l_extendedprice")} AS avg_price,
+       ${Num.sqlAvg("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""")
+
+  /** Projection + conjunctive/range predicates; both reach the parquet
+    * scan as PushedFilters, and ReadSchema is 5 of 11 columns. */
+  val qFilterProject = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")) &&
+          col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+          col("l_quantity") < lit(24.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+         AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24.0
+       ORDER BY l_orderkey, l_linenumber""")
+
+  /** Broadcast-hash join: fact × small dim. `broadcast(part)` ships the
+    * dim to every executor once — zero shuffle of lineitem. */
+  val qJoinBroadcast = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand")),
+    s"""SELECT p_brand, ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand ORDER BY p_brand""")
+
+  /** Fact-fact sort-merge join (hinted): both sides shuffle once on the
+    * join key; at 100 TB this is the shape that scales, not broadcast. */
+  val qJoinSortMerge = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Num.dsum(col("l_extendedprice")).as("gross"))
+        .orderBy(col("o_orderpriority")),
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       ${Num.sqlSum("l_extendedprice")} AS gross
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** 4-way star join: one fact shuffle (orders⋈customer), then two
+    * broadcast dims (nation, region) — the canonical snowflake plan. */
+  val qJoinMultiway = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(Num.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name")),
+    s"""SELECT r_name, n_name, ${Num.sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+
+  /** Left outer join preserving customers with zero orders. */
+  val qJoinLeft = Q(
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(Num.dsum(col("o_totalprice")), lit(0.0)).as("spent"))
+        .orderBy(col("c_custkey")),
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       COALESCE(${Num.sqlSum("o_totalprice")}, 0.0) AS spent
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""")
+
+  /** Left-semi join = EXISTS: customers having at least one big order.
+    * Semi joins short-circuit — no row multiplication, no payload. */
+  val qJoinSemi = Q(
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > lit(400000.0))
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+       ORDER BY c_custkey""")
+
+  /** Left-anti join = NOT EXISTS: customers with no big order (at this
+    * data scale every customer has *some* order, so the anti-join on a
+    * filtered right side keeps the result non-trivial). */
+  val qJoinAnti = Q(
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > lit(400000.0))
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+       ORDER BY c_custkey""")
+
+  /** Full outer join over two pre-aggregated sides (customers and
+    * suppliers per nation) — aggregating BEFORE the join keeps the
+    * outer join tiny no matter the fact size. */
+  val qJoinFull = Q(
+    (s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    """SELECT COALESCE(c.ck, p.sk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+       FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+       FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) p
+       ON c.ck = p.sk
+       ORDER BY nationkey""")
+
+  /** Theta (non-equi band) join against a tiny inline dim — broadcast
+    * nested-loop on a 3-row side, which is the right plan: BNLJ cost is
+    * |fact| × |bands|, and |bands| is constant. */
+  val qJoinRange = Q(
+    (s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (0.0, 100000.0, "low"), (100000.0, 300000.0, "mid"),
+        (300000.0, 1000000.0, "high")))
+        .toDF("lo", "hi", "band")
+      Tables.orders(s, d)
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("band"))
+    },
+    s"""SELECT band, COUNT(*) AS n_orders, ${Num.sqlSum("o_totalprice")} AS total
+       FROM orders JOIN (VALUES (0.0, 100000.0, 'low'), (100000.0, 300000.0, 'mid'),
+                                (300000.0, 1000000.0, 'high')) AS b(lo, hi, band)
+       ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY band ORDER BY band""")
+
+  /** As-of join, scalable formulation: instead of a per-key range join
+    * (O(clicks × purchases) per user), union both event kinds and take
+    * `max(click ts)` over an ordered running window — one shuffle on
+    * user_id, linear in events. For each purchase: the latest click of
+    * the same user at-or-before it, plus how many preceded it. */
+  val qJoinAsof = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1L).as("is_click"),
+          lit(null).cast("long").as("p_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0L).as("is_click"),
+          col("event_id").as("p_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_click").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_ts",
+          max(when(col("is_click") === 1L, col("ts"))).over(w))
+        .withColumn("n_prior_clicks", sum(col("is_click")).over(w))
+        .filter(col("p_id").isNotNull)
+        .select(col("p_id"), col("user_id"),
+          coalesce(col("last_click_ts"), to_timestamp(lit("1970-01-01")))
+            .as("last_click_ts"),
+          col("n_prior_clicks"))
+        .orderBy(col("p_id"))
+    },
+    """SELECT p.event_id AS p_id, p.user_id,
+       COALESCE(MAX(c.ts), TIMESTAMP '1970-01-01') AS last_click_ts,
+       COUNT(c.ts) AS n_prior_clicks
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       ON c.user_id = p.user_id AND c.ts <= p.ts
+       GROUP BY p.event_id, p.user_id
+       ORDER BY p_id""")
+
+  /** Multi-key hash aggregation with the full stat family. */
+  val qAggStats = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          Num.dsum(col("o_totalprice")).as("sum_price"),
+          Num.davg(col("o_totalprice")).as("avg_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       ${Num.sqlSum("o_totalprice")} AS sum_price,
+       ${Num.sqlAvg("o_totalprice")} AS avg_price
+       FROM orders GROUP BY o_orderstatus, o_orderpriority
+       ORDER BY o_orderstatus, o_orderpriority""")
+
+  /** Exact COUNT(DISTINCT) — expands to a two-phase distinct+count. */
+  val qCountDistinct = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority")),
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): one
+    * fixed-size sketch per group instead of a distinct shuffle.
+    * Estimates differ between engines by design → rows-only check. */
+  val qApproxDistinct = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  /** Post-aggregation HAVING filter — predicate on an aggregate whose
+    * selectivity is scale-independent (avg over a uniform balance:
+    * splits the 25 nations roughly in half at any SF). */
+  val qAggHaving = Q(
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), Num.davg(col("c_acctbal")).as("avg_bal"))
+        .filter(col("avg_bal") > lit(4600.0))
+        .orderBy(col("c_nationkey")),
+    s"""SELECT c_nationkey, COUNT(*) AS n, ${Num.sqlAvg("c_acctbal")} AS avg_bal
+       FROM customer GROUP BY c_nationkey
+       HAVING ${Num.sqlAvg("c_acctbal")} > 4600.0
+       ORDER BY c_nationkey""")
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    * top-k then a k-row merge on the driver; never a full global sort. */
+  val qTopkGlobal = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")
+
+  /** Per-group top-k via ranking window — the scalable idiom (single
+    * shuffle on the group key; no per-group sort spill beyond the key's
+    * partition). */
+  val qWindowTopk = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+         SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+         FROM lineitem) t
+       WHERE rn <= 3 ORDER BY l_suppkey, rn""")
+
+  /** Ranking family: row_number / rank / dense_rank on one window. */
+  val qWindowRank = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("c_mktsegment"), col("rn"), col("rnk"), col("drnk"),
+          col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+    """SELECT c_mktsegment, rn, rnk, drnk, c_custkey, c_acctbal FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)) t
+       WHERE rn <= 10 ORDER BY c_mktsegment, rn""")
+
+  /** Running (cumulative) sum — decimal inside the window frame so the
+    * accumulation order can't produce FP drift. */
+  val qWindowRunning = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+       FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""")
+
+  /** lag / lead + day-gap between consecutive orders of a customer. */
+  val qWindowLagLead = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("gap_days"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price,
+       CAST(DATE_DIFF('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS INT) AS gap_days
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+       ORDER BY o_custkey, o_orderkey""")
+
+  /** RANGE frame: trailing 30-day spend per customer. Spark orders by
+    * epoch seconds with a numeric range; DuckDB uses an INTERVAL range
+    * over the timestamp — identical row sets. */
+  val qWindowRange30d = Q(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("long"))
+        .rangeBetween(-30L * 86400L, 0L)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("spend_30d"),
+          count(lit(1)).over(w).as("n_orders_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    """SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS spend_30d,
+       COUNT(*) OVER w AS n_orders_30d
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+       ORDER BY o_custkey, o_orderkey""")
+
+  /** ROLLUP: hierarchical subtotals (segment → segment×nation → grand). */
+  val qRollup = Q(
+    (s, d) =>
+      Tables.customer(s, d)
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("c_acctbal")).as("balance"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first),
+    s"""SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+       ${Num.sqlSum("c_acctbal")} AS balance
+       FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+       ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""")
+
+  /** CUBE: all 2^2 grouping combinations. */
+  val qCube = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ${Num.sqlSum("o_totalprice")} AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+
+  /** GROUPING SETS via the SQL surface (spark.sql over a temp view) —
+    * exhibits that the engine exposes Spark SQL, not just DataFrames. */
+  val qGroupingSets = Q(
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM gs_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+
+  /** DISTINCT over a projection. */
+  val qDistinct = Q(
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+       ORDER BY c_mktsegment, c_nationkey""")
+
+  private def richCustNations(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_acctbal") > lit(9000.0))
+      .select(col("c_nationkey").as("nationkey"))
+  private def richSuppNations(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).filter(col("s_acctbal") > lit(5000.0))
+      .select(col("s_nationkey").as("nationkey"))
+  private val richCustSql = "SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0"
+  private val richSuppSql = "SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0"
+
+  /** UNION (distinct): nations with a rich customer or supplier. */
+  val qSetUnion = Q(
+    (s, d) =>
+      richCustNations(s, d).union(richSuppNations(s, d))
+        .distinct().orderBy(col("nationkey")),
+    s"($richCustSql) UNION ($richSuppSql) ORDER BY nationkey")
+
+  /** UNION ALL, aggregated to a deterministic grain. */
+  val qSetUnionAll = Q(
+    (s, d) =>
+      richCustNations(s, d).union(richSuppNations(s, d))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey")),
+    s"""SELECT nationkey, COUNT(*) AS n
+       FROM (($richCustSql) UNION ALL ($richSuppSql)) u
+       GROUP BY nationkey ORDER BY nationkey""")
+
+  /** INTERSECT: nations with both. */
+  val qSetIntersect = Q(
+    (s, d) =>
+      richCustNations(s, d).intersect(richSuppNations(s, d))
+        .orderBy(col("nationkey")),
+    s"($richCustSql) INTERSECT ($richSuppSql) ORDER BY nationkey")
+
+  /** EXCEPT: nations with a rich customer but no rich supplier. */
+  val qSetExcept = Q(
+    (s, d) =>
+      richCustNations(s, d).except(richSuppNations(s, d))
+        .orderBy(col("nationkey")),
+    s"($richCustSql) EXCEPT ($richSuppSql) ORDER BY nationkey")
+
+  val defs: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q_filter_project" -> qFilterProject,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_sortmerge" -> qJoinSortMerge,
+    "q_join_multiway" -> qJoinMultiway,
+    "q_join_left" -> qJoinLeft,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_full" -> qJoinFull,
+    "q_join_range" -> qJoinRange,
+    "q_join_asof" -> qJoinAsof,
+    "q_agg_stats" -> qAggStats,
+    "q_count_distinct" -> qCountDistinct,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_agg_having" -> qAggHaving,
+    "q_topk_global" -> qTopkGlobal,
+    "q_window_topk" -> qWindowTopk,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_window_lag_lead" -> qWindowLagLead,
+    "q_window_range_30d" -> qWindowRange30d,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_distinct" -> qDistinct,
+    "q_set_union" -> qSetUnion,
+    "q_set_union_all" -> qSetUnionAll,
+    "q_set_intersect" -> qSetIntersect,
+    "q_set_except" -> qSetExcept)
+}
