@@ -9,7 +9,7 @@ object SparkEntry {
 
   /** All named queries with their optional oracles. */
   def all: Map[String, Q] =
-    ops.Relational.defs
+    ops.Relational.defs ++ ops.Functions.defs ++ etl.Medallion.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
