@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (north-star op): media payloads as
+  * opaque `binary` columns + typed metadata, with decode /
+  * feature-extract / frame-sample stages.
+  *
+  * The graded corpus has no real media, so payloads are synthesized
+  * (`text` bytes) and the decode step is a clearly-marked
+  * deterministic STUB — this container has no image/audio codecs. What
+  * IS real and tested is the Spark-side plumbing that matters at
+  * 100 TB:
+  *  - binary columns flow through scans/shuffles untouched (Spark
+  *    treats them as opaque byte arrays — no codec on the hot path);
+  *  - decode runs per-partition via `mapPartitions` over a typed
+  *    row iterator (the JVM analog of `mapInPandas` batch plumbing:
+  *    one decoder init per partition, streaming batches through it);
+  *  - the decoded schema is explicit (`StructType`), so downstream
+  *    pruning/pushdown still work;
+  *  - frame sampling is a generator (`explode(sequence(...))`), i.e.
+  *    row-expansion happens in the engine, not in user code. */
+object Multimodal {
+
+  /** Synthesized media table: doc text → binary payload + media kind
+    * derived from the numeric suffix of `source` (src7 → kind 7 % 3). */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (substring(col("source"), 4, 10).cast("int") % 3) + 1).as("media_type"))
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("byte_len", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** STUB decode. A real deployment would open a codec here (one init
+    * per partition, reused across rows — that is the point of the
+    * mapPartitions shape). The fake is pure arithmetic on payload
+    * length so the oracle can recompute it. */
+  private def stubDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
+    val len = payload.length
+    val width = 32 + (len % 64) * 10
+    val height = 32 + (len % 48) * 10
+    val frames = if (mediaType == "video") len % 30 + 1 else 1
+    (width, height, frames)
+  }
+
+  /** Decode metadata from binary payloads via per-partition iteration. */
+  val qMediaMeta = Q(
+    (s, d) => {
+      val df = media(s, d)
+      val enc = RowEncoder.encoderFor(decodedSchema)
+      df.mapPartitions { rows =>
+        // decoder init would happen here, once per partition
+        rows.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val kind = r.getAs[String]("media_type")
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, f) = stubDecode(kind, payload)
+          Row(id, kind, payload.length, w, h, f)
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+       CASE CAST(SUBSTR(source, 4) AS INT) % 3
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(n_chars AS INT) AS byte_len,
+       CAST(32 + (n_chars % 64) * 10 AS INT) AS width,
+       CAST(32 + (n_chars % 48) * 10 AS INT) AS height,
+       CAST(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 3 = 2
+            THEN n_chars % 30 + 1 ELSE 1 END AS INT) AS n_frames
+       FROM documents ORDER BY doc_id""")
+
+  /** Frame sampling: every 5th frame of each video — row expansion as
+    * an engine-side generator over the decoded frame count. */
+  val qFrameSample = Q(
+    (s, d) =>
+      media(s, d)
+        .filter(col("media_type") === "video")
+        .withColumn("n_frames", length(col("payload")).cast("int") % 30 + 1)
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_id"))
+        .withColumn("frame_offset_ms", col("frame_id") * 40)
+        .select(col("doc_id"), col("frame_id"), col("frame_offset_ms"))
+        .orderBy(col("doc_id"), col("frame_id")),
+    """SELECT doc_id, CAST(f.frame_id AS INT) AS frame_id,
+       CAST(f.frame_id * 40 AS INT) AS frame_offset_ms
+       FROM (SELECT doc_id, n_chars % 30 + 1 AS n_frames FROM documents
+             WHERE CAST(SUBSTR(source, 4) AS INT) % 3 = 2) v,
+       UNNEST(RANGE(0, v.n_frames, 5)) AS f(frame_id)
+       ORDER BY doc_id, frame_id""")
+
+  /** Multimodal struct packing: text + vector + metadata in one row,
+    * nested as a struct column, then projected back out (exercises
+    * nested-type construction and field pruning). */
+  val qMultimodalPack = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vecs = Tables.embeddings(s, d)
+      docs.join(vecs, col("doc_id") === col("vec_id"))
+        .withColumn("record", struct(
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          col("text").cast("binary").as("payload"),
+          col("embedding").as("vector"),
+          col("label").as("cls")))
+        .select(
+          col("doc_id"),
+          col("record.meta.lang").as("lang"),
+          col("record.cls").as("label"),
+          length(col("record.payload")).as("payload_bytes"),
+          size(col("record.vector")).as("dim"))
+        .orderBy(col("doc_id"))
+    },
+    """SELECT doc_id, lang, label, CAST(n_chars AS INT) AS payload_bytes,
+       LEN(embedding) AS dim
+       FROM documents JOIN embeddings ON doc_id = vec_id
+       ORDER BY doc_id""")
+
+  val defs: Map[String, Q] = Map(
+    "q_media_meta" -> qMediaMeta,
+    "q_frame_sample" -> qFrameSample,
+    "q_multimodal_pack" -> qMultimodalPack)
+}

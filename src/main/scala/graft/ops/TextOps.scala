@@ -1,0 +1,320 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication for a training-data pipeline
+  * (north-star ops from the builder brief; SURVEY.md §2B rows
+  * Dedup/Text analysis).
+  *
+  * The corpus is `documents(doc_id, text, lang, source, n_chars)` with
+  * whitespace-tokenizable text and planted near-duplicates (~5% of
+  * docs have a high-jaccard twin). All operators are pure DataFrame /
+  * higher-order-function plans — tokenization, shingling, hashing,
+  * folding all happen inside codegen'd expressions; nothing collects
+  * to the driver, and every shuffle is on a bounded key (shingle,
+  * band hash, group key), which is what lets the same plans run at
+  * 100 TB.
+  *
+  * Scale notes per operator are on each query. */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** word bigrams ("shingles") of the token array, deduplicated. */
+  private val bigramsExpr =
+    """array_distinct(transform(
+         sequence(0, size(tokens) - 2),
+         i -> concat(element_at(tokens, i + 1), ' ', element_at(tokens, i + 2))))"""
+
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("tokens", tokens(col("text")))
+      .filter(size(col("tokens")) >= 2)
+      .withColumn("shingles", expr(bigramsExpr))
+
+  private val duckShingles =
+    """SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(toks) - 1),
+         i -> toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+       FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+       WHERE LEN(toks) >= 2"""
+
+  /** Exact dedup: hash-groupBy on a content digest. Grouping on
+    * sha2(text) instead of the raw text keeps the shuffle key 32 bytes
+    * regardless of document size — at 100 TB you never shuffle full
+    * documents to find exact dups. */
+  val qDedupExact = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY text ORDER BY keep_id""")
+
+  /** Exact n-gram jaccard near-dup pairs via an inverted-index join:
+    * explode shingles → self-join on shingle → count = |intersection|
+    * (complete for any threshold > 0, since overlapping pairs must
+    * share a shingle). This is the *exact* path; at 100 TB the
+    * standard refinement is dropping shingles with document frequency
+    * above a cap before the join (hot-key control) and/or the MinHash
+    * path below. */
+  val qNgramJaccard = Q(
+    (s, d) => {
+      val sh = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+      val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("shingle"))
+      val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    s"""WITH sh AS ($duckShingles)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles)))
+           AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.3
+       ORDER BY doc_a, doc_b""")
+
+  /** MinHash + LSH banding near-dup detection — the scale path: 64
+    * minhashes per doc, 32 bands × 2 rows; only same-band docs are
+    * paired, then candidates are confirmed with exact jaccard ≥ 0.5.
+    * Cost is O(docs × shingles) for signatures + a band-key shuffle —
+    * never all-pairs. P(miss | j=0.5) = (1-0.25)^32 ≈ 1e-4, so the
+    * exact-jaccard oracle matches (the planted twins are j ≈ 0.99,
+    * detection probability ~1). */
+  val qDedupMinhash = Q(
+    (s, d) => {
+      val sh = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+        .withColumn("hashes", expr("transform(shingles, x -> xxhash64(x))"))
+      // 64 minhashes: min over xxhash64(shingle-hash + k), k = 0..63.
+      val sig = sh.withColumn("sig",
+        expr("transform(sequence(0, 63), k -> array_min(transform(hashes, h -> xxhash64(h + k))))"))
+      // 32 bands of 2 rows each → band key = hash(band index, two sig rows).
+      val banded = sig
+        .select(col("doc_id"), col("shingles"), col("sz"),
+          posexplode(expr("""transform(sequence(0, 31),
+            j -> xxhash64(j, element_at(sig, 2 * j + 1), element_at(sig, 2 * j + 2)))"""))
+            .as(Seq("band_idx", "band_hash")))
+      val la = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("sz").as("sz_a"), col("band_idx"), col("band_hash"))
+      val lb = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("sz").as("sz_b"), col("band_idx"), col("band_hash"))
+      la.join(lb, Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b"))
+        .distinct()
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    s"""WITH sh AS ($duckShingles)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles)))
+           AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
+       ORDER BY doc_a, doc_b""")
+
+  /** SimHash fingerprints: 64-bit signature from per-token hash bit
+    * votes. Near-dups land within small hamming distance; bucketing
+    * the 4 × 16-bit bands gives the candidate structure. xxhash64 is
+    * not reproducible in the oracle → rows-only check; the spec
+    * pins the semantics (twin docs ⇒ hamming ≤ 6). */
+  val qDedupSimhash = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", tokens(col("text")))
+        .withColumn("tok_hashes",
+          expr("transform(tokens, t -> xxhash64(t))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, i) ->
+               acc + IF(2 * size(filter(tok_hashes, h -> (h >> i) & 1 = 1)) > size(tok_hashes),
+                        shiftleft(1L, i), 0L))"""))
+        .select(col("doc_id"), col("simhash"),
+          expr("(simhash >> 48) & 65535").as("band0"),
+          expr("(simhash >> 32) & 65535").as("band1"),
+          expr("(simhash >> 16) & 65535").as("band2"),
+          expr("simhash & 65535").as("band3"))
+        .orderBy(col("doc_id")),
+    None)
+
+  /** Language ID by stopword-hit scoring against a tiny inline lexicon
+    * (n-gram/keyword heuristic). The corpus vocabulary is synthetic, so
+    * the lexicon maps corpus words to language buckets — the operator
+    * shape (token explode → broadcast lexicon join → per-doc argmax)
+    * is the real thing. */
+  val qLangId = Q(
+    (s, d) => {
+      val lex = s.createDataFrame(Seq(
+        ("en", "the"), ("en", "a"), ("en", "data"), ("en", "table"),
+        ("de", "window"), ("de", "merge"), ("de", "batch"),
+        ("fr", "stream"), ("fr", "filter"), ("fr", "sort"),
+        ("es", "query"), ("es", "row"), ("es", "scan"),
+        ("zh", "spark"), ("zh", "join"), ("zh", "hash")))
+        .toDF("cand_lang", "word")
+      val hits = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .join(broadcast(lex), col("token") === col("word"))
+        .groupBy(col("doc_id"), col("cand_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("hits").desc, col("cand_lang").asc)
+      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("predicted_lang"), col("hits"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH lex(cand_lang, word) AS (VALUES
+         ('en','the'),('en','a'),('en','data'),('en','table'),
+         ('de','window'),('de','merge'),('de','batch'),
+         ('fr','stream'),('fr','filter'),('fr','sort'),
+         ('es','query'),('es','row'),('es','scan'),
+         ('zh','spark'),('zh','join'),('zh','hash')),
+       hits AS (
+         SELECT doc_id, cand_lang, COUNT(*) AS hits
+         FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t
+         JOIN lex ON token = word GROUP BY doc_id, cand_lang),
+       best AS (
+         SELECT doc_id, cand_lang AS predicted_lang, hits,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rn
+         FROM hits)
+       SELECT d.doc_id, COALESCE(b.predicted_lang, 'und') AS predicted_lang,
+         COALESCE(b.hits, 0) AS hits
+       FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+       ORDER BY d.doc_id""")
+
+  /** Per-document quality scoring: unique-token ratio, stopword ratio,
+    * length factor — all inside higher-order expressions (one pass,
+    * no explode, no shuffle: a pure map stage at any scale). */
+  val qTextQuality = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", tokens(col("text")))
+        .withColumn("n_tokens", size(col("tokens")))
+        .withColumn("n_uniq", size(array_distinct(col("tokens"))))
+        .withColumn("n_stop",
+          size(filter(col("tokens"), t => t === "the" || t === "a")))
+        .withColumn("len_sum",
+          aggregate(transform(col("tokens"), t => length(t)), lit(0), (a, x) => a + x))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
+          (col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          (col("len_sum").cast("double") / col("n_tokens")).as("avg_token_len"),
+          (lit(0.4) * (col("n_uniq").cast("double") / col("n_tokens"))
+            + lit(0.4) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.2) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)))
+            .as("quality_score"))
+        .orderBy(col("doc_id")),
+    """SELECT doc_id, n_tokens, n_uniq, n_stop,
+       CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       CAST(len_sum AS DOUBLE) / n_tokens AS avg_token_len,
+       0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+         + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         + 0.2 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS quality_score
+       FROM (SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               LEN(LIST_DISTINCT(toks)) AS n_uniq,
+               LEN(LIST_FILTER(toks, t -> t = 'the' OR t = 'a')) AS n_stop,
+               LIST_REDUCE(LIST_TRANSFORM(toks, t -> LENGTH(t)), (a, x) -> a + x) AS len_sum
+             FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents))
+       ORDER BY doc_id""")
+
+  /** Token counting per language: whitespace tokens vs a BPE-ish
+    * regex word extraction, aggregated to corpus grain. */
+  val qTokenCount = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_ws", size(tokens(col("text"))))
+        .withColumn("n_re", size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("ws_tokens"),
+          sum(col("n_re")).as("re_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang")),
+    """SELECT lang, COUNT(*) AS n_docs,
+       SUM(LEN(STRING_SPLIT(text, ' '))) AS ws_tokens,
+       SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS re_tokens,
+       SUM(n_chars) AS total_chars
+       FROM documents GROUP BY lang ORDER BY lang""")
+
+  /** Rolling-hash document fingerprint (Rabin–Karp-style fold over the
+    * token stream, engine-portable arithmetic instead of an opaque
+    * hash so the oracle can recompute it). */
+  val qFingerprint = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", tokens(col("text")))
+        .withColumn("vals", expr(
+          "transform(tokens, t -> CAST(length(t) * 37 + ascii(substring(t, 1, 1)) AS BIGINT))"))
+        .withColumn("fingerprint", expr(
+          "aggregate(vals, 0L, (acc, x) -> (acc * 1000003 + x) % 1000000007)"))
+        .select(col("doc_id"), col("fingerprint"), size(col("tokens")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+    """SELECT doc_id,
+       LIST_REDUCE(
+         LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                        t -> CAST(LENGTH(t) * 37 + ASCII(t[1]) AS BIGINT)),
+         (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fingerprint,
+       LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+       FROM documents ORDER BY doc_id""")
+
+  /** Trigram frequency: top 30 corpus-wide n-grams. */
+  val qNgramStats = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tokens", tokens(col("text")))
+        .filter(size(col("tokens")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(0, size(tokens) - 3),
+               i -> concat(element_at(tokens, i + 1), ' ',
+                           element_at(tokens, i + 2), ' ',
+                           element_at(tokens, i + 3)))""")).as("trigram"))
+        .groupBy(col("trigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(30),
+    """SELECT trigram, COUNT(*) AS n
+       FROM (SELECT UNNEST(LIST_TRANSFORM(RANGE(LEN(toks) - 2),
+               i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS trigram
+             FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents)
+             WHERE LEN(toks) >= 3)
+       GROUP BY trigram ORDER BY n DESC, trigram LIMIT 30""")
+
+  val defs: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_lang_id" -> qLangId,
+    "q_text_quality" -> qTextQuality,
+    "q_token_count" -> qTokenCount,
+    "q_fingerprint" -> qFingerprint,
+    "q_ngram_stats" -> qNgramStats)
+}

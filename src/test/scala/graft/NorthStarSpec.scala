@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for dedup / similarity / text / multimodal ops
+  * that the DuckDB oracle can't fully pin (hash-based signatures,
+  * recall properties). */
+class NorthStarSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("minhash near-dup pairs equal exact jaccard pairs at its threshold") {
+    // LSH recall at j >= 0.5 with 32 bands × 2 rows is ~1 - 1e-4; the
+    // planted twins are j ≈ 0.99, so candidate recall must be exact here.
+    val exact = run("q_ngram_jaccard").filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("q_dedup_minhash")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: twins sit far below the random-pair hamming baseline") {
+    val twins = run("q_ngram_jaccard").filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(twins.nonEmpty, "corpus should contain planted twins")
+    val sim = run("q_dedup_simhash").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sim(a) ^ sim(b))
+    // unrelated pairs hover around 32/64 differing bits; twins must be
+    // well under half that (the small synthetic vocab adds noise, so
+    // exact-hamming-≤3 guarantees don't apply here)
+    twins.foreach { case (a, b) =>
+      assert(ham(a, b) <= 16, s"twin pair ($a,$b) hamming ${ham(a, b)}")
+    }
+    val ids = sim.keys.toArray.sorted.take(60)
+    val randomPairs = for (i <- ids.indices; j <- i + 1 until ids.length) yield ham(ids(i), ids(j))
+    val twinMean = twins.map { case (a, b) => ham(a, b) }.sum.toDouble / twins.length
+    val randMean = randomPairs.sum.toDouble / randomPairs.length
+    assert(twinMean < randMean / 2.0, s"twin mean $twinMean vs random mean $randMean")
+  }
+
+  test("exact dedup groups cover all documents") {
+    val total = run("q_dedup_exact").agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total === Tables.documents(spark, sfDir).count())
+  }
+
+  test("knn: per query, ranks are 1..5 and cosine non-increasing, in [-1,1]") {
+    val rows = run("q_knn_bruteforce").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(1 to g.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann top-1 cosine never exceeds brute-force top-1") {
+    val bf = run("q_knn_bruteforce").filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val ann = run("q_ann_lsh").filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    ann.foreach { case (q, c) => assert(c <= bf(q) + 1e-12, s"query $q") }
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val a = run("q_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = run("q_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("media meta: byte_len matches n_chars; frames only for video") {
+    val meta = run("q_media_meta")
+    val joined = meta.join(Tables.documents(spark, sfDir), Seq("doc_id")).collect()
+    joined.foreach { r =>
+      assert(r.getAs[Int]("byte_len").toLong === r.getAs[Long]("n_chars"))
+      if (r.getAs[String]("media_type") != "video")
+        assert(r.getAs[Int]("n_frames") === 1)
+    }
+  }
+
+  test("frame sample emits every 5th frame id") {
+    val rows = run("q_frame_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("frame_id") % 5 === 0))
+  }
+
+  test("lang id covers every document exactly once") {
+    val n = run("q_lang_id").count()
+    assert(n === Tables.documents(spark, sfDir).count())
+  }
+}
