@@ -10,7 +10,8 @@ object SparkEntry {
   /** All named queries with their optional oracles. */
   def all: Map[String, Q] =
     ops.Relational.defs ++ ops.Functions.defs ++ etl.Medallion.defs ++
-      ops.TextOps.defs ++ ops.VectorOps.defs ++ ops.Multimodal.defs
+      ops.TextOps.defs ++ ops.VectorOps.defs ++ ops.Multimodal.defs ++
+      ops.EventsOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

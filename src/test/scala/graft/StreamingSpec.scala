@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingDemo
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Drives the Structured Streaming surface with a MemoryStream and
+  * checks streaming results against the batch twin semantics in
+  * EventsOps (same epoch-aligned windows). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  test("streaming tumbling counts match the batch window aggregation") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val rows = Seq(
+      Ev(1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      Ev(2L, ts("2024-01-01 00:02:30"), 1L, "click", 2.0),
+      Ev(3L, ts("2024-01-01 00:06:10"), 2L, "view", 3.0),
+      Ev(4L, ts("2024-01-01 00:07:45"), 2L, "click", 4.0),
+      Ev(5L, ts("2024-01-01 00:11:00"), 1L, "view", 5.0))
+
+    val query = StreamingDemo.startToMemory(input.toDF(), "tumbling_test")
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .select(col("bucket_start").cast("long").as("b"), col("event_type"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = input.toDF().sparkSession.createDataFrame(rows)
+        .groupBy(window(col("ts"), "5 minutes").getField("start").cast("long").as("b"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses repeated event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val out = StreamingDemo.dedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+        Ev(1L, ts("2024-01-01 00:01:30"), 1L, "click", 1.0),
+        Ev(2L, ts("2024-01-01 00:02:00"), 1L, "view", 2.0))
+      out.processAllAvailable()
+      val n = spark.table("dedup_test").count()
+      assert(n === 2)
+    } finally out.stop()
+  }
+
+  test("mapGroupsWithState accumulates running per-user totals") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val out = StreamingDemo.runningTotals(spark, input.toDF())
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 00:01:00"), 7L, "click", 1.5),
+        Ev(2L, ts("2024-01-01 00:02:00"), 7L, "click", 2.5))
+      out.processAllAvailable()
+      input.addData(Ev(3L, ts("2024-01-01 00:03:00"), 7L, "view", 4.0))
+      out.processAllAvailable()
+      val last = spark.table("running_test")
+        .filter(col("userId") === 7L)
+        .orderBy(col("n").desc).collect().head
+      assert(last.getAs[Long]("n") === 3L)
+      assert(math.abs(last.getAs[Double]("total") - 8.0) < 1e-9)
+    } finally out.stop()
+  }
+}
