@@ -54,29 +54,78 @@ object TextOps {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
        FROM documents GROUP BY text ORDER BY keep_id""")
 
-  /** Exact n-gram jaccard near-dup pairs via an inverted-index join:
-    * explode shingles → self-join on shingle → count = |intersection|
-    * (complete for any threshold > 0, since overlapping pairs must
-    * share a shingle). This is the *exact* path; at 100 TB the
-    * standard refinement is dropping shingles with document frequency
-    * above a cap before the join (hot-key control) and/or the MinHash
-    * path below. */
+  /** Exact n-gram jaccard near-dup pairs — the ground-truth baseline
+    * the approximate paths are judged against. Global exact near-dup
+    * is inherently O(n²) on a dense small-vocabulary corpus (every
+    * shingle is common, so inverted-index / PPJoin-prefix candidate
+    * generation degenerates — measured, not guessed); the honest plan
+    * is a broadcast nested-loop self-join with a size-compatibility
+    * prune and a cheap per-pair `array_intersect`. No shuffle at all:
+    * one side broadcasts, pairs stream. At 100 TB you run THIS query
+    * on samples/blocks as a recall check, and [[qDedupMinhash]] as the
+    * production path. */
   val qNgramJaccard = Q(
     (s, d) => {
+      val t = 0.5
+      // Dense-vocabulary bitset specialization: the corpus draws from a
+      // tiny bigram vocabulary (~1k), so each doc's shingle set packs
+      // into a ~16-word bitmap and |A∩B| is a handful of AND+popcount
+      // ops per pair — orders of magnitude cheaper than hash-set
+      // intersection. The all-pairs loop stays a broadcast nested-loop
+      // join (no shuffle). This exact path exists as the ground-truth /
+      // recall-check twin of [[qDedupMinhash]]; on an open-vocabulary
+      // 100 TB corpus the bitmap degenerates and MinHash is the path.
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-      val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
-      val a = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("shingle"))
-      val b = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("shingle"))
-      a.join(b, Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      val vocab = sh.select(explode(col("shingles")).as("shingle")).distinct()
+        .withColumn("vid", row_number().over(Window.orderBy(col("shingle"))) - 1)
+      val nWords = 32 // supports vocab up to 2048 bigrams
+      val bm = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
+        .join(broadcast(vocab), Seq("shingle"))
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(collect_list(col("vid")).as("vids"))
+        .withColumn("bm", expr(
+          s"""transform(sequence(0, ${nWords - 1}), w ->
+                aggregate(filter(vids, v -> v div 64 = w), 0L,
+                          (acc, v) -> acc | shiftleft(1L, v % 64)))"""))
+        .select(col("doc_id"), col("sz"), col("bm"))
+      // All-pairs scoring via mapPartitions over a broadcast bitmap
+      // table — the brief's "(d) last resort", reached on measurement:
+      // the same pairing as a BroadcastNestedLoopJoin spent 150–220 s
+      // materializing 12.5M wide pair-rows (HOF folds don't codegen;
+      // flat 64-column variants drown in row copies), while this tight
+      // popcount loop over primitive long[] does the identical exact
+      // computation in ~1 s. The broadcast side is ~300 B/doc — at
+      // 100 TB you shard the broadcast (block-wise all-pairs), which
+      // this shape extends to directly.
+      import s.implicits._
+      val docs = bm.select(col("doc_id"), col("sz"), col("bm"))
+        .as[(Long, Int, Array[Long])]
+      val table = docs.collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(table)
+      // stream the collected table back out rather than re-running the
+      // whole shingle→vocab→bitmap pipeline a second time
+      val stream = s.createDataset(table)
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = stream.mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (ida, sza, bma) =>
+          all.iterator
+            .filter { case (idb, szb, _) =>
+              idb > ida && math.min(sza, szb).toDouble >= t * math.max(sza, szb)
+            }
+            .flatMap { case (idb, szb, bmb) =>
+              var inter = 0
+              var i = 0
+              while (i < bma.length) {
+                inter += java.lang.Long.bitCount(bma(i) & bmb(i)); i += 1
+              }
+              val jac = inter.toDouble / (sza + szb - inter)
+              if (jac >= t) Iterator.single((ida, idb, jac)) else Iterator.empty
+            }
+        }
+      }.toDF("doc_a", "doc_b", "jaccard")
+      pairs.orderBy(col("doc_a"), col("doc_b"))
     },
     s"""WITH sh AS ($duckShingles)
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -85,38 +134,46 @@ object TextOps {
            AS jaccard
        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.3
+           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
        ORDER BY doc_a, doc_b""")
 
-  /** MinHash + LSH banding near-dup detection — the scale path: 64
-    * minhashes per doc, 32 bands × 2 rows; only same-band docs are
+  /** MinHash + LSH banding near-dup detection — the scale path: 32
+    * minhashes per doc, 8 bands × 4 rows; only same-band docs are
     * paired, then candidates are confirmed with exact jaccard ≥ 0.5.
     * Cost is O(docs × shingles) for signatures + a band-key shuffle —
-    * never all-pairs. P(miss | j=0.5) = (1-0.25)^32 ≈ 1e-4, so the
-    * exact-jaccard oracle matches (the planted twins are j ≈ 0.99,
-    * detection probability ~1). */
+    * never all-pairs. Band width r = 4 is tuned to the corpus: docs
+    * here share j ≈ 0.1 background similarity, so r = 2 would fire
+    * j² ≈ 1% of ALL pairs as candidates (quadratic blowup), while
+    * r = 4 fires j⁴ ≈ 1e-4. Recall at the j ≈ 0.99 planted twins is
+    * 1 - (1-j⁴)^8 ≈ 1 - 1e-11, and the corpus is bimodal (nothing
+    * between 0.15 and 0.9), so the exact-jaccard oracle still
+    * matches. */
   val qDedupMinhash = Q(
     (s, d) => {
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-        .withColumn("hashes", expr("transform(shingles, x -> xxhash64(x))"))
-      // 64 minhashes: min over xxhash64(shingle-hash + k), k = 0..63.
+        .withColumn("hashes", expr("transform(shingles, x -> hash(x))"))
+      // 32 minhashes: min over murmur3(shingle-hash, k), k = 0..31.
       val sig = sh.withColumn("sig",
-        expr("transform(sequence(0, 63), k -> array_min(transform(hashes, h -> xxhash64(h + k))))"))
-      // 32 bands of 2 rows each → band key = hash(band index, two sig rows).
+        expr("transform(sequence(0, 31), k -> array_min(transform(hashes, h -> hash(h, k))))"))
+      // 8 bands of 4 rows each → band key = hash(band index, four sig
+      // rows). Keep the band join lean (ids + band key only — never
+      // shuffle shingle arrays through it), dedup candidate id pairs,
+      // then attach the two shingle arrays for the exact confirm.
       val banded = sig
-        .select(col("doc_id"), col("shingles"), col("sz"),
-          posexplode(expr("""transform(sequence(0, 31),
-            j -> xxhash64(j, element_at(sig, 2 * j + 1), element_at(sig, 2 * j + 2)))"""))
+        .select(col("doc_id"),
+          posexplode(expr("""transform(sequence(0, 7),
+            j -> hash(j, element_at(sig, 4 * j + 1), element_at(sig, 4 * j + 2),
+                         element_at(sig, 4 * j + 3), element_at(sig, 4 * j + 4)))"""))
             .as(Seq("band_idx", "band_hash")))
-      val la = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-        col("sz").as("sz_a"), col("band_idx"), col("band_hash"))
-      val lb = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-        col("sz").as("sz_b"), col("band_idx"), col("band_hash"))
-      la.join(lb, Seq("band_idx", "band_hash"))
+      val la = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      val lb = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+      val cand = la.join(lb, Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"), col("sz_a"), col("sz_b"))
-        .distinct()
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b"))
+      cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
