@@ -27,9 +27,12 @@ object Clean {
     df.toDF(df.columns.map(_.trim): _*)
 
   /** T3: `"R$ 1,234.56"` / `"$99"` → 1234.56 / 99.0. One codegen'd
-    * projection instead of the reference's 7 chained pandas replaces. */
+    * projection instead of the reference's 7 chained pandas replaces.
+    * try_cast: malformed input → null (ANSI mode would throw; the
+    * reference's `astype(float)` would too — null-on-malformed is the
+    * deliberate divergence, documented per SURVEY.md §1.4). */
   def parseMoney(c: Column): Column =
-    regexp_replace(c.cast("string"), "[R$,\\s]", "").cast("double")
+    regexp_replace(c.cast("string"), "[R$,\\s]", "").try_cast("double")
 
   /** T3 applied to the reference's 7 money columns (DDL names). */
   val moneyColumns: Seq[String] = Seq(

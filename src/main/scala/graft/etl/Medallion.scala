@@ -143,10 +143,28 @@ object Medallion {
        l_extendedprice AS sales
        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
 
+  /** The native-Expression exhibit in a graded query: same semantics
+    * as the UDF, but parsed by [[graft.functions.ParseMoneyExpr]]
+    * inside whole-stage codegen. */
+  val qParseMoneyNative = Q(
+    (s, d) => {
+      graft.functions.ParseMoneyExpr.register(s)
+      bronzeFinancial(s, d).createOrReplaceTempView("native_bronze")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber,
+           parse_money_native(`Units Sold`) AS units_sold,
+           parse_money_native(`Sales`) AS sales
+           FROM native_bronze ORDER BY l_orderkey, l_linenumber""")
+    },
+    """SELECT l_orderkey, l_linenumber, l_quantity AS units_sold,
+       l_extendedprice AS sales
+       FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+
   val defs: Map[String, Q] = Map(
     "q_financial_silver" -> qFinancialSilver,
     "q_financial_gold" -> qFinancialGold,
     "q_gold_mart" -> qGoldMart,
     "q_udaf_money_sum" -> qUdafMoneySum,
-    "q_udf_parse_money" -> qUdfParseMoney)
+    "q_udf_parse_money" -> qUdfParseMoney,
+    "q_parse_money_native" -> qParseMoneyNative)
 }
