@@ -167,6 +167,25 @@ object Relational {
                          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
        ORDER BY c_custkey""")
 
+  /** Right outer join (kept distinct from the left-join query so both
+    * directions of outer-row preservation are exercised): all
+    * customers appear even with no big order on the left side. */
+  val qJoinRight = Q(
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > lit(450000.0))
+      bigOrders
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          coalesce(max(col("o_totalprice")), lit(0.0)).as("biggest"))
+        .orderBy(col("c_custkey"))
+    },
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+       COALESCE(MAX(o_totalprice), 0.0) AS biggest
+       FROM (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+       RIGHT JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey ORDER BY c_custkey""")
+
   /** Full outer join over two pre-aggregated sides (customers and
     * suppliers per nation) — aggregating BEFORE the join keeps the
     * outer join tiny no matter the fact size. */
@@ -340,7 +359,8 @@ object Relational {
          FROM lineitem) t
        WHERE rn <= 3 ORDER BY l_suppkey, rn""")
 
-  /** Ranking family: row_number / rank / dense_rank on one window. */
+  /** Ranking family: row_number / rank / dense_rank / ntile /
+    * percent_rank on one window. */
   val qWindowRank = Q(
     (s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -349,14 +369,17 @@ object Relational {
         .withColumn("rn", row_number().over(w))
         .withColumn("rnk", rank().over(w))
         .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
         .filter(col("rn") <= 10)
         .select(col("c_mktsegment"), col("rn"), col("rnk"), col("drnk"),
-          col("c_custkey"), col("c_acctbal"))
+          col("quartile"), col("pct_rank"), col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_mktsegment"), col("rn"))
     },
-    """SELECT c_mktsegment, rn, rnk, drnk, c_custkey, c_acctbal FROM (
+    """SELECT c_mktsegment, rn, rnk, drnk, quartile, pct_rank, c_custkey, c_acctbal FROM (
          SELECT c_mktsegment, c_custkey, c_acctbal,
-                ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+                ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+                NTILE(4) OVER w AS quartile, PERCENT_RANK() OVER w AS pct_rank
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)) t
        WHERE rn <= 10 ORDER BY c_mktsegment, rn""")
@@ -520,6 +543,7 @@ object Relational {
     "q_join_sortmerge" -> qJoinSortMerge,
     "q_join_multiway" -> qJoinMultiway,
     "q_join_left" -> qJoinLeft,
+    "q_join_right" -> qJoinRight,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_full" -> qJoinFull,

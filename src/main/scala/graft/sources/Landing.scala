@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths}
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingest landing — the reference's bronze acquisition surface
+  * (SURVEY.md §2A S1–S4) re-expressed for Spark.
+  *
+  * The reference GETs a workbook over HTTP with a 60 s timeout and
+  * puts the bytes in an object store
+  * (`dags/bronze/dag_bronze_financial_sample.py:40-94`). Spark has no
+  * HTTP reader — acquisition is a *driver-side* concern (one small
+  * control-plane download), and Spark takes over at the first
+  * distributed step: `spark.read.schema(...)` over the landed path.
+  * At cluster scale the landing target is an object store
+  * (`s3a://bucket/...` via the Hadoop S3A connector with a MinIO
+  * endpoint, exactly the reference's MinIO layout); the code below is
+  * target-path agnostic. */
+object Landing {
+
+  /** S1: HTTP GET → landed file. Timeout mirrors the reference's 60 s
+    * (`dags/bronze/dag_bronze_financial_sample.py:54`). */
+  def httpFetch(url: String, dest: Path, timeoutSeconds: Long = 60L): Path = {
+    val client = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(timeoutSeconds))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds))
+      .GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} from $url")
+    Files.createDirectories(dest.getParent)
+    Files.write(dest, resp.body())
+    dest
+  }
+
+  /** S3/S4 analog: schema-enforced scan of a landed file — the
+    * engine's answer to the reference's infer-at-read drift
+    * (SURVEY.md §1.4). */
+  def readLanded(spark: SparkSession, path: Path, schema: StructType,
+                 format: String = "csv", options: Map[String, String] = Map.empty)
+      : DataFrame =
+    spark.read.options(options).schema(schema).format(format)
+      .load(path.toString)
+
+  /** S2/S5 analog: land a DataFrame to a (object-store-shaped) path. */
+  def writeLanded(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    df.write.mode("overwrite").format(format).save(path)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.sources.Landing
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink parity with the reference's bronze surface (S1–S8):
+  * HTTP acquisition → landed file → schema-enforced scan; catalog DDL
+  * (the S6 CREATE TABLE analog); DataFrame ⇄ JSON exchange (the S8
+  * XCom analog). All local — the HTTP test serves from an in-process
+  * JDK HttpServer on localhost (zero egress). */
+class SourcesSpec extends SparkSpec {
+
+  test("S1-S4: http fetch lands bytes; schema-enforced scan reads them") {
+    val payload = "a,b\n1,x\n2,y\n"
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = payload.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val dest = Files.createTempDirectory("landing").resolve("data.csv")
+      Landing.httpFetch(s"http://127.0.0.1:$port/data.csv", dest)
+      assert(Files.readAllBytes(dest).length === payload.length)
+      val schema = StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType)))
+      val df = Landing.readLanded(spark, dest, schema,
+        options = Map("header" -> "true"))
+      assert(df.count() === 2)
+      assert(df.schema === schema)
+    } finally server.stop(0)
+  }
+
+  test("S1: fetch fails loudly on HTTP error status") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/missing", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(404, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val dest = Files.createTempDirectory("landing404").resolve("x")
+      val e = intercept[IllegalArgumentException] {
+        Landing.httpFetch(s"http://127.0.0.1:$port/missing", dest)
+      }
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
+  test("S6: catalog DDL — CREATE TABLE / INSERT / scan back / DROP") {
+    val warehouse = Files.createTempDirectory("graft_wh")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_demo")
+    spark.sql(
+      s"""CREATE TABLE graft_ddl_demo (segment STRING, sales DOUBLE, year INT)
+          USING parquet LOCATION '${warehouse.resolve("graft_ddl_demo")}'""")
+    spark.sql(
+      """INSERT INTO graft_ddl_demo VALUES
+         ('Government', 100.5, 2024), ('Midmarket', 50.25, 2024)""")
+    val back = spark.table("graft_ddl_demo")
+    assert(back.count() === 2)
+    assert(back.schema.fieldNames.toSeq === Seq("segment", "sales", "year"))
+    spark.sql("DROP TABLE graft_ddl_demo")
+  }
+
+  test("S8: DataFrame ⇄ JSON exchange round-trips values") {
+    val df = Tables.nation(spark, sfDir)
+    val json = df.toJSON
+    val back = spark.read.schema(Tables.nationSchema).json(json)
+    assert(back.orderBy("n_nationkey").collect()
+      .sameElements(df.orderBy("n_nationkey").collect()))
+  }
+
+  test("S5/S7 shape: landed parquet write round-trips") {
+    val out = Files.createTempDirectory("landed").resolve("gold").toString
+    val df = etl.Medallion.qGoldMart.fn(spark, sfDir)
+    Landing.writeLanded(df, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === df.count())
+  }
+}
