@@ -80,14 +80,17 @@ object TextOps {
       val vocab = sh.select(explode(col("shingles")).as("shingle")).distinct()
         .withColumn("vid", row_number().over(Window.orderBy(col("shingle"))) - 1)
       val nWords = 32 // supports vocab up to 2048 bigrams
+      // bitmap words via codegen'd bit_or aggregates (a lambda fold
+      // here would be interpreted per set bit), then assembled into a
+      // fixed-width array with one cheap 32-step transform
       val bm = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
         .join(broadcast(vocab), Seq("shingle"))
+        .groupBy(col("doc_id"), col("sz"), expr("vid div 64").as("word"))
+        .agg(expr("bit_or(shiftleft(1L, vid % 64))").as("bits"))
         .groupBy(col("doc_id"), col("sz"))
-        .agg(collect_list(col("vid")).as("vids"))
+        .agg(map_from_arrays(collect_list(col("word")), collect_list(col("bits"))).as("m"))
         .withColumn("bm", expr(
-          s"""transform(sequence(0, ${nWords - 1}), w ->
-                aggregate(filter(vids, v -> v div 64 = w), 0L,
-                          (acc, v) -> acc | shiftleft(1L, v % 64)))"""))
+          s"transform(sequence(0, ${nWords - 1}), w -> coalesce(element_at(m, cast(w AS INT)), 0L))"))
         .select(col("doc_id"), col("sz"), col("bm"))
       // All-pairs scoring via mapPartitions over a broadcast bitmap
       // table — the brief's "(d) last resort", reached on measurement:
@@ -150,8 +153,11 @@ object TextOps {
     * matches. */
   val qDedupMinhash = Q(
     (s, d) => {
+      // persisted: consumed three times (signatures + both confirm
+      // sides); without it the tokenize→shingle pipeline runs thrice
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+        .persist()
       // 32 minhashes: min over murmur3(shingle, k), k = 0..31 —
       // computed as 32 min-aggregates over the *exploded* shingle
       // stream rather than nested array lambdas: higher-order lambdas
