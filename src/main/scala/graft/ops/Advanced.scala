@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.{Num, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface: subqueries, pivot/unpivot,
+  * deterministic collect / arg-max, numerically robust correlation,
+  * and the salted two-phase aggregation pattern for skewed keys. */
+object Advanced {
+
+  /** Uncorrelated scalar subquery (decimal-exact avg on both sides so
+    * the threshold is bit-identical across engines). */
+  val qSubqueryScalar = Q(
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+      s.sql(
+        s"""SELECT o_orderkey, o_totalprice FROM sq_orders
+           WHERE o_totalprice > 1.8 * (
+             SELECT ${Num.sqlAvg("o_totalprice")} FROM sq_orders)
+           ORDER BY o_orderkey""")
+    },
+    s"""SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > 1.8 * (SELECT ${Num.sqlAvg("o_totalprice")} FROM orders)
+       ORDER BY o_orderkey""")
+
+  /** IN / NOT IN subqueries (planned as semi/anti joins). */
+  val qSubqueryIn = Q(
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("sqin_orders")
+      Tables.customer(s, d).createOrReplaceTempView("sqin_customer")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM sqin_orders
+           WHERE o_custkey IN (SELECT c_custkey FROM sqin_customer WHERE c_acctbal < 0)
+           ORDER BY o_orderkey""")
+    },
+    """SELECT o_orderkey, o_custkey FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+       ORDER BY o_orderkey""")
+
+  /** Pivot: order counts per year × status. Missing cells coalesced to
+    * 0 to match the oracle's FILTER formulation. */
+  val qPivot = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("yr"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy(col("yr")),
+    """SELECT YEAR(o_orderdate) AS yr,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS P
+       FROM orders GROUP BY yr ORDER BY yr""")
+
+  /** Unpivot via the stack generator: wide measures → (metric, value)
+    * rows. */
+  val qUnpivot = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(3, 'quantity', l_quantity, 'price', l_extendedprice,
+                      'discount', l_discount) AS (metric, value)""")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+         SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+         FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+         FROM lineitem WHERE l_orderkey < 100
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', l_discount
+         FROM lineitem WHERE l_orderkey < 100)
+       ORDER BY l_orderkey, l_linenumber, metric""")
+
+  /** collect_list made deterministic: sort the collected multiset. */
+  val qCollect = Q(
+    (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey")),
+    """SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS nations, COUNT(*) AS n
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+
+  /** Deterministic arg-max via struct ordering (max_by has undefined
+    * tie behavior; max over a (price, key) struct does not). */
+  val qArgMax = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_orderstatus"),
+          col("m.o_totalprice").as("top_price"),
+          col("m.o_orderkey").as("top_orderkey"))
+        .orderBy(col("o_orderstatus")),
+    """SELECT o_orderstatus, o_totalprice AS top_price, o_orderkey AS top_orderkey
+       FROM (SELECT o_orderstatus, o_totalprice, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             FROM orders) t
+       WHERE rn = 1 ORDER BY o_orderstatus""")
+
+  /** Pearson correlation from decimal-exact moment sums: built-in
+    * `corr` accumulates doubles in partition order (nondeterministic
+    * across engines AND runs); exact decimal sums of x, y, x², y², xy
+    * feed the closed form in one final double computation — fully
+    * deterministic, still one distributed pass with map-side combine. */
+  val qCorrManual = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,6)")).cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double").as("syy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double").as("sxy"))
+        .withColumn("corr_qty_price",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))))
+        .select(col("l_returnflag"), col("n"), col("corr_qty_price"))
+        .orderBy(col("l_returnflag")),
+    """SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+       FROM (SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+             FROM lineitem GROUP BY l_returnflag) t
+       ORDER BY l_returnflag""")
+
+  /** Salted two-phase aggregation — the skew-mitigation idiom: spread
+    * a hot group key over `salt` subkeys, partially aggregate, then
+    * merge. Result is provably identical to the direct aggregation
+    * (decimal sums are associative), which the oracle checks by
+    * computing the direct form. */
+  val qAggSalted = Q(
+    (s, d) => {
+      val salted = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("partial_sum"),
+          count(lit(1)).as("partial_n"))
+      salted
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("partial_sum")).cast("double").as("revenue"),
+          sum(col("partial_n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    s"""SELECT l_returnflag, ${Num.sqlSum("l_extendedprice")} AS revenue,
+       COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  val defs: Map[String, Q] = Map(
+    "q_subquery_scalar" -> qSubqueryScalar,
+    "q_subquery_in" -> qSubqueryIn,
+    "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
+    "q_collect" -> qCollect,
+    "q_argmax" -> qArgMax,
+    "q_corr_manual" -> qCorrManual,
+    "q_agg_salted" -> qAggSalted)
+}

@@ -59,6 +59,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    // Bucketing is the 100 TB answer to repeated fact-fact joins on the
+    // same key: both sides pre-hashed into the same bucket layout means
+    // the sort-merge join needs no Exchange at query time.
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables.orders(spark, sfDir).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    Tables.customer(spark, sfDir).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE b_orders")
+      spark.sql("DROP TABLE b_customer")
+    }
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)
