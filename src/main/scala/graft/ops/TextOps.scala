@@ -355,6 +355,46 @@ object TextOps {
        LEN(STRING_SPLIT(text, ' ')) AS n_tokens
        FROM documents ORDER BY doc_id""")
 
+  /** TF-IDF term weighting (rational idf N/df rather than log-idf:
+    * ln() can differ in the last ulp between libm implementations,
+    * which would break the bit-exact oracle; the ranking it induces is
+    * identical). Classic two-pass shape: term counts per doc, document
+    * frequencies, broadcast-join the df table back. Top-5 terms per
+    * document by weight. */
+  val qTfidf = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("tfidf", col("tf") * (lit(nDocs.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    """WITH tf AS (
+         SELECT doc_id, term, COUNT(*) AS tf
+         FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+         GROUP BY doc_id, term),
+       df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term, tf.tf * (n.n_docs / df.df) AS tfidf
+         FROM tf JOIN df USING (term), n),
+       ranked AS (
+         SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+         FROM scored)
+       SELECT doc_id, rn, term, tfidf FROM ranked WHERE rn <= 5
+       ORDER BY doc_id, rn""")
+
   /** Trigram frequency: top 30 corpus-wide n-grams. */
   val qNgramStats = Q(
     (s, d) =>
@@ -386,5 +426,6 @@ object TextOps {
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
+    "q_tfidf" -> qTfidf,
     "q_ngram_stats" -> qNgramStats)
 }

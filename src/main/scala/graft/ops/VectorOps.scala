@@ -173,6 +173,66 @@ object VectorOps {
        WHERE $duckCosine >= 0.4
        ORDER BY vec_a, vec_b""")
 
+  /** IVF-style ANN — the other scale path the brief names: a coarse
+    * quantizer partitions vectors into cells; a query scores only the
+    * vectors in its nearest `nprobe` cells. Here the coarse centroids
+    * are a deterministic sample (every 250th vector) so both engines
+    * build the identical index; real deployments train them with
+    * k-means, but assignment/probe mechanics — the part that matters
+    * for the query plan — are the same: a broadcast centroid table, an
+    * argmin assignment (one narrow pass), and a cell-equi-join instead
+    * of an all-pairs scan. */
+  val qAnnIvf = Q(
+    (s, d) => {
+      val e = normed(s, d)
+      val cents = e.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      // assign every vector to its nearest centroid (deterministic
+      // argmin via struct ordering: min (dist, cent_id))
+      def assigned(side: DataFrame, idc: String, vc: String, nc: String): DataFrame =
+        side.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            aggregate(zip_with(col(vc), col("cv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, x) => a + x))
+          .groupBy(col(idc))
+          .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
+          .select(col(idc), col("m.cent_id").as(s"cell_$nc"))
+      val cells = assigned(e, "vec_id", "v", "data")
+      val indexed = e.join(cells, Seq("vec_id"))
+      val q = indexed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"), col("cell_data").as("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      indexed.withColumnRenamed("cell_data", "cell")
+        .join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosineCol)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    s"""WITH n AS ($duckNormed),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 250 = 0),
+       asg AS (SELECT vec_id, cell FROM (
+                 SELECT n.vec_id, cents.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                     LIST_REDUCE(LIST_TRANSFORM(RANGE(64),
+                       i -> (n.v[i + 1] - cents.cv[i + 1]) * (n.v[i + 1] - cents.cv[i + 1])),
+                       (a, b) -> a + b) ASC, cents.cent_id ASC) AS rn
+                 FROM n, cents) t WHERE rn = 1),
+       b AS (SELECT n.vec_id, n.v, n.norm, asg.cell FROM n JOIN asg USING (vec_id)),
+       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $duckCosine AS cosine
+             FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       r AS (SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM p)
+       SELECT query_id, rank, neighbor_id, cosine FROM r
+       WHERE rank <= 3 ORDER BY query_id, rank""")
+
   /** Per-label centroid components (first 8 dims): posexplode →
     * two-phase decimal mean per (label, dim). The 100 TB shape for
     * "average a vector column": explode to (key, pos, val) and let
@@ -199,6 +259,7 @@ object VectorOps {
   val defs: Map[String, Q] = Map(
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_embed_centroids" -> qEmbedCentroids)
 }
