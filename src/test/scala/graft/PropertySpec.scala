@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.ParseMoneyExpr
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY.md §5.2.3): parse/format round-trips
+  * and algebraic laws of the engine's operations. Uses raw ScalaCheck
+  * generators with fixed seeds (scalatestplus isn't in the offline
+  * dependency cache). Pure-function properties run at high volume;
+  * Spark-job properties at reduced volume (each case is a job). */
+class PropertySpec extends SparkSpec {
+
+  /** deterministic sampling loop over a generator */
+  private def forAllN[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private val cents: Gen[Long] = Gen.chooseNum(0L, 99999999L) // ≤ $999,999.99
+
+  test("parseMoney round-trips any US-formatted money value (pure, 500 cases)") {
+    forAllN(Gen.zip(cents, Gen.oneOf("$", "R$ ", "")), 500) { case (c, prefix) =>
+      val value = c / 100.0
+      val formatted = prefix + String.format(java.util.Locale.US, "%,.2f",
+        java.lang.Double.valueOf(value))
+      val parsed = ParseMoneyExpr.parseOrNull(ParseMoneyExpr.strip(formatted))
+      assert(parsed != null && parsed.doubleValue() === value, formatted)
+    }
+  }
+
+  test("strip never lengthens and is idempotent (pure, 500 cases)") {
+    forAllN(Gen.asciiPrintableStr, 500) { s =>
+      val once = ParseMoneyExpr.strip(s)
+      assert(once.length <= s.length)
+      assert(ParseMoneyExpr.strip(once) === once)
+    }
+  }
+
+  test("rolling-hash fingerprint: deterministic and in-range (pure, 300 cases)") {
+    val p = 1000000007L
+    def fp(tokens: List[String]): Long =
+      tokens.foldLeft(0L)((acc, t) =>
+        (acc * 1000003L + (t.length * 37 + t.head.toInt)) % p)
+    forAllN(Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty)), 300) { ts =>
+      assert(fp(ts) === fp(ts))
+      assert(fp(ts) >= 0L && fp(ts) < p)
+    }
+  }
+
+  test("dedup is idempotent on a DataFrame (spark, 5 cases)") {
+    forAllN(Gen.nonEmptyListOf(Gen.chooseNum(0, 5)).map(_.take(30)), 5) { xs =>
+      val s = spark
+      import s.implicits._
+      val once = xs.toDF("v").distinct()
+      assert(once.distinct().count() === once.count())
+      assert(once.count() === xs.distinct.length.toLong)
+    }
+  }
+
+  test("union-distinct is commutative (spark, 5 cases)") {
+    val pair = Gen.zip(Gen.listOfN(20, Gen.chooseNum(0, 8)), Gen.listOfN(20, Gen.chooseNum(0, 8)))
+    forAllN(pair, 5) { case (a, b) =>
+      val s = spark
+      import s.implicits._
+      val da = a.toDF("v"); val db = b.toDF("v")
+      val ab = da.union(db).distinct().collect().map(_.getInt(0)).toSet
+      val ba = db.union(da).distinct().collect().map(_.getInt(0)).toSet
+      assert(ab === ba)
+      assert(ab === (a.toSet ++ b.toSet))
+    }
+  }
+
+  test("decimal sum is partitioning-invariant (spark, 5 cases)") {
+    forAllN(Gen.nonEmptyListOf(cents).map(_.take(40)), 5) { xs =>
+      val s = spark
+      import s.implicits._
+      val values = xs.map(_ / 100.0)
+      def total(parts: Int): Double =
+        values.toDF("v").repartition(parts)
+          .agg(Num.dsum(col("v"))).collect()(0).getDouble(0)
+      assert(total(1) === total(7))
+    }
+  }
+
+  test("FoldParseMoney rule folds literal money strings at plan time") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.FoldParseMoney
+    try {
+      val df = Tables.nation(spark, sfDir)
+        .select(ParseMoneyExpr.parseMoneyNative(lit("R$ 1,234.50")).as("m"))
+      val optimized = df.queryExecution.optimizedPlan
+      val survivors = optimized.expressions.flatMap(_.collect {
+        case p: ParseMoneyExpr => p
+      })
+      assert(survivors.isEmpty, s"expression not folded:\n$optimized")
+      assert(df.head().getDouble(0) === 1234.5)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.FoldParseMoney)
+    }
+  }
+}
