@@ -105,14 +105,24 @@ object Tables {
     "lineitem" -> lineitemSchema, "events" -> eventsSchema,
     "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
 
+  // Reuse the resolved relation (and its file index) across the many
+  // queries that scan the same table in one session — re-listing and
+  // re-resolving per query is pure overhead. DataFrames are immutable
+  // plans, so sharing is safe; keyed per session so nothing leaks
+  // across SparkSessions.
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    } else {
-      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-    }
+    relationCache.computeIfAbsent((spark, dir, name), { _ =>
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      } else {
+        spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+      }
+    })
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
