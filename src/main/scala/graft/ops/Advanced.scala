@@ -163,7 +163,48 @@ object Advanced {
        COUNT(*) AS n
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  /** Exact median (percentile-0.5). Safe against interpolation-order
+    * ulp drift: the midpoint of two 2-dp values has ≤3 decimals, so a
+    * 3-dp round is far from any boundary; general percentiles (p≠0.5)
+    * are deliberately not oracled. */
+  val qMedian = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("median(l_extendedprice)"), 3).as("median_price"),
+          round(expr("median(l_quantity)"), 3).as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    """SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice), 3) AS median_price,
+       ROUND(MEDIAN(l_quantity), 3) AS median_qty, COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  /** first_value / last_value over an unbounded frame. */
+  val qWindowFirstLast = Q(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    """SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY o_custkey, o_orderkey""")
+
   val defs: Map[String, Q] = Map(
+    "q_median" -> qMedian,
+    "q_window_first_last" -> qWindowFirstLast,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_subquery_in" -> qSubqueryIn,
     "q_pivot" -> qPivot,
