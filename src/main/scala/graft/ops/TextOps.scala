@@ -364,7 +364,9 @@ object TextOps {
   val qTfidf = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val nDocs = docs.count()
+      // N as a lazy broadcast scalar, not a driver-side count(): at
+      // scale an eager count is a full extra scan at plan-build time
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
@@ -373,7 +375,8 @@ object TextOps {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
       tf.join(broadcast(df), Seq("term"))
-        .withColumn("tfidf", col("tf") * (lit(nDocs.toDouble) / col("df")))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * (col("n_docs") / col("df")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
