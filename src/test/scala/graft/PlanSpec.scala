@@ -59,6 +59,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("as-of join plans with no join operator at all (union + window)") {
+    val plan = planOf("q_join_asof")
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n${plan.take(1200)}")
+    assert(plan.contains("Window"), "expected the running-window formulation")
+  }
+
+  test("minhash near-dup never plans a cartesian product") {
+    val plan = planOf("q_dedup_minhash")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("knn broadcast the query side, never the corpus") {
+    val plan = planOf("q_knn_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(1200))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     // Bucketing is the 100 TB answer to repeated fact-fact joins on the
     // same key: both sides pre-hashed into the same bucket layout means
