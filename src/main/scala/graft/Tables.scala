@@ -108,13 +108,10 @@ object Tables {
   // Reuse the resolved relation (and its file index) across the many
   // queries that scan the same table in one session — re-listing and
   // re-resolving per query is pure overhead. DataFrames are immutable
-  // plans, so sharing is safe; keyed per session so nothing leaks
-  // across SparkSessions.
-  private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-
+  // plans, so sharing is safe; SessionMemo holds sessions weakly so
+  // stopped sessions (and their relations) can be collected.
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    relationCache.computeIfAbsent((spark, dir, name), { _ =>
+    SessionMemo.getOrElseUpdate(spark, s"table:$dir/$name") {
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
@@ -122,7 +119,7 @@ object Tables {
       } else {
         spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
       }
-    })
+    }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")

@@ -117,8 +117,8 @@ object Advanced {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sx"),
-          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sy"),
+          Num.dsum(col("l_quantity")).as("sx"),
+          Num.dsum(col("l_extendedprice")).as("sy"),
           sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,6)")).cast("double").as("sxx"),
           sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double").as("syy"),
           sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double").as("sxy"))

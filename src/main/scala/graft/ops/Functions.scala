@@ -210,12 +210,14 @@ object Functions {
        GROUP BY event_type ORDER BY event_type""")
 
   /** Map functions: parse JSON into MapType, explode entries. Every
-    * props row holds one key ('k'), so the exploded grain is 1:1. */
+    * props row holds one key ('k'), so the exploded grain is 1:1;
+    * explode_outer keeps a (null, null) row for null/malformed props,
+    * matching the oracle's row-per-event shape. */
   val qMapExplode = Q(
     (s, d) =>
       Tables.events(s, d)
         .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
-        .select(col("event_id"), explode(col("m")).as(Seq("key", "value")))
+        .select(col("event_id"), explode_outer(col("m")).as(Seq("key", "value")))
         .orderBy(col("event_id"), col("key")),
     """SELECT event_id, 'k' AS key, CAST(props->>'$.k' AS INT) AS value
        FROM events ORDER BY event_id, key""")

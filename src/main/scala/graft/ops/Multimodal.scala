@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   *  - the decoded schema is explicit (`StructType`), so downstream
   *    pruning/pushdown still work;
   *  - frame sampling is a generator (`explode(sequence(...))`), i.e.
-  *    row-expansion happens in the engine, not in user code. */
+  *    row-expansion happens in the engine, not in user code.
+  * Oracle twins derive byte lengths from OCTET_LENGTH(ENCODE(text)) —
+  * true UTF-8 bytes — so parity holds for non-ASCII corpora too. */
 object Multimodal {
 
   /** Synthesized media table: doc text → binary payload + media kind
@@ -74,11 +76,11 @@ object Multimodal {
     """SELECT doc_id,
        CASE CAST(SUBSTR(source, 4) AS INT) % 3
          WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(n_chars AS INT) AS byte_len,
-       CAST(32 + (n_chars % 64) * 10 AS INT) AS width,
-       CAST(32 + (n_chars % 48) * 10 AS INT) AS height,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+       CAST(32 + (OCTET_LENGTH(ENCODE(text)) % 64) * 10 AS INT) AS width,
+       CAST(32 + (OCTET_LENGTH(ENCODE(text)) % 48) * 10 AS INT) AS height,
        CAST(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 3 = 2
-            THEN n_chars % 30 + 1 ELSE 1 END AS INT) AS n_frames
+            THEN OCTET_LENGTH(ENCODE(text)) % 30 + 1 ELSE 1 END AS INT) AS n_frames
        FROM documents ORDER BY doc_id""")
 
   /** Frame sampling: every 5th frame of each video — row expansion as
@@ -95,7 +97,7 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_id")),
     """SELECT doc_id, CAST(f.frame_id AS INT) AS frame_id,
        CAST(f.frame_id * 40 AS INT) AS frame_offset_ms
-       FROM (SELECT doc_id, n_chars % 30 + 1 AS n_frames FROM documents
+       FROM (SELECT doc_id, OCTET_LENGTH(ENCODE(text)) % 30 + 1 AS n_frames FROM documents
              WHERE CAST(SUBSTR(source, 4) AS INT) % 3 = 2) v,
        UNNEST(RANGE(0, v.n_frames, 5)) AS f(frame_id)
        ORDER BY doc_id, frame_id""")
@@ -121,7 +123,7 @@ object Multimodal {
           size(col("record.vector")).as("dim"))
         .orderBy(col("doc_id"))
     },
-    """SELECT doc_id, lang, label, CAST(n_chars AS INT) AS payload_bytes,
+    """SELECT doc_id, lang, label, CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS payload_bytes,
        LEN(embedding) AS dim
        FROM documents JOIN embeddings ON doc_id = vec_id
        ORDER BY doc_id""")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Q, SessionMemo, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +65,7 @@ object TextOps {
     * on samples/blocks as a recall check, and [[qDedupMinhash]] as the
     * production path. */
   val qNgramJaccard = Q(
-    (s, d) => {
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_ngram_jaccard:$d") {
       val t = 0.5
       // Dense-vocabulary bitset specialization: the corpus draws from a
       // tiny bigram vocabulary (~1k), so each doc's shingle set packs
@@ -79,7 +79,10 @@ object TextOps {
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
       val vocab = sh.select(explode(col("shingles")).as("shingle")).distinct()
         .withColumn("vid", row_number().over(Window.orderBy(col("shingle"))) - 1)
-      val nWords = 32 // supports vocab up to 2048 bigrams
+      // bitmap width sized to the actual vocabulary — a fixed width
+      // would silently drop bits (and undercount intersections) the
+      // day the corpus outgrows it
+      val nWords = math.max(1, ((vocab.count() + 63) / 64).toInt)
       // bitmap words via codegen'd bit_or aggregates (a lambda fold
       // here would be interpreted per set bit), then assembled into a
       // fixed-width array with one cheap 32-step transform
@@ -152,9 +155,11 @@ object TextOps {
     * between 0.15 and 0.9), so the exact-jaccard oracle still
     * matches. */
   val qDedupMinhash = Q(
-    (s, d) => {
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_minhash:$d") {
       // persisted: consumed three times (signatures + both confirm
-      // sides); without it the tokenize→shingle pipeline runs thrice
+      // sides); without it the tokenize→shingle pipeline runs thrice.
+      // The memo bounds this to one persist + one broadcast per
+      // (session, dir) no matter how often the query is invoked
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
         .persist()

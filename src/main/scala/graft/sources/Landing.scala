@@ -25,17 +25,18 @@ object Landing {
 
   /** S1: HTTP GET → landed file. Timeout mirrors the reference's 60 s
     * (`dags/bronze/dag_bronze_financial_sample.py:54`). */
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(60))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
   def httpFetch(url: String, dest: Path, timeoutSeconds: Long = 60L): Path = {
-    val client = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofSeconds(timeoutSeconds))
-      .followRedirects(HttpClient.Redirect.NORMAL)
-      .build()
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofSeconds(timeoutSeconds))
       .GET().build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
     require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} from $url")
-    Files.createDirectories(dest.getParent)
+    Option(dest.getParent).foreach(Files.createDirectories(_))
     Files.write(dest, resp.body())
     dest
   }
