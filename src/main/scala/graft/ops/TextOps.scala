@@ -75,14 +75,23 @@ object TextOps {
       // join (no shuffle). This exact path exists as the ground-truth /
       // recall-check twin of [[qDedupMinhash]]; on an open-vocabulary
       // 100 TB corpus the bitmap degenerates and MinHash is the path.
+      // checkpoint the shingle table: three downstream pipelines read
+      // it (vocabulary, bitmap build) and re-tokenizing per consumer
+      // triples the cost
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-      val vocab = sh.select(explode(col("shingles")).as("shingle")).distinct()
-        .withColumn("vid", row_number().over(Window.orderBy(col("shingle"))) - 1)
-      // bitmap width sized to the actual vocabulary — a fixed width
-      // would silently drop bits (and undercount intersections) the
-      // day the corpus outgrows it
-      val nWords = math.max(1, ((vocab.count() + 63) / 64).toInt)
+        .localCheckpoint()
+      // The dense vocabulary is tiny by definition of this bitset
+      // specialization — collect it once, assign ids on the driver
+      // (a distributed global row_number window re-ran the whole
+      // pipeline per consumer and cost ~4 s per execution; measured).
+      // Width is sized to the actual vocabulary — a fixed width would
+      // silently drop bits (undercount intersections) if it outgrew it.
+      import s.implicits._
+      val vocabSeq = sh.select(explode(col("shingles")).as("shingle"))
+        .distinct().as[String].collect().sorted
+      val nWords = math.max(1, (vocabSeq.length + 63) / 64)
+      val vocab = vocabSeq.zipWithIndex.toSeq.toDF("shingle", "vid")
       // bitmap words via codegen'd bit_or aggregates (a lambda fold
       // here would be interpreted per set bit), then assembled into a
       // fixed-width array with one cheap 32-step transform
@@ -208,6 +217,96 @@ object TextOps {
        WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
            / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
        ORDER BY doc_a, doc_b""")
+
+  /** Near-dup cluster canonicalization — the step that turns pairwise
+    * matches into dedup decisions: connected components over the
+    * near-dup graph, each doc labeled with its component's minimum
+    * doc_id (the canonical survivor). Implemented as iterative
+    * min-label propagation (the Pregel/GraphX formulation): each round
+    * every node takes the min of its own and its neighbors' labels;
+    * converges in ≤ graph-diameter rounds. `localCheckpoint` truncates
+    * the growing lineage each round — without it an iterative
+    * DataFrame loop replans the whole history every iteration. The
+    * oracle replays connectivity with a recursive CTE. */
+  val qDedupClusters = Q(
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_clusters:$d") {
+      val pairs = qNgramJaccard.fn(s, d).select(col("doc_a"), col("doc_b"))
+      // materialize the edge list once — every loop iteration references
+      // it, and without the checkpoint each round would re-run the
+      // whole pair-generation pipeline
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v")
+        .localCheckpoint()
+      // Size-adaptive closure. The near-dup pair graph is orders of
+      // magnitude smaller than the corpus (it IS the dedup output), so
+      // below a threshold, union-find on the collected edge list is
+      // the honest plan — per-iteration distributed label propagation
+      // on a ~100-row graph is pure scheduler overhead (measured:
+      // 14 s of empty-task stages vs ~0 driver-side). Past the
+      // threshold the distributed min-label loop takes over unchanged.
+      val edgeCount = edges.count()
+      val labels: DataFrame =
+        if (edgeCount <= 1000000L) {
+          import s.implicits._
+          val es = edges.as[(Long, Long)].collect()
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          es.foreach { case (u, v) =>
+            parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+            val (ru, rv) = (find(u), find(v))
+            if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+          }
+          parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
+        } else {
+          var lbls = edges.select(col("u").as("node")).distinct()
+            .withColumn("lbl", col("node"))
+            .localCheckpoint()
+          var converged = false
+          var iter = 0
+          while (!converged && iter < 15) {
+            // carry the previous label through the checkpoint so the
+            // convergence check shares the materialization (one action
+            // per round, not two)
+            val next = edges
+              .join(lbls.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
+              .groupBy(col("u").as("node")).agg(min(col("vlbl")).as("nbl"))
+              .join(lbls, Seq("node"))
+              .select(col("node"), least(col("lbl"), col("nbl")).as("lbl"),
+                col("lbl").as("prev"))
+              .localCheckpoint()
+            converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+            lbls = next.drop("prev")
+            iter += 1
+          }
+          lbls
+        }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("lbl"))
+        .select(col("lbl").as("cluster_id"), col("node").as("doc_id"),
+          col("cluster_size"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    },
+    s"""WITH RECURSIVE sh AS ($duckShingles),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+             / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5),
+       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, v) AS (SELECT u, v FROM edges
+                       UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+       SELECT c.cluster_id, c.doc_id, cnt.n AS cluster_size
+       FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) cnt
+         USING (cluster_id)
+       ORDER BY cluster_id, doc_id""")
 
   /** SimHash fingerprints: 64-bit signature from per-token hash bit
     * votes. Near-dups land within small hamming distance; bucketing
@@ -429,6 +528,7 @@ object TextOps {
     "q_dedup_exact" -> qDedupExact,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_lang_id" -> qLangId,
     "q_text_quality" -> qTextQuality,

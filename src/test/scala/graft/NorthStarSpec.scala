@@ -39,6 +39,20 @@ class NorthStarSpec extends SparkSpec {
     assert(twinMean < randMean / 2.0, s"twin mean $twinMean vs random mean $randMean")
   }
 
+  test("dedup clusters: every near-dup pair lands in one cluster, id = min member") {
+    val clusters = run("q_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = run("q_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid id is not its min member")
+    }
+  }
+
   test("exact dedup groups cover all documents") {
     val total = run("q_dedup_exact").agg(sum("n_copies")).collect()(0).getLong(0)
     assert(total === Tables.documents(spark, sfDir).count())
