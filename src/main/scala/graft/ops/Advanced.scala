@@ -139,6 +139,49 @@ object Advanced {
              FROM lineitem GROUP BY l_returnflag) t
        ORDER BY l_returnflag""")
 
+  /** Sample stddev/variance from decimal-exact moments — same
+    * rationale as [[qCorrManual]]: the built-ins accumulate doubles in
+    * partition order (nondeterministic); exact sums + one closed-form
+    * double computation are reproducible anywhere. */
+  val qStddevManual = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          Num.dsum(col("o_totalprice")).as("sx"),
+          sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(24,4)"))
+            .cast("double").as("sxx"))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .withColumn("stddev", sqrt(col("variance")))
+        .select(col("o_orderstatus"), col("n"), col("variance"), col("stddev"))
+        .orderBy(col("o_orderstatus")),
+    s"""SELECT o_orderstatus, n,
+       (sxx - sx * sx / n) / (n - 1) AS variance,
+       SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev
+       FROM (SELECT o_orderstatus, COUNT(*) AS n,
+               ${Num.sqlSum("o_totalprice")} AS sx,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS sxx
+             FROM orders GROUP BY o_orderstatus) t
+       ORDER BY o_orderstatus""")
+
+  /** exists / forall / filter higher-order predicates over arrays. */
+  val qHofExistsForall = Q(
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          exists(col("embedding"), x => x.cast("double") > 0.3).as("has_large"),
+          forall(col("embedding"), x => x.cast("double") > -0.5).as("all_above_neg"),
+          size(filter(col("embedding"), x => x.cast("double") > 0.0)).as("n_positive"))
+        .orderBy(col("vec_id")),
+    """SELECT vec_id,
+       LEN(LIST_FILTER(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0 AS has_large,
+       LEN(LIST_FILTER(embedding, x -> NOT (CAST(x AS DOUBLE) > -0.5))) = 0 AS all_above_neg,
+       LEN(LIST_FILTER(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS n_positive
+       FROM embeddings ORDER BY vec_id""")
+
   /** Salted two-phase aggregation — the skew-mitigation idiom: spread
     * a hot group key over `salt` subkeys, partially aggregate, then
     * merge. Result is provably identical to the direct aggregation
@@ -203,6 +246,8 @@ object Advanced {
        ORDER BY o_custkey, o_orderkey""")
 
   val defs: Map[String, Q] = Map(
+    "q_stddev_manual" -> qStddevManual,
+    "q_hof_exists_forall" -> qHofExistsForall,
     "q_median" -> qMedian,
     "q_window_first_last" -> qWindowFirstLast,
     "q_subquery_scalar" -> qSubqueryScalar,
