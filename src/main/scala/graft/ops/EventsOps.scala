@@ -122,7 +122,83 @@ object EventsOps {
        FROM events GROUP BY user_id, event_type
        ORDER BY user_id, event_type""")
 
+  /** SCD Type-2 history build — the classic warehouse ETL operator:
+    * collapse an event stream into validity intervals, keeping only
+    * rows where the tracked attribute actually changes, with
+    * [valid_from, valid_to) from the change timestamps (open current
+    * interval → sentinel 0). One window shuffle on the business key. */
+  val qScd2History = Q(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_from", col("ts").cast("long"))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts").cast("long"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)),
+            lit(0L)))
+        .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+    """WITH changes AS (
+         SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       scd AS (
+         SELECT user_id, event_type,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from,
+           COALESCE(LEAD(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS valid_to
+         FROM changes WHERE prev_type IS NULL OR prev_type <> event_type)
+       SELECT user_id, event_type, valid_from, valid_to FROM scd
+       ORDER BY user_id, valid_from""")
+
+  /** Funnel analysis: per user, first view → first click after that →
+    * first purchase after that; output per-user stage timestamps
+    * (epoch seconds, 0 = stage not reached). Three conditional-min
+    * aggregations — no self-joins, one shuffle per stage. */
+  val qFunnel = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("es"))
+      val stage1 = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("es"))).as("first_view"))
+      val stage2 = ev.join(stage1, Seq("user_id"))
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(when(col("event_type") === "click" && col("es") > col("first_view"),
+          col("es"))).as("first_click"))
+      val stage3 = ev.join(stage2, Seq("user_id"))
+        .groupBy(col("user_id"), col("first_view"), col("first_click"))
+        .agg(min(when(col("event_type") === "purchase" && col("es") > col("first_click"),
+          col("es"))).as("first_purchase"))
+      stage3.select(col("user_id"),
+          coalesce(col("first_view"), lit(0L)).as("first_view"),
+          coalesce(col("first_click"), lit(0L)).as("first_click"),
+          coalesce(col("first_purchase"), lit(0L)).as("first_purchase"))
+        .orderBy(col("user_id"))
+    },
+    """WITH ev AS (SELECT user_id, event_type, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es FROM events),
+       s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN es END) AS first_view
+              FROM ev GROUP BY user_id),
+       s2 AS (SELECT ev.user_id, s1.first_view,
+                MIN(CASE WHEN event_type = 'click' AND es > s1.first_view THEN es END) AS first_click
+              FROM ev JOIN s1 ON ev.user_id = s1.user_id
+              GROUP BY ev.user_id, s1.first_view),
+       s3 AS (SELECT ev.user_id, s2.first_view, s2.first_click,
+                MIN(CASE WHEN event_type = 'purchase' AND es > s2.first_click THEN es END) AS first_purchase
+              FROM ev JOIN s2 ON ev.user_id = s2.user_id
+              GROUP BY ev.user_id, s2.first_view, s2.first_click)
+       SELECT user_id, COALESCE(first_view, 0) AS first_view,
+         COALESCE(first_click, 0) AS first_click,
+         COALESCE(first_purchase, 0) AS first_purchase
+       FROM s3 ORDER BY user_id""")
+
   val defs: Map[String, Q] = Map(
+    "q_scd2_history" -> qScd2History,
+    "q_funnel" -> qFunnel,
     "q_events_tumbling" -> qEventsTumbling,
     "q_events_sliding" -> qEventsSliding,
     "q_events_session" -> qEventsSession,
