@@ -245,7 +245,31 @@ object Advanced {
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        ORDER BY o_custkey, o_orderkey""")
 
+  /** Salted join — the companion skew idiom to [[qAggSalted]]: the
+    * skewed fact side derives a deterministic salt from its row key,
+    * the dimension side is replicated once per salt value, and the
+    * join key becomes (key, salt) — a hot key now spreads over 8
+    * reducers. Result is provably identical to the unsalted join,
+    * which is exactly what the oracle computes. */
+  val qJoinSalted = Q(
+    (s, d) => {
+      val salts = 8
+      val fact = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+      val dim = Tables.orders(s, d)
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("gross"))
+        .orderBy(col("o_orderpriority"))
+    },
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${Num.sqlSum("l_extendedprice")} AS gross
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
   val defs: Map[String, Q] = Map(
+    "q_join_salted" -> qJoinSalted,
     "q_stddev_manual" -> qStddevManual,
     "q_hof_exists_forall" -> qHofExistsForall,
     "q_median" -> qMedian,

@@ -69,6 +69,31 @@ object StreamingDemo {
       .toDF()
   }
 
+  /** flatMapGroupsWithState: emit an alert row only when a user's
+    * running total crosses a threshold — the 0-or-N-outputs-per-group
+    * shape mapGroups can't express. */
+  final case class Alert(userId: Long, total: Double)
+
+  def thresholdAlerts(spark: SparkSession, events: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+            case ((c, t), (_, v)) => (c + 1, t + v)
+          }
+          val crossed = prev.total < threshold && total >= threshold
+          state.update(UserRunning(userId, n, total))
+          if (crossed) Iterator.single(Alert(userId, total)) else Iterator.empty
+      }
+      .toDF()
+  }
+
   /** Start tumblingCounts into an in-memory sink (update mode). */
   def startToMemory(events: DataFrame, queryName: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

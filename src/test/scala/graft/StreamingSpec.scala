@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("flatMapGroupsWithState emits an alert exactly when the threshold is crossed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val out = StreamingDemo.thresholdAlerts(spark, input.toDF(), 5.0)
+      .writeStream.format("memory").queryName("alerts_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1L, ts("2024-01-01 00:01:00"), 9L, "click", 2.0))
+      out.processAllAvailable()
+      assert(spark.table("alerts_test").count() === 0, "below threshold: no alert")
+      input.addData(Ev(2L, ts("2024-01-01 00:02:00"), 9L, "click", 4.0))
+      out.processAllAvailable()
+      val alerts = spark.table("alerts_test").collect()
+      assert(alerts.length === 1, "crossing emits exactly one alert")
+      assert(alerts.head.getAs[Double]("total") === 6.0)
+      input.addData(Ev(3L, ts("2024-01-01 00:03:00"), 9L, "click", 1.0))
+      out.processAllAvailable()
+      assert(spark.table("alerts_test").count() === 1, "already above: no re-alert")
+    } finally out.stop()
+  }
+
   test("mapGroupsWithState accumulates running per-user totals") {
     val s = spark
     import s.implicits._
