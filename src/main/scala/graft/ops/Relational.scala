@@ -299,6 +299,35 @@ object Relational {
        COUNT(*) AS n_orders
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
+  /** Explicit cross join (tiny × tiny only — the planner is allowed to
+    * reject accidental cartesians; this one is intentional). */
+  val qCrossJoin = Q(
+    (s, d) => {
+      val a = Tables.region(s, d).select(col("r_regionkey").as("ra"), col("r_name").as("name_a"))
+      val b = Tables.region(s, d).select(col("r_regionkey").as("rb"), col("r_name").as("name_b"))
+      a.crossJoin(b)
+        .filter(col("ra") < col("rb"))
+        .select(col("name_a"), col("name_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    """SELECT a.r_name AS name_a, b.r_name AS name_b
+       FROM region a CROSS JOIN region b
+       WHERE a.r_regionkey < b.r_regionkey
+       ORDER BY name_a, name_b""")
+
+  /** Approximate quantile sketch (KLL/GK-style `approx_percentile`) —
+    * the streaming/scale answer to exact percentiles: fixed-size
+    * mergeable sketch per group. Estimates are engine-specific →
+    * rows-only check (the exact twin is q_median). */
+  val qApproxQuantiles = Q(
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("price_quartiles"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): one
     * fixed-size sketch per group instead of a distinct shuffle.
     * Estimates differ between engines by design → rows-only check. */
@@ -552,6 +581,8 @@ object Relational {
     "q_agg_stats" -> qAggStats,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_cross_join" -> qCrossJoin,
+    "q_approx_quantiles" -> qApproxQuantiles,
     "q_agg_having" -> qAggHaving,
     "q_topk_global" -> qTopkGlobal,
     "q_window_topk" -> qWindowTopk,
