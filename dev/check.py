@@ -29,8 +29,17 @@ def main():
         name = qdir.name
         spark_df = pd.read_parquet(qdir)
         if name not in oracle:
-            status = "ROWS_ONLY" if len(spark_df) > 0 else "EMPTY!"
-            n_rows_only += 1
+            # the driver sorts rows-only outputs too (r1: q_approx_quantiles
+            # crashed its gate despite having no oracle) — replicate that
+            try:
+                spark_df.sort_values(list(spark_df.columns))
+                status = "ROWS_ONLY" if len(spark_df) > 0 else "EMPTY!"
+                n_rows_only += 1
+            except Exception as e:
+                status = "SORT_ERR!"
+                n_bad += 1
+                print(f"{status:10s} {name}: {type(e).__name__}: {e}")
+                continue
             print(f"{status:10s} {name} rows={len(spark_df)}")
             continue
         try:
@@ -43,6 +52,28 @@ def main():
         b = duck_df.reindex(sorted(duck_df.columns), axis=1)
         if list(a.columns) != list(b.columns):
             print(f"COLS_DIFF  {name}: spark={list(a.columns)} duck={list(b.columns)}")
+            n_bad += 1
+            continue
+        # The driver sorts result frames over all columns before hashing;
+        # replicate it so unhashable cells (ndarray/dict) fail HERE, not
+        # in the round gate (round-1 lesson: q_collect/q_approx_quantiles).
+        try:
+            a = a.sort_values(list(a.columns)).reset_index(drop=True)
+            b = b.sort_values(list(b.columns)).reset_index(drop=True)
+        except Exception as e:
+            print(f"SORT_ERR   {name}: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        # The driver's hash is dtype-sensitive (int64 123 != float64 123.0);
+        # flag kind mismatches even when values compare equal (round-1
+        # lesson: DuckDB integer SUM -> HUGEINT -> float64 vs spark int64).
+        kind_diff = [
+            f"{c}: spark={a[c].dtype} duck={b[c].dtype}"
+            for c in a.columns
+            if a[c].dtype.kind != b[c].dtype.kind
+        ]
+        if kind_diff:
+            print(f"DTYPE_DIFF {name}: {kind_diff}")
             n_bad += 1
             continue
         if a.shape != b.shape:

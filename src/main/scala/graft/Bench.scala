@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Protocol: the FINAL stdout line is a compact
+  * totals-only JSON (`{"metric":"total","value":N,"unit":"sec",...}`)
+  * small enough for the driver's capture window; the full per-query
+  * breakdown goes to `bench_detail.json` in the working directory
+  * (and to stdout ABOVE the final line, for humans). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +14,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,10 +26,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_detail.json"), detail)
+    // totals-only JSON as the ONLY stdout line — round 1's full
+    // per-query line (~3.5 KB) overflowed the driver's capture window
+    // and the round's bench never parsed; keep this short and flushed.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -113,7 +113,13 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     SessionMemo.getOrElseUpdate(spark, s"table:$dir/$name") {
       if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // events.parquet is TIMESTAMP(NANOS); the session must be built
+        // with spark.sql.legacy.parquet.nanosAsLong=true (Bench/Verify/
+        // SparkSpec all set it) — asserted here rather than set, so the
+        // conf isn't a call-order-dependent side effect of this reader.
+        require(
+          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
         spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
           .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       } else {

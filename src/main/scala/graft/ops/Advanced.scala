@@ -77,15 +77,19 @@ object Advanced {
          FROM lineitem WHERE l_orderkey < 100)
        ORDER BY l_orderkey, l_linenumber, metric""")
 
-  /** collect_list made deterministic: sort the collected multiset. */
+  /** collect_list made deterministic: sort the collected multiset,
+    * then join to a scalar string (the driver's checker sorts result
+    * frames with pandas, which cannot hash array cells — so the
+    * deterministic list is emitted as a CSV string both sides). */
   val qCollect = Q(
     (s, d) =>
       Tables.nation(s, d)
         .groupBy(col("n_regionkey"))
-        .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
           count(lit(1)).as("n"))
         .orderBy(col("n_regionkey")),
-    """SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS nations, COUNT(*) AS n
+    """SELECT n_regionkey,
+       ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS nations, COUNT(*) AS n
        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
 
   /** Deterministic arg-max via struct ordering (max_by has undefined

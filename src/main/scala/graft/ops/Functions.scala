@@ -204,7 +204,7 @@ object Functions {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy(col("event_type")),
-    """SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k
+    """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
        FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events) t
        WHERE k > 50
        GROUP BY event_type ORDER BY event_type""")

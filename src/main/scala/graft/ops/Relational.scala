@@ -318,13 +318,19 @@ object Relational {
   /** Approximate quantile sketch (KLL/GK-style `approx_percentile`) —
     * the streaming/scale answer to exact percentiles: fixed-size
     * mergeable sketch per group. Estimates are engine-specific →
-    * rows-only check (the exact twin is q_median). */
+    * rows-only check (the exact twin is q_median). The three quartiles
+    * are projected to scalar columns (never an array output column:
+    * the driver's pandas sorter cannot hash ndarray cells). */
   val qApproxQuantiles = Q(
     (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-          .as("price_quartiles"))
+          .as("pq"))
+        .select(col("l_returnflag"),
+          element_at(col("pq"), 1).as("q25"),
+          element_at(col("pq"), 2).as("q50"),
+          element_at(col("pq"), 3).as("q75"))
         .orderBy(col("l_returnflag")),
     None)
 

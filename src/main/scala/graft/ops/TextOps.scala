@@ -433,9 +433,9 @@ object TextOps {
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang")),
     """SELECT lang, COUNT(*) AS n_docs,
-       SUM(LEN(STRING_SPLIT(text, ' '))) AS ws_tokens,
-       SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS re_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS BIGINT) AS re_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
        FROM documents GROUP BY lang ORDER BY lang""")
 
   /** Rolling-hash document fingerprint (Rabin–Karp-style fold over the
