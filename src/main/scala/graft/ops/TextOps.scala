@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * Scale notes per operator are on each query. */
 object TextOps {
 
+  /** Bounds on q_ngram_jaccard's driver-side materializations. The
+    * exact all-pairs bitset path is a recall-check twin of the MinHash
+    * production path; these caps make its scale limits explicit
+    * (fail-fast) instead of conventions that an unwitting 100 TB run
+    * would discover as a driver OOM. 1M docs × ~300 B ≈ 300 MB
+    * broadcast; 2^17 shingles ≈ 2 k bitmap words/doc. */
+  val MaxExactJaccardDocs: Int = 1000000
+  val MaxExactJaccardVocab: Int = 131072
+
   private def tokens(c: Column): Column = split(c, " ")
 
   /** word bigrams ("shingles") of the token array, deduplicated. */
@@ -90,6 +99,13 @@ object TextOps {
       import s.implicits._
       val vocabSeq = sh.select(explode(col("shingles")).as("shingle"))
         .distinct().as[String].collect().sorted
+      // Hard bound: this exact path is only valid while the dense-vocab
+      // premise holds. On an open-vocabulary corpus the bitmap (and this
+      // driver collect) degenerate — fail loudly instead of OOMing, and
+      // point at the production path.
+      require(vocabSeq.length <= MaxExactJaccardVocab,
+        s"exact-jaccard bitset path needs a dense vocabulary (got ${vocabSeq.length} " +
+          s"shingles > $MaxExactJaccardVocab); use q_dedup_minhash (MinHash+LSH) at scale")
       val nWords = math.max(1, (vocabSeq.length + 63) / 64)
       val vocab = vocabSeq.zipWithIndex.toSeq.toDF("shingle", "vid")
       // bitmap words via codegen'd bit_or aggregates (a lambda fold
@@ -117,6 +133,12 @@ object TextOps {
       val docs = bm.select(col("doc_id"), col("sz"), col("bm"))
         .as[(Long, Int, Array[Long])]
       val table = docs.collect().sortBy(_._1)
+      // Hard bound on the driver collect (~300 B/doc): beyond this the
+      // all-pairs recall check must run block-sharded or sampled — and
+      // near-dup detection itself should be q_dedup_minhash.
+      require(table.length <= MaxExactJaccardDocs,
+        s"exact-jaccard all-pairs collected ${table.length} docs > $MaxExactJaccardDocs; " +
+          "run this recall check on a sample/block, or use q_dedup_minhash at scale")
       val bc = s.sparkContext.broadcast(table)
       // stream the collected table back out rather than re-running the
       // whole shingle→vocab→bitmap pipeline a second time
@@ -312,23 +334,34 @@ object TextOps {
     * votes. Near-dups land within small hamming distance; bucketing
     * the 4 × 16-bit bands gives the candidate structure. xxhash64 is
     * not reproducible in the oracle → rows-only check; the spec
-    * pins the semantics (twin docs ⇒ hamming ≤ 6). */
+    * pins the semantics (twin docs ⇒ hamming ≤ 6).
+    *
+    * Shape: explode tokens → 64 codegen'd ±1-vote SUM aggregates →
+    * assemble the signature from the votes. The obvious alternative —
+    * an `aggregate(sequence(0,63), ...)` lambda with a nested
+    * `filter` per bit — is interpreted per element (O(64·tokens)
+    * non-codegen), the same trap measured at 4× on the MinHash
+    * signatures; this is its bit-vote twin. */
   val qDedupSimhash = Q(
-    (s, d) =>
+    (s, d) => {
+      val voteCols = (0 until 64).map(i =>
+        sum(expr(s"2 * ((h >> $i) & 1) - 1")).as(s"v$i"))
+      val sigExpr = (0 until 64)
+        .map(i => expr(s"IF(v$i > 0, shiftleft(1L, $i), 0L)"))
+        .reduce(_ + _)
       Tables.documents(s, d)
-        .withColumn("tokens", tokens(col("text")))
-        .withColumn("tok_hashes",
-          expr("transform(tokens, t -> xxhash64(t))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, i) ->
-               acc + IF(2 * size(filter(tok_hashes, h -> (h >> i) & 1 = 1)) > size(tok_hashes),
-                        shiftleft(1L, i), 0L))"""))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+        .groupBy(col("doc_id"))
+        .agg(voteCols.head, voteCols.tail: _*)
+        .withColumn("simhash", sigExpr)
         .select(col("doc_id"), col("simhash"),
           expr("(simhash >> 48) & 65535").as("band0"),
           expr("(simhash >> 32) & 65535").as("band1"),
           expr("(simhash >> 16) & 65535").as("band2"),
           expr("simhash & 65535").as("band3"))
-        .orderBy(col("doc_id")),
+        .orderBy(col("doc_id"))
+    },
     None)
 
   /** Language ID by stopword-hit scoring against a tiny inline lexicon
@@ -478,7 +511,11 @@ object TextOps {
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
-      tf.join(broadcast(df), Seq("term"))
+      // no broadcast hint on the document-frequency table: it is
+      // vocabulary-sized — unbounded on an open corpus — so the join
+      // strategy is left to AQE (broadcasts when actually small,
+      // shuffles when not). The 1-row count table stays hinted.
+      tf.join(df, Seq("term"))
         .crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * (col("n_docs") / col("df")))
         .withColumn("rn", row_number().over(w))

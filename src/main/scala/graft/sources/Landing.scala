@@ -53,4 +53,29 @@ object Landing {
   /** S2/S5 analog: land a DataFrame to a (object-store-shaped) path. */
   def writeLanded(df: DataFrame, path: String, format: String = "parquet"): Unit =
     df.write.mode("overwrite").format(format).save(path)
+
+  /** S7: JDBC row sink. The reference loads Postgres with a driver-side
+    * per-row INSERT loop (`dags/bronze/dag_bronze_financial_sample.py:160-179`)
+    * — O(rows) round-trips from one process. Spark's equivalent is
+    * `df.write.jdbc`: one connection PER PARTITION, rows sent via
+    * `addBatch`/`executeBatch`, so load parallelism scales with the
+    * cluster instead of being pinned to a single driver loop.
+    * `columnTypes` mirrors the reference's explicit DDL
+    * (`...py:110-129`) via `createTableColumnTypes`. */
+  def jdbcLoad(df: DataFrame, url: String, table: String,
+               columnTypes: Option[String] = None,
+               mode: String = "overwrite",
+               props: java.util.Properties = new java.util.Properties())
+      : Unit = {
+    val writer = df.write.mode(mode)
+    columnTypes.foreach(ct => writer.option("createTableColumnTypes", ct))
+    writer.jdbc(url, table, props)
+  }
+
+  /** S7 read-back twin (also the S3-from-RDBMS shape): predicate and
+    * column pruning push through to the database as SQL. */
+  def jdbcRead(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties())
+      : DataFrame =
+    spark.read.jdbc(url, table, props)
 }

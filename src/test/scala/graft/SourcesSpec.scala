@@ -82,6 +82,33 @@ class SourcesSpec extends SparkSpec {
       .sameElements(df.orderBy("n_nationkey").collect()))
   }
 
+  test("S7: JDBC sink executes for real — Derby round-trip, typed DDL, partitioned write") {
+    // Embedded Derby ships with Spark's jars: a real RDBMS, zero egress.
+    val db = Files.createTempDirectory("graft_derby").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("Government", "Canada", 1618.5, java.sql.Date.valueOf("2014-01-01"), 2014),
+      ("Midmarket", "Germany", 888.0, java.sql.Date.valueOf("2014-06-01"), 2014),
+      ("Enterprise", "France", 2178.0, java.sql.Date.valueOf("2014-12-01"), 2014))
+      .toDF("segment", "country", "units_sold", "sale_date", "year")
+      .repartition(2) // >1 partition → >1 JDBC connection, the real write path
+    Landing.jdbcLoad(df, url, "raw_financial_sample",
+      // explicit column DDL, mirroring the reference's CREATE TABLE
+      // (segment/country TEXT → VARCHAR here; Derby has no TEXT type)
+      columnTypes = Some("segment VARCHAR(64), country VARCHAR(64)"))
+    val back = Landing.jdbcRead(spark, url, "raw_financial_sample")
+    assert(back.count() === 3)
+    assert(back.orderBy("segment").select("segment", "country", "units_sold", "sale_date", "year")
+      .collect().toSeq ===
+      df.orderBy("segment").select("segment", "country", "units_sold", "sale_date", "year")
+        .collect().toSeq)
+    // append mode is the reference's repeated-load behavior
+    Landing.jdbcLoad(df.limit(1), url, "raw_financial_sample", mode = "append")
+    assert(Landing.jdbcRead(spark, url, "raw_financial_sample").count() === 4)
+  }
+
   test("S5/S7 shape: landed parquet write round-trips") {
     val out = Files.createTempDirectory("landed").resolve("gold").toString
     val df = etl.Medallion.qGoldMart.fn(spark, sfDir)
