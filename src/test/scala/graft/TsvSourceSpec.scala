@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.v2.TsvDataSource
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 connector exhibit (the S4 Excel-gap stand-in):
+  * schema inference, parallel multi-file read, column pruning and
+  * filter pushdown reaching the reader — asserted on the physical
+  * plan's BatchScanExec, not just on result values. */
+class TsvSourceSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_tsv")
+    Files.writeString(d.resolve("part-0.tsv"),
+      "id:long\tsegment:string\tsales:double\n" +
+        "1\tGovernment\t100.5\n" +
+        "2\tMidmarket\t\n" + // null sales
+        "3\tEnterprise\t250.0\n")
+    Files.writeString(d.resolve("part-1.tsv"),
+      "id:long\tsegment:string\tsales:double\n" +
+        "4\tGovernment\t70.25\n" +
+        "5\t\t30.0\n") // null segment
+    d.toString
+  }
+
+  private def readTsv = spark.read.format(classOf[TsvDataSource].getName).load(dir)
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("infers the typed-header schema and reads all files") {
+    val df = readTsv
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq(("id", "bigint"), ("segment", "string"), ("sales", "double")))
+    assert(df.count() === 5)
+    assert(df.where(col("sales").isNull).select("id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSeq === Seq(2L))
+  }
+
+  test("column pruning reaches the scan (unread columns never parsed)") {
+    val df = readTsv.select("segment")
+    assert(scanOf(df).output.map(_.name) === Seq("segment"))
+    assert(df.distinct().count() === 4) // Government, Midmarket, Enterprise, null
+  }
+
+  test("filter pushdown: =/>/IS NOT NULL evaluate in the reader, residual stays") {
+    val df = readTsv.where(col("sales") > 50.0 && col("segment") === "Government")
+    val scan = scanOf(df)
+    val desc = scan.scan.description()
+    assert(desc.contains("GreaterThan(sales,50.0)"), desc)
+    assert(desc.contains("EqualTo(segment,Government)"), desc)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L))
+    // unsupported predicate (endsWith) must stay residual and still work
+    val residual = readTsv.where(col("segment").endsWith("market"))
+    assert(!scanOf(residual).scan.description().contains("StringEndsWith"))
+    assert(residual.select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("one partition per file → parallel readers") {
+    assert(readTsv.rdd.getNumPartitions === 2)
+  }
+}
