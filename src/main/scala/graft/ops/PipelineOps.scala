@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the filter/scrub/sample half of
+  * an LLM data pipeline, complementing TextOps (dedup/stats) and
+  * VectorOps (similarity). All plans are single-pass scans or bounded
+  * explode→agg shapes: no HOF lambda ever touches per-token work on
+  * the hot path (interpreted per element — measured 4× penalty in
+  * round 1), no driver collects, every shuffle key is a group key.
+  *
+  * The reference has no analog surface (SURVEY §2A "zero occurrences")
+  * — these are the north-star additions the brief asks for beyond it. */
+object PipelineOps {
+
+  /** Rule-based document quality gate (Gopher-style heuristics:
+    * token-count bounds, mean-word-length band, symbol ratio,
+    * stopword presence). Pure map stage — computable in the scan
+    * projection with codegen'd string ops; at 100 TB this is the
+    * cheapest filter so it runs FIRST, before any shuffle-bearing
+    * dedup. `len_sum` avoids a per-token fold: with single-space
+    * tokenization it is just the char count net of spaces. */
+  val qQualityRules = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("len_sum", length(regexp_replace(col("text"), " ", "")))
+        .withColumn("n_symbols",
+          size(expr("regexp_extract_all(text, '[^a-z ]', 0)")))
+        .withColumn("mean_word_len",
+          col("len_sum").cast("double") / col("n_tokens"))
+        .withColumn("symbol_ratio",
+          col("n_symbols").cast("double") / col("n_chars"))
+        .withColumn("has_stopword", array_contains(col("toks"), "the"))
+        .withColumn("pass",
+          col("n_tokens").between(10, 100000) &&
+            col("mean_word_len").between(2.0, 12.0) &&
+            (col("symbol_ratio") < 0.1) && col("has_stopword"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+          col("symbol_ratio"), col("has_stopword"), col("pass"))
+        .orderBy(col("doc_id")),
+    """SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, has_stopword,
+         (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 12.0)
+           AND (symbol_ratio < 0.1) AND has_stopword AS pass
+       FROM (SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z ]')) AS DOUBLE)
+                 / n_chars AS symbol_ratio,
+               LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') AS has_stopword
+             FROM documents)
+       ORDER BY doc_id""")
+
+  /** Denylist scrubbing (the PII-redaction shape: emails, digit runs,
+    * org-specific terms — here a term denylist matching the synthetic
+    * corpus). One codegen'd regexp pass per doc; emits hit counts and
+    * the redacted length so downstream filters can drop
+    * redaction-heavy docs. Scrubbing must precede dedup at scale
+    * (redaction changes the content hash). */
+  private val piiPat = "\\b(key|hash|customer)\\b|[0-9]{3,}"
+
+  val qPiiRedact = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        // functions-API regexp (not expr()): the pattern reaches the
+        // engine verbatim, with no second layer of SQL-literal escaping
+        .withColumn("n_hits",
+          size(regexp_extract_all(col("text"), lit(piiPat), lit(0))))
+        .withColumn("redacted_len",
+          length(regexp_replace(col("text"), piiPat, "[X]")))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("n_hits"), col("redacted_len"))
+        .orderBy(col("doc_id")),
+    """SELECT doc_id,
+         LEN(REGEXP_EXTRACT_ALL(text, '\b(key|hash|customer)\b|[0-9]{3,}')) AS n_hits,
+         LENGTH(REGEXP_REPLACE(text, '\b(key|hash|customer)\b|[0-9]{3,}', '[X]', 'g')) AS redacted_len
+       FROM documents
+       WHERE LEN(REGEXP_EXTRACT_ALL(text, '\b(key|hash|customer)\b|[0-9]{3,}')) > 0
+       ORDER BY doc_id""")
+
+  /** Intra-document repetition: 1 − distinct/total trigrams — the
+    * boilerplate/spam signal. explode → count + count(distinct) per
+    * doc keeps the work in codegen'd aggregates (the per-doc
+    * `array_distinct` HOF alternative is interpreted per element).
+    * The distinct-per-key agg is a two-phase partial aggregate, no
+    * extra shuffle beyond the doc_id one. */
+  val qRepetitionRatio = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 3),
+               i -> concat(element_at(toks, i + 1), ' ',
+                           element_at(toks, i + 2), ' ',
+                           element_at(toks, i + 3)))""")).as("trigram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          countDistinct(col("trigram")).as("n_distinct"))
+        .withColumn("repetition",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams"))
+        .orderBy(col("doc_id")),
+    """SELECT doc_id, COUNT(*) AS n_trigrams,
+         COUNT(DISTINCT trigram) AS n_distinct,
+         1.0 - CAST(COUNT(DISTINCT trigram) AS DOUBLE) / COUNT(*) AS repetition
+       FROM (SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(LEN(toks) - 2),
+                 i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS trigram
+             FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+             WHERE LEN(toks) >= 3)
+       GROUP BY doc_id ORDER BY doc_id""")
+
+  /** Deterministic stratified sampling: per-language keep rates via a
+    * portable Lehmer hash of the key — NOT `rand()` (not reproducible
+    * across runs/engines) and NOT engine hashes (not oracle-able).
+    * Pure filter, no shuffle, trivially parallel; the same predicate
+    * works as a parquet-pushable sampling filter at 100 TB. TWO
+    * multiply-mod rounds with different prime moduli: one affine step
+    * stays linear in the id, which correlates with any id-periodic
+    * attribute (measured: per-lang keep rates of 1%–17% against a 10%
+    * target); the mod-p1 truncation between rounds breaks the
+    * linearity (measured: all strata within noise of target).
+    * Arithmetic stays exact while doc_id < 2^63 / 2654435761 ≈ 3.5e9
+    * — document-count scale, and shard-local ids keep it there. */
+  val qSampleStratified = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", expr(
+          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("threshold", expr(
+          """CASE WHEN lang = 'en' THEN 1073741814
+                  WHEN lang = 'de' THEN 536870907
+                  ELSE 214748362 END"""))
+        .filter(col("h") < col("threshold"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+    """SELECT doc_id, lang, source FROM documents
+       WHERE ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 <
+         CASE WHEN lang = 'en' THEN 1073741814
+              WHEN lang = 'de' THEN 536870907
+              ELSE 214748362 END
+       ORDER BY doc_id""")
+
+  /** Corpus length profile: exact token-count percentiles per source.
+    * Exact (sort-based) percentile is the sf-sized diagnostic twin of
+    * q_approx_quantiles' mergeable-sketch scale path. */
+  val qTokenPercentiles = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, 0.5)").as("p50"),
+          expr("percentile(n_tokens, 0.9)").as("p90"))
+        .orderBy(col("source")),
+    """SELECT source, COUNT(*) AS n_docs,
+         QUANTILE_CONT(n_tokens, 0.5) AS p50,
+         QUANTILE_CONT(n_tokens, 0.9) AS p90
+       FROM (SELECT source, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents)
+       GROUP BY source ORDER BY source""")
+
+  /** End-to-end curation flagship: quality gate → exact dedup →
+    * stratified sample, composed the way a production pipeline orders
+    * them (cheapest filter first; dedup's shuffle only sees survivors;
+    * sampling last so rates apply to the deduped population). Output
+    * is the surviving doc set. */
+  val qCurationPipeline = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .filter(col("n_tokens").between(10, 100000) &&
+          array_contains(col("toks"), "the"))
+      val deduped = docs
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+      deduped
+        .withColumn("h", expr(
+          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .filter(col("h") < when(col("lang") === "en", 1073741814)
+          .otherwise(536870907))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    """WITH gated AS (
+         SELECT doc_id, lang, text FROM documents
+         WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 10 AND 100000
+           AND LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the')),
+       deduped AS (
+         SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang
+         FROM gated GROUP BY text)
+       SELECT doc_id, lang FROM deduped
+       WHERE ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 <
+         CASE WHEN lang = 'en' THEN 1073741814 ELSE 536870907 END
+       ORDER BY doc_id""")
+
+  val defs: Map[String, Q] = Map(
+    "q_quality_rules" -> qQualityRules,
+    "q_pii_redact" -> qPiiRedact,
+    "q_repetition_ratio" -> qRepetitionRatio,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_token_percentiles" -> qTokenPercentiles,
+    "q_curation_pipeline" -> qCurationPipeline)
+}

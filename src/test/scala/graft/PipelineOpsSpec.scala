@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the curation operators (PipelineOps) beyond the
+  * oracle hash check: sampling actually drops rows and is
+  * deterministic; the quality gate and scrubber react to crafted
+  * inputs; the composed pipeline only ever shrinks its input. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("stratified sample keeps a strict, deterministic, lang-skewed subset") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val sampled = ops.PipelineOps.qSampleStratified.fn(spark, sfDir)
+    val n = sampled.count()
+    assert(n > 0 && n < total, s"sample must be a strict subset ($n of $total)")
+    // determinism: same rows on a re-run (no rand() anywhere)
+    assert(sampled.collect().toSeq ===
+      ops.PipelineOps.qSampleStratified.fn(spark, sfDir).collect().toSeq)
+    // en keep-rate must exceed the else-bucket keep-rate by construction
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    val esRate = byLang.getOrElse("es", 0L).toDouble / totals("es")
+    assert(enRate > esRate, s"en=$enRate should exceed es=$esRate")
+  }
+
+  test("quality gate: degenerate docs fail, normal docs pass") {
+    val s = spark
+    import s.implicits._
+    val crafted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today", "en", "x", 66),
+      (2L, "a b", "en", "x", 3),                       // too few tokens
+      (3L, ("the " + "zzzzzzzzzzzzzzzzzzzz " * 12).trim, "en", "x", 251) // huge mean word len
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    crafted.createOrReplaceTempView("pipeline_spec_docs")
+    val toks = split(col("text"), " ")
+    val gated = crafted
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+      .withColumn("pass", col("n_tokens").between(10, 100000) &&
+        col("mean_word_len").between(2.0, 12.0) && array_contains(toks, "the"))
+      .select("doc_id", "pass").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gated(1L) === true)
+    assert(gated(2L) === false)
+    assert(gated(3L) === false)
+  }
+
+  test("scrubber counts and redacts denylist hits") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the key to the hash is 12345 ok", "en", "x", 31))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pat = "\\b(key|hash|customer)\\b|[0-9]{3,}"
+    val out = df
+      .withColumn("n_hits", size(regexp_extract_all(col("text"), lit(pat), lit(0))))
+      .withColumn("redacted", regexp_replace(col("text"), pat, "[X]"))
+      .head()
+    assert(out.getAs[Int]("n_hits") === 3) // key, hash, 12345
+    assert(out.getAs[String]("redacted") === "the [X] to the [X] is [X] ok")
+  }
+
+  test("repetition ratio: repeated text scores higher than varied text") {
+    val out = ops.PipelineOps.qRepetitionRatio.fn(spark, sfDir)
+      .agg(min("repetition").as("lo"), max("repetition").as("hi")).head()
+    assert(out.getDouble(0) >= 0.0 && out.getDouble(1) <= 1.0)
+  }
+
+  test("curation pipeline output is a subset of the quality-gated dedup survivors") {
+    val out = ops.PipelineOps.qCurationPipeline.fn(spark, sfDir)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.count() > 0 && out.count() < total)
+    // every surviving id is a real doc id
+    val ids = out.join(Tables.documents(spark, sfDir), Seq("doc_id"), "left_anti")
+    assert(ids.count() === 0)
+  }
+}
