@@ -160,6 +160,34 @@ object Medallion {
        l_extendedprice AS sales
        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
 
+  /** O1 retry semantics. The reference retries each Airflow task once
+    * (`default_args retries=1`,
+    * `dags/bronze/dag_bronze_financial_sample.py:193`,
+    * `dags/silver/dag_silver_financial_sample.py:244`). The Spark
+    * split of that responsibility: TASK-level failures are retried by
+    * the scheduler (`spark.task.maxFailures`, per-task, executor-side)
+    * — this combinator is the APPLICATION-level twin for the
+    * driver-side actions an Airflow task wraps (a JDBC load, an HTTP
+    * fetch, a whole stage run), where a transient failure should
+    * re-run the action, not kill the pipeline. Retries are whole-action
+    * re-executions, which is safe exactly because the medallion stages
+    * are deterministic DataFrame plans and idempotent overwrite-mode
+    * sinks, and uses exponential backoff like Airflow's
+    * `retry_delay`/`retry_exponential_backoff`. */
+  @annotation.tailrec
+  def withRetry[A](retries: Int = 1, backoffMs: Long = 0L)(action: => A): A = {
+    val attempt =
+      try Right(action)
+      catch { case e if scala.util.control.NonFatal(e) => Left(e) }
+    attempt match {
+      case Right(a) => a
+      case Left(e) if retries <= 0 => throw e
+      case Left(_) =>
+        if (backoffMs > 0) Thread.sleep(backoffMs)
+        withRetry(retries - 1, backoffMs * 2)(action)
+    }
+  }
+
   val defs: Map[String, Q] = Map(
     "q_financial_silver" -> qFinancialSilver,
     "q_financial_gold" -> qFinancialGold,

@@ -94,6 +94,27 @@ object StreamingDemo {
       .toDF()
   }
 
+  /** Stream-stream interval join: click attributed to the impression
+    * it follows within 10 minutes, both sides watermarked so the state
+    * store can evict rows once the interval can no longer match — the
+    * condition every unbounded stream-stream join needs to avoid
+    * unbounded state. Columns are disambiguated BEFORE the join
+    * (stream-stream self-shaped joins can't alias after). */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions
+      .selectExpr("event_id AS ad_id", "ts AS imp_ts", "user_id")
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks
+      .selectExpr("event_id AS click_ad_id", "ts AS click_ts", "value AS click_value")
+      .withWatermark("click_ts", "10 minutes")
+    imp.join(clk,
+      expr("""ad_id = click_ad_id AND
+              click_ts >= imp_ts AND
+              click_ts <= imp_ts + INTERVAL 10 MINUTES"""))
+      .select(col("ad_id"), col("user_id"), col("imp_ts"), col("click_ts"),
+        col("click_value"))
+  }
+
   /** Start tumblingCounts into an in-memory sink (update mode). */
   def startToMemory(events: DataFrame, queryName: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

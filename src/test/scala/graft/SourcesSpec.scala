@@ -109,6 +109,30 @@ class SourcesSpec extends SparkSpec {
     assert(Landing.jdbcRead(spark, url, "raw_financial_sample").count() === 4)
   }
 
+  test("O1: withRetry re-runs a transiently failing action, then rethrows when exhausted") {
+    // transient failure: first attempt throws, retry succeeds (the
+    // reference's retries=1 semantics)
+    var calls = 0
+    val result = etl.Medallion.withRetry(retries = 1) {
+      calls += 1
+      if (calls == 1) sys.error("transient")
+      calls
+    }
+    assert(result === 2 && calls === 2)
+    // persistent failure: retries exhausted -> original error surfaces
+    var attempts = 0
+    val e = intercept[RuntimeException] {
+      etl.Medallion.withRetry(retries = 2) { attempts += 1; sys.error("permanent") }
+    }
+    assert(e.getMessage === "permanent" && attempts === 3)
+    // a retried medallion stage produces the same result as a direct run
+    val direct = etl.Medallion.goldMart(etl.Medallion.silverFinancial(spark, sfDir))
+    val retried = etl.Medallion.withRetry() {
+      etl.Medallion.goldMart(etl.Medallion.silverFinancial(spark, sfDir))
+    }
+    assert(retried.collect().toSeq === direct.collect().toSeq)
+  }
+
   test("S5/S7 shape: landed parquet write round-trips") {
     val out = Files.createTempDirectory("landed").resolve("gold").toString
     val df = etl.Medallion.qGoldMart.fn(spark, sfDir)

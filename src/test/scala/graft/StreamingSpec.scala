@@ -45,6 +45,63 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window, drops outside") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val impressions = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val out = StreamingDemo.clickAttribution(impressions.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib_test").start()
+    try {
+      impressions.addData(
+        Ev(100L, ts("2024-01-01 00:00:00"), 1L, "imp", 0.0),
+        Ev(200L, ts("2024-01-01 00:00:00"), 2L, "imp", 0.0))
+      clicks.addData(
+        Ev(100L, ts("2024-01-01 00:05:00"), 1L, "click", 1.5), // within 10 min -> match
+        Ev(200L, ts("2024-01-01 00:20:00"), 2L, "click", 2.5), // outside -> dropped
+        Ev(300L, ts("2024-01-01 00:06:00"), 3L, "click", 3.5)) // no impression -> dropped
+      out.processAllAvailable()
+      val rows = spark.table("attrib_test")
+        .select("ad_id", "click_value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq === Seq((100L, 1.5)))
+    } finally out.stop()
+  }
+
+  test("watermark drops late data from finalized windows (append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    // append mode: a window only emits once the watermark passes its
+    // end, and events arriving behind the watermark are discarded
+    val out = StreamingDemo.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+        Ev(2L, ts("2024-01-01 00:02:00"), 1L, "click", 1.0))
+      out.processAllAvailable()
+      // advance the watermark far past the first window's end
+      input.addData(Ev(3L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0))
+      out.processAllAvailable()
+      // this event is 1h behind the watermark -> must be dropped
+      input.addData(Ev(4L, ts("2024-01-01 00:03:00"), 1L, "click", 99.0))
+      out.processAllAvailable()
+      // close the last window so everything emitted
+      input.addData(Ev(5L, ts("2024-01-01 02:00:00"), 1L, "click", 1.0))
+      out.processAllAvailable()
+      val counts = spark.table("late_test")
+        .select(col("bucket_start").cast("long").as("b"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val firstWindow = ts("2024-01-01 00:00:00").getTime / 1000
+      assert(counts(firstWindow) === 2L, s"late event must not reopen the window: $counts")
+    } finally out.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses repeated event ids") {
     val s = spark
     import s.implicits._
