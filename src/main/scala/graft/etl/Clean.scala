@@ -62,6 +62,21 @@ object Clean {
     df
   }
 
+  /** T6 at scale: the reference logs `len(df)` as its only pipeline
+    * observability (`dags/bronze/dag_bronze_financial_sample.py:158`).
+    * A driver-side `count()` is an extra job per checkpoint; the Spark
+    * answer is `Dataset.observe` — named aggregate metrics collected
+    * ON THE EXISTING ACTION as rows flow, zero extra passes, surfaced
+    * to a QueryExecutionListener (batch) or StreamingQueryListener.
+    * Null counts ride along for free as data-quality signals. */
+  def withRowMetrics(df: DataFrame, name: String,
+                     nullCheckCols: Seq[String] = Nil): DataFrame = {
+    val metrics = count(lit(1)).as("n_rows") +:
+      nullCheckCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
   /** The full silver transform: trim → rename → parse money → audit.
     * The reference runs this as three Airflow tasks with two full
     * JSON round-trips through the metadata DB

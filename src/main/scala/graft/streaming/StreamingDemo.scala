@@ -115,6 +115,36 @@ object StreamingDemo {
         col("click_value"))
   }
 
+  /** foreachBatch: the escape hatch that lets a stream reuse any BATCH
+    * sink (JDBC upsert, partition overwrite, multi-sink fan-out).
+    * Exactly-once comes from idempotence: each micro-batch lands in a
+    * `batch_id=<id>`-partitioned directory with overwrite mode, so a
+    * replayed batch (restart between sink write and offset commit)
+    * overwrites its own partition instead of duplicating rows. */
+  def startPartitionedBatchSink(events: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+
+  /** Trigger.AvailableNow: incremental batch ingest — process
+    * everything currently available (respecting source rate limits,
+    * checkpointed like any stream), then stop. The modern replacement
+    * for a scheduled batch job over a growing directory: each run
+    * picks up exactly the files that arrived since the last one. */
+  def runAvailableNow(events: DataFrame, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    tumblingCounts(events)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Start tumblingCounts into an in-memory sink (update mode). */
   def startToMemory(events: DataFrame, queryName: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

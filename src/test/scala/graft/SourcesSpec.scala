@@ -133,6 +133,18 @@ class SourcesSpec extends SparkSpec {
     assert(retried.collect().toSeq === direct.collect().toSeq)
   }
 
+  test("T6 observability: observe() collects row/null metrics on the existing action") {
+    val observed = etl.Clean.withRowMetrics(
+      Tables.orders(spark, sfDir), "orders_load", nullCheckCols = Seq("o_orderpriority"))
+    // the one and only action — no extra metrics pass. (collect, not
+    // count: Dataset.count builds a derived aggregate plan, and the
+    // metrics attach to the execution actually run)
+    val n = observed.collect().length.toLong
+    val metrics = observed.queryExecution.observedMetrics("orders_load")
+    assert(metrics.getAs[Long]("n_rows") === n)
+    assert(metrics.getAs[Long]("n_null_o_orderpriority") === 0L)
+  }
+
   test("S5/S7 shape: landed parquet write round-trips") {
     val out = Files.createTempDirectory("landed").resolve("gold").toString
     val df = etl.Medallion.qGoldMart.fn(spark, sfDir)
