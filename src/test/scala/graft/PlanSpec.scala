@@ -103,6 +103,78 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // DPP is the 100 TB join pattern: the fact side is partitioned on
+    // the join key, the dim side carries the selective filter, and the
+    // scan of the fact is pruned by a runtime subquery on the dim —
+    // without the filter ever being written against the fact.
+    val out = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("year").parquet(out)
+    val fact = spark.read.parquet(out)
+    // static pruning first: a LITERAL dim filter on the join key is
+    // propagated through the join constraint onto the fact's partition
+    // filters at plan time — no runtime pruning even needed
+    val litDim = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("dim_year")).distinct()
+      .filter(col("dim_year") === 1996)
+    val litPlan = fact.join(litDim, col("year") === col("dim_year"))
+      .queryExecution.executedPlan.toString
+    assert(litPlan.contains("PartitionFilters: [(year#") ||
+      litPlan.contains("(year"), s"literal dim filter not propagated:\n${litPlan.take(1500)}")
+    // true DPP: the dim filter is on a NON-key column, so the partition
+    // filter can only be a runtime subquery over the dim
+    val dim = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("dim_year"),
+        col("o_orderpriority")).distinct()
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val joined = fact.join(dim, col("year") === col("dim_year"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(1500)}")
+    assert(joined.collect().nonEmpty)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // Salting (q_join_salted) is the manual skew answer; AQE's skew-join
+    // split is the automatic one. Thresholds are lowered so sf0.001
+    // exhibits the same runtime re-plan a skewed 100 TB join triggers.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // skew: ~90% of fact rows hash to ONE hot key (a literal key
+      // would constant-fold the join into a cartesian — the key must
+      // stay a real column). The fact side must span MULTIPLE map
+      // tasks: AQE splits a skewed reduce partition at map-output
+      // granularity, so a single-mapper partition is unsplittable
+      // (which is also why a one-row-group parquet file can't exhibit
+      // this) — hence a multi-partition range, not a tiny file scan.
+      val left = spark.range(0, 60000, 1, 8)
+        .select(when(pmod(col("id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(100))).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 100).toDF("k")
+      val joined = left.join(right, Seq("k"))
+      // collect, not count: AQE finalizes on the executed plan, and
+      // count() would execute a DERIVED query's plan instead
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(300))
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark the skew join:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)
