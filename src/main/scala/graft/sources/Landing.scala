@@ -72,6 +72,33 @@ object Landing {
     writer.jdbc(url, table, props)
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files. Streaming sinks and incremental loads
+    * accrete small files; at 100 TB the file count (not the byte
+    * count) is what kills scan planning (one FileIndex entry + one
+    * task per file) and object-store metadata ops. Sizing from the
+    * CURRENT directory bytes keeps output files near target without a
+    * second pass over the data. Write-then-swap keeps readers atomic
+    * on a posix filesystem; on an object store the swap step is a
+    * metadata-catalog pointer update instead. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val dest = Paths.get(path)
+    val old = Files.createTempDirectory(dir.getParentFile.toPath, ".pre_compact")
+    Files.move(dest, old, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.move(Paths.get(tmp), dest)
+    old.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(old)
+    nFiles
+  }
+
   /** S7 read-back twin (also the S3-from-RDBMS shape): predicate and
     * column pruning push through to the database as SQL. */
   def jdbcRead(spark: SparkSession, url: String, table: String,

@@ -145,6 +145,21 @@ class SourcesSpec extends SparkSpec {
     assert(metrics.getAs[Long]("n_null_o_orderpriority") === 0L)
   }
 
+  test("compaction rewrites a small-files directory to sized files, same rows") {
+    val out = Files.createTempDirectory("compact").resolve("t").toString
+    val df = Tables.lineitem(spark, sfDir)
+    df.repartition(20).write.parquet(out) // simulate small-file accretion
+    def parquetFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles === 20)
+    val before = spark.read.parquet(out).count()
+    val totalBytes = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Landing.compact(spark, out, targetFileBytes = totalBytes / 2 + 1)
+    assert(n === 2 && parquetFiles === 2)
+    assert(spark.read.parquet(out).count() === before)
+  }
+
   test("S5/S7 shape: landed parquet write round-trips") {
     val out = Files.createTempDirectory("landed").resolve("gold").toString
     val df = etl.Medallion.qGoldMart.fn(spark, sfDir)
