@@ -145,6 +145,21 @@ class SourcesSpec extends SparkSpec {
     assert(metrics.getAs[Long]("n_null_o_orderpriority") === 0L)
   }
 
+  test("multi-format sinks: orc/csv/json land and read back with enforced schema") {
+    val base = Files.createTempDirectory("fmt")
+    val df = Tables.nation(spark, sfDir)
+    Seq("orc", "csv", "json").foreach { fmt =>
+      val out = base.resolve(fmt).toString
+      Landing.writeLanded(df, out, format = fmt)
+      val back = Landing.readLanded(spark, java.nio.file.Paths.get(out),
+        Tables.nationSchema, format = fmt)
+      assert(back.count() === df.count(), fmt)
+      assert(back.schema === Tables.nationSchema, fmt)
+      assert(back.orderBy("n_nationkey").select("n_name").collect().toSeq ===
+        df.orderBy("n_nationkey").select("n_name").collect().toSeq, fmt)
+    }
+  }
+
   test("compaction rewrites a small-files directory to sized files, same rows") {
     val out = Files.createTempDirectory("compact").resolve("t").toString
     val df = Tables.lineitem(spark, sfDir)
