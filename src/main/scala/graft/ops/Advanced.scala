@@ -156,14 +156,21 @@ object Advanced {
           Num.dsum(col("o_totalprice")).as("sx"),
           sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(24,4)"))
             .cast("double").as("sxx"))
+        // The decimal sums are exact, but once sxx exceeds 2^53 its
+        // decimal→double cast is rounded DIFFERENTLY by the two engines
+        // (found at sf0.1: last-ulp drift in variance). A sum of
+        // squares always outgrows double exactness at scale, so the
+        // derived outputs are rounded to a grain (1 dollar² / 1e-6)
+        // orders of magnitude coarser than the one-ulp drift.
         .withColumn("variance",
-          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-        .withColumn("stddev", sqrt(col("variance")))
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 0))
+        .withColumn("stddev",
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6))
         .select(col("o_orderstatus"), col("n"), col("variance"), col("stddev"))
         .orderBy(col("o_orderstatus")),
     s"""SELECT o_orderstatus, n,
-       (sxx - sx * sx / n) / (n - 1) AS variance,
-       SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev
+       ROUND((sxx - sx * sx / n) / (n - 1), 0) AS variance,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev
        FROM (SELECT o_orderstatus, COUNT(*) AS n,
                ${Num.sqlSum("o_totalprice")} AS sx,
                CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS sxx
