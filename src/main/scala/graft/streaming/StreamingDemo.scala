@@ -115,6 +115,14 @@ object StreamingDemo {
         col("click_value"))
   }
 
+  /** Stream-static join: enrich a stream against a batch dimension.
+    * No state store involved — the static side is (re)planned per
+    * micro-batch, so a broadcastable dim behaves exactly like the
+    * batch BHJ, which is why this is the default enrichment shape
+    * before reaching for a stream-stream join. */
+  def enrichAgainstStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   /** foreachBatch: the escape hatch that lets a stream reuse any BATCH
     * sink (JDBC upsert, partition overwrite, multi-sink fan-out).
     * Exactly-once comes from idempotence: each micro-batch lands in a

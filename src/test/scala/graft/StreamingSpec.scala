@@ -102,6 +102,63 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("stream-static join broadcasts the dim per micro-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = StreamingDemo.enrichAgainstStatic(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_test").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+        Ev(2L, ts("2024-01-01 00:02:00"), 3L, "view", 2.0)) // no dim row
+      out.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> None))
+    } finally out.stop()
+  }
+
+  test("mapGroupsWithState runs on the RocksDB state store provider") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The HDFS-backed default keeps state on executor heap; RocksDB is
+    // the production choice once per-partition state outgrows memory
+    // (dedup/session state over 100 TB of events). Same query code —
+    // the provider is pure configuration.
+    val input = MemoryStream[Ev]
+    // conf is session-wide and read at query START; set only for this
+    // query's lifetime
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = StreamingDemo.runningTotals(spark, input.toDF())
+      .writeStream.format("memory").queryName("rocksdb_test")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rocks_ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 00:01:00"), 7L, "click", 2.0),
+        Ev(2L, ts("2024-01-01 00:02:00"), 7L, "click", 3.0))
+      out.processAllAvailable()
+      val row = spark.table("rocksdb_test")
+        .orderBy(col("n").desc).select("userId", "n", "total").head()
+      assert((row.getLong(0), row.getLong(1), row.getDouble(2)) === ((7L, 2L, 5.0)))
+    } finally {
+      out.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("foreachBatch partition-overwrite sink is idempotent per batch") {
     val s = spark
     import s.implicits._
