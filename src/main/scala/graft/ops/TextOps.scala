@@ -63,46 +63,29 @@ object TextOps {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
        FROM documents GROUP BY text ORDER BY keep_id""")
 
-  /** Exact n-gram jaccard near-dup pairs — the ground-truth baseline
-    * the approximate paths are judged against. Global exact near-dup
-    * is inherently O(n²) on a dense small-vocabulary corpus (every
-    * shingle is common, so inverted-index / PPJoin-prefix candidate
-    * generation degenerates — measured, not guessed); the honest plan
-    * is a broadcast nested-loop self-join with a size-compatibility
-    * prune and a cheap per-pair `array_intersect`. No shuffle at all:
-    * one side broadcasts, pairs stream. At 100 TB you run THIS query
-    * on samples/blocks as a recall check, and [[qDedupMinhash]] as the
-    * production path. */
-  val qNgramJaccard = Q(
-    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_ngram_jaccard:$d") {
-      val t = 0.5
-      // Dense-vocabulary bitset specialization: the corpus draws from a
-      // tiny bigram vocabulary (~1k), so each doc's shingle set packs
-      // into a ~16-word bitmap and |A∩B| is a handful of AND+popcount
-      // ops per pair — orders of magnitude cheaper than hash-set
-      // intersection. The all-pairs loop stays a broadcast nested-loop
-      // join (no shuffle). This exact path exists as the ground-truth /
-      // recall-check twin of [[qDedupMinhash]]; on an open-vocabulary
-      // 100 TB corpus the bitmap degenerates and MinHash is the path.
-      // checkpoint the shingle table: three downstream pipelines read
-      // it (vocabulary, bitmap build) and re-tokenizing per consumer
-      // triples the cost
+  /** Shared stage of the exact-jaccard paths: one packed bitset per
+    * doc (doc_id, sz, bm: array<long>). Dense-vocabulary bitset
+    * specialization — the corpus draws from a tiny bigram vocabulary
+    * (~1k), so each doc's shingle set packs into a ~16-word bitmap and
+    * |A∩B| is a handful of AND+popcount ops per pair, orders of
+    * magnitude cheaper than hash-set intersection. The vocabulary is
+    * collected once and ids assigned on the driver (a distributed
+    * global row_number window re-ran the whole pipeline per consumer,
+    * ~4 s per execution; measured); width is sized to the actual
+    * vocabulary — a fixed width would silently drop bits. On an
+    * open-vocabulary corpus the premise degenerates → hard-bounded,
+    * pointing at the MinHash production path. */
+  def shingleBitmaps(s: SparkSession, d: String): DataFrame =
+    SessionMemo.getOrElseUpdate(s, s"shingle_bitmaps:$d") {
+      // checkpoint the shingle table: both consumers below (vocabulary,
+      // bitmap build) re-read it and re-tokenizing per consumer
+      // doubles the cost
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
         .localCheckpoint()
-      // The dense vocabulary is tiny by definition of this bitset
-      // specialization — collect it once, assign ids on the driver
-      // (a distributed global row_number window re-ran the whole
-      // pipeline per consumer and cost ~4 s per execution; measured).
-      // Width is sized to the actual vocabulary — a fixed width would
-      // silently drop bits (undercount intersections) if it outgrew it.
       import s.implicits._
       val vocabSeq = sh.select(explode(col("shingles")).as("shingle"))
         .distinct().as[String].collect().sorted
-      // Hard bound: this exact path is only valid while the dense-vocab
-      // premise holds. On an open-vocabulary corpus the bitmap (and this
-      // driver collect) degenerate — fail loudly instead of OOMing, and
-      // point at the production path.
       require(vocabSeq.length <= MaxExactJaccardVocab,
         s"exact-jaccard bitset path needs a dense vocabulary (got ${vocabSeq.length} " +
           s"shingles > $MaxExactJaccardVocab); use q_dedup_minhash (MinHash+LSH) at scale")
@@ -111,7 +94,7 @@ object TextOps {
       // bitmap words via codegen'd bit_or aggregates (a lambda fold
       // here would be interpreted per set bit), then assembled into a
       // fixed-width array with one cheap 32-step transform
-      val bm = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
+      sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
         .join(broadcast(vocab), Seq("shingle"))
         .groupBy(col("doc_id"), col("sz"), expr("vid div 64").as("word"))
         .agg(expr("bit_or(shiftleft(1L, vid % 64))").as("bits"))
@@ -120,15 +103,28 @@ object TextOps {
         .withColumn("bm", expr(
           s"transform(sequence(0, ${nWords - 1}), w -> coalesce(element_at(m, cast(w AS INT)), 0L))"))
         .select(col("doc_id"), col("sz"), col("bm"))
+    }
+
+  /** Exact n-gram jaccard near-dup pairs — the ground-truth baseline
+    * the approximate paths are judged against. Global exact near-dup
+    * is inherently O(n²) on a dense small-vocabulary corpus (every
+    * shingle is common, so inverted-index / PPJoin-prefix candidate
+    * generation degenerates — measured, not guessed). This is the
+    * recall-check twin of [[qDedupMinhash]]; the block-sharded form of
+    * the same kernel is [[exactJaccardSharded]]. */
+  val qNgramJaccard = Q(
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_ngram_jaccard:$d") {
+      val t = 0.5
+      val bm = shingleBitmaps(s, d)
       // All-pairs scoring via mapPartitions over a broadcast bitmap
       // table — the brief's "(d) last resort", reached on measurement:
       // the same pairing as a BroadcastNestedLoopJoin spent 150–220 s
       // materializing 12.5M wide pair-rows (HOF folds don't codegen;
       // flat 64-column variants drown in row copies), while this tight
       // popcount loop over primitive long[] does the identical exact
-      // computation in ~1 s. The broadcast side is ~300 B/doc — at
-      // 100 TB you shard the broadcast (block-wise all-pairs), which
-      // this shape extends to directly.
+      // computation in ~1 s. The broadcast side is ~300 B/doc — past the
+      // bound below, [[exactJaccardSharded]] IS the sharded form of
+      // this kernel (no collect, no broadcast).
       import s.implicits._
       val docs = bm.select(col("doc_id"), col("sz"), col("bm"))
         .as[(Long, Int, Array[Long])]
@@ -138,7 +134,7 @@ object TextOps {
       // near-dup detection itself should be q_dedup_minhash.
       require(table.length <= MaxExactJaccardDocs,
         s"exact-jaccard all-pairs collected ${table.length} docs > $MaxExactJaccardDocs; " +
-          "run this recall check on a sample/block, or use q_dedup_minhash at scale")
+          "use exactJaccardSharded (block-wise) or q_dedup_minhash at scale")
       val bc = s.sparkContext.broadcast(table)
       // stream the collected table back out rather than re-running the
       // whole shingle→vocab→bitmap pipeline a second time
@@ -173,6 +169,61 @@ object TextOps {
        WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
            / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
        ORDER BY doc_a, doc_b""")
+
+  /** Block-sharded exact all-pairs jaccard — the 100 TB shape of the
+    * broadcast kernel in [[qNgramJaccard]]: NO driver collect, NO
+    * full-table broadcast. Docs hash into `nBlocks` blocks, each block
+    * packs into one row, and the B·(B+1)/2 block-pair grid drives an
+    * equi-join; each grid cell runs the same primitive-long popcount
+    * kernel over its two packed blocks. Replication factor is B per
+    * doc (size blocks so one fits in task memory); work is still
+    * inherently O(n²) pairs — this bounds MEMORY, not compute, which
+    * is why the production near-dup path remains [[qDedupMinhash]].
+    * Input columns: (doc_id: long, sz: int, bm: array<long>). */
+  def exactJaccardSharded(s: SparkSession, bitmaps: DataFrame,
+                          t: Double, nBlocks: Int): DataFrame = {
+    import s.implicits._
+    val blocked = bitmaps
+      .withColumn("blk", pmod(col("doc_id"), lit(nBlocks)).cast("int"))
+      .groupBy(col("blk"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"), col("bm"))).as("docs"))
+    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    grid
+      .join(blocked.select(col("blk").as("bi"), col("docs").as("docs_a")), Seq("bi"))
+      .join(blocked.select(col("blk").as("bj"), col("docs").as("docs_b")), Seq("bj"))
+      .select(col("bi"), col("bj"), col("docs_a"), col("docs_b"))
+      .as[(Int, Int, Seq[(Long, Int, Seq[Long])], Seq[(Long, Int, Seq[Long])])]
+      .mapPartitions(_.flatMap { case (bi, bj, rawA, rawB) =>
+        val a = rawA.map { case (id, sz, bm) => (id, sz, bm.toArray) }.toArray
+        val b = rawB.map { case (id, sz, bm) => (id, sz, bm.toArray) }.toArray
+        // same-block cell: order by id to visit each pair once.
+        // cross-block cell: every unordered pair lands in exactly one
+        // grid cell (the blocks determine it), so take ALL pairs and
+        // normalize the output order — `idb > ida` here would silently
+        // drop pairs whose smaller id lives in the higher-index block.
+        val same = bi == bj
+        a.iterator.flatMap { case (ida, sza, bma) =>
+          b.iterator
+            .filter { case (idb, szb, _) =>
+              (if (same) idb > ida else idb != ida) &&
+                math.min(sza, szb).toDouble >= t * math.max(sza, szb)
+            }
+            .flatMap { case (idb, szb, bmb) =>
+              var inter = 0
+              var i = 0
+              while (i < bma.length) {
+                inter += java.lang.Long.bitCount(bma(i) & bmb(i)); i += 1
+              }
+              val jac = inter.toDouble / (sza + szb - inter)
+              if (jac >= t)
+                Iterator.single((math.min(ida, idb), math.max(ida, idb), jac))
+              else Iterator.empty
+            }
+        }
+      })
+      .toDF("doc_a", "doc_b", "jaccard")
+  }
 
   /** MinHash + LSH banding near-dup detection — the scale path: 32
     * minhashes per doc, 8 bands × 4 rows; only same-band docs are

@@ -19,6 +19,21 @@ class NorthStarSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("block-sharded exact jaccard equals the broadcast kernel, any block count") {
+    // The sharded path is the 100 TB form (no driver collect, no
+    // full-table broadcast); it must be pair-for-pair identical to the
+    // broadcast kernel, including cross-block pairs whose smaller id
+    // lives in the higher-index block.
+    val expected = run("q_ngram_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq(1, 3, 8).foreach { b =>
+      val sharded = ops.TextOps.exactJaccardSharded(
+        spark, ops.TextOps.shingleBitmaps(spark, sfDir), t = 0.5, nBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sharded === expected, s"nBlocks=$b")
+    }
+  }
+
   test("simhash: twins sit far below the random-pair hamming baseline") {
     val twins = run("q_ngram_jaccard").filter(col("jaccard") >= 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
