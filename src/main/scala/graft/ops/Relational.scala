@@ -230,6 +230,40 @@ object Relational {
        ON o_totalprice >= lo AND o_totalprice < hi
        GROUP BY band ORDER BY band""")
 
+  /** The binned (bucketized) range join — the scale form of
+    * [[qJoinRange]]. A point-in-interval theta join has no equi key,
+    * so Spark plans a nested-loop join: fine for 3 broadcast bands,
+    * quadratic death for millions of intervals. Binning restores an
+    * equi key: each interval explodes to the fixed-width bins it
+    * overlaps, each point maps to exactly ONE bin, and the join becomes
+    * bin-equality plus a residual range predicate. Every matching pair
+    * meets in exactly one bin (the point's), so no dedup is needed.
+    * Interval replication = interval width / bin width — pick the bin
+    * width near the median interval width. Same oracle as the
+    * nested-loop twin: results must be identical. */
+  val qJoinRangeBinned = Q(
+    (s, d) => {
+      val w = 100000.0
+      val bands = s.createDataFrame(Seq(
+        (0.0, 100000.0, "low"), (100000.0, 300000.0, "mid"),
+        (300000.0, 1000000.0, "high")))
+        .toDF("lo", "hi", "band")
+        .withColumn("bin", explode(expr(
+          s"sequence(CAST(floor(lo / $w) AS INT), CAST(floor((hi - 0.01) / $w) AS INT))")))
+      Tables.orders(s, d)
+        .withColumn("bin", expr(s"CAST(floor(o_totalprice / $w) AS INT)"))
+        .join(bands, Seq("bin"))
+        .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("band"))
+    },
+    s"""SELECT band, COUNT(*) AS n_orders, ${Num.sqlSum("o_totalprice")} AS total
+       FROM orders JOIN (VALUES (0.0, 100000.0, 'low'), (100000.0, 300000.0, 'mid'),
+                                (300000.0, 1000000.0, 'high')) AS b(lo, hi, band)
+       ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY band ORDER BY band""")
+
   /** As-of join, scalable formulation: instead of a per-key range join
     * (O(clicks × purchases) per user), union both event kinds and take
     * `max(click ts)` over an ordered running window — one shuffle on
@@ -583,6 +617,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_full" -> qJoinFull,
     "q_join_range" -> qJoinRange,
+    "q_join_range_binned" -> qJoinRangeBinned,
     "q_join_asof" -> qJoinAsof,
     "q_agg_stats" -> qAggStats,
     "q_count_distinct" -> qCountDistinct,

@@ -103,6 +103,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("binned range join plans an equi join, never a nested loop") {
+    val plan = planOf("q_join_range_binned")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"binned range join degenerated to BNLJ:\n${plan.take(1500)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // DPP is the 100 TB join pattern: the fact side is partitioned on
     // the join key, the dim side carries the selective filter, and the
