@@ -144,6 +144,37 @@ object PipelineOps {
               ELSE 214748362 END
        ORDER BY doc_id""")
 
+  /** Deterministic per-group capping — "at most K docs per source",
+    * the domain-balancing op every web-scale corpus needs (a handful
+    * of giant domains otherwise dominate the token budget). Rank
+    * within each source by the same portable two-round hash used for
+    * sampling (NOT by doc_id: that would keep each source's oldest
+    * docs, biasing the cap) and keep rank ≤ K. One shuffle on the
+    * group key; ties impossible because h is injective-enough and
+    * doc_id breaks any residual collision. */
+  val qSamplePerGroup = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 20
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("h", expr(
+          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    """SELECT source, doc_id, rk FROM (
+         SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 ASC,
+                      doc_id ASC) AS rk
+         FROM documents) t
+       WHERE rk <= 20
+       ORDER BY source, rk""")
+
   /** Corpus length profile: exact token-count percentiles per source.
     * Exact (sort-based) percentile is the sf-sized diagnostic twin of
     * q_approx_quantiles' mergeable-sketch scale path. */
@@ -202,6 +233,7 @@ object PipelineOps {
     "q_pii_redact" -> qPiiRedact,
     "q_repetition_ratio" -> qRepetitionRatio,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_per_group" -> qSamplePerGroup,
     "q_token_percentiles" -> qTokenPercentiles,
     "q_curation_pipeline" -> qCurationPipeline)
 }
