@@ -193,6 +193,46 @@ object PipelineOps {
        FROM (SELECT source, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents)
        GROUP BY source ORDER BY source""")
 
+  /** Sequence packing: assign docs to fixed token-budget training rows
+    * (the pretraining batch-assembly op). Docs are ordered per language
+    * by the portable hash (deterministic shuffle-order), a window
+    * cumsum tracks the running token count, and `bin = floor(tokens
+    * before this doc / budget)` packs greedily — a doc that straddles a
+    * boundary starts... in the bin its prefix sum lands in, exactly the
+    * "concat then split at budget" semantics of a packed pretraining
+    * stream. One shuffle on the partition key; the cumsum is a running
+    * window (no second pass). */
+  val qPackSequences = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048
+      val order = Window.partitionBy(col("lang"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("h", expr(
+          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(
+            order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang"), col("doc_id"), col("n_tokens"),
+          (col("cum_before") / budget).cast("long").as("pack_id"),
+          pmod(col("cum_before"), lit(budget)).as("pack_offset"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    s"""SELECT lang, doc_id, n_tokens,
+         CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id,
+         cum_before % 2048 AS pack_offset
+       FROM (
+         SELECT lang, doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             ORDER BY ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 ASC,
+                      doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         FROM (SELECT lang, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+               FROM documents) x) t
+       ORDER BY lang, doc_id""")
+
   /** End-to-end curation flagship: quality gate → exact dedup →
     * stratified sample, composed the way a production pipeline orders
     * them (cheapest filter first; dedup's shuffle only sees survivors;
@@ -234,6 +274,7 @@ object PipelineOps {
     "q_repetition_ratio" -> qRepetitionRatio,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_per_group" -> qSamplePerGroup,
+    "q_pack_sequences" -> qPackSequences,
     "q_token_percentiles" -> qTokenPercentiles,
     "q_curation_pipeline" -> qCurationPipeline)
 }
