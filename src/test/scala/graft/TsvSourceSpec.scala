@@ -63,4 +63,23 @@ class TsvSourceSpec extends SparkSpec {
   test("one partition per file → parallel readers") {
     assert(readTsv.rdd.getNumPartitions === 2)
   }
+
+  test("a file whose header disagrees with the table schema fails loudly") {
+    val d = Files.createTempDirectory("graft_tsv_bad")
+    Files.writeString(d.resolve("a.tsv"), "id:long\tname:string\n1\tx\n")
+    Files.writeString(d.resolve("b.tsv"), "id:long\tprice:double\n2\t3.5\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(classOf[TsvDataSource].getName).load(d.toString).collect()
+    }
+    assert(e.getMessage.contains("header") || e.getCause.getMessage.contains("header"))
+  }
+
+  test("unsupported column type in the header is rejected at inference") {
+    val d = Files.createTempDirectory("graft_tsv_badtype")
+    Files.writeString(d.resolve("a.tsv"), "id:uuid\n1\n")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[TsvDataSource].getName).load(d.toString)
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
 }
