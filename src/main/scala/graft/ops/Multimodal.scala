@@ -102,6 +102,59 @@ object Multimodal {
        UNNEST(RANGE(0, v.n_frames, 5)) AS f(frame_id)
        ORDER BY doc_id, frame_id""")
 
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("f_a", IntegerType),
+    StructField("f_e", IntegerType)))
+
+  /** Resize + feature-extract — the remaining two stages of the
+    * brief's media pipeline, in one per-partition pass (a real
+    * deployment inits the resizer/extractor once per partition and
+    * reuses them across rows; the arithmetic is a deterministic stub
+    * so the oracle can recompute it). Resize fits the decoded
+    * dimensions into a 256px box with integer arithmetic
+    * (w*256 div max-side — no float rounding to disagree on);
+    * "features" are byte-class counts over the payload (ASCII text
+    * payloads ⇒ byte counts equal char counts, which DuckDB can replay
+    * with regexps). Output is all-scalar per the driver contract. */
+  val qMediaResize = Q(
+    (s, d) => {
+      val df = media(s, d)
+      val enc = RowEncoder.encoderFor(resizedSchema)
+      df.mapPartitions { rows =>
+        // resizer + feature-extractor init would happen here, once
+        rows.map { r =>
+          val id = r.getAs[Long]("doc_id")
+          val kind = r.getAs[String]("media_type")
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, _) = stubDecode(kind, payload)
+          val maxSide = math.max(w, h)
+          val outW = w * 256 / maxSide
+          val outH = h * 256 / maxSide
+          var fa = 0; var fe = 0
+          var i = 0
+          while (i < payload.length) {
+            if (payload(i) == 'a'.toByte) fa += 1
+            else if (payload(i) == 'e'.toByte) fe += 1
+            i += 1
+          }
+          Row(id, outW, outH, fa, fe)
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+       CAST(w * 256 // GREATEST(w, h) AS INT) AS out_w,
+       CAST(h * 256 // GREATEST(w, h) AS INT) AS out_h,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, 'a')) AS INT) AS f_a,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, 'e')) AS INT) AS f_e
+       FROM (SELECT doc_id, text,
+               32 + (OCTET_LENGTH(ENCODE(text)) % 64) * 10 AS w,
+               32 + (OCTET_LENGTH(ENCODE(text)) % 48) * 10 AS h
+             FROM documents)
+       ORDER BY doc_id""")
+
   /** Multimodal struct packing: text + vector + metadata in one row,
     * nested as a struct column, then projected back out (exercises
     * nested-type construction and field pruning). */
@@ -130,6 +183,7 @@ object Multimodal {
 
   val defs: Map[String, Q] = Map(
     "q_media_meta" -> qMediaMeta,
+    "q_media_resize" -> qMediaResize,
     "q_frame_sample" -> qFrameSample,
     "q_multimodal_pack" -> qMultimodalPack)
 }
