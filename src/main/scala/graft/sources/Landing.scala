@@ -95,7 +95,12 @@ object Landing {
     val old = Files.createTempDirectory(dir.getParentFile.toPath, ".pre_compact")
     Files.move(dest, old, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Files.move(Paths.get(tmp), dest)
-    old.toFile.listFiles().foreach(_.delete()); Files.deleteIfExists(old)
+    // recursive: the pre-compact dir may hold partition subdirectories
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(old.toFile)
     nFiles
   }
 

@@ -55,15 +55,18 @@ private[v2] object TsvFormat {
   def listFiles(path: String): Seq[String] = {
     require(path != null, "path option is required")
     val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala
         .filter(f => f.toString.endsWith(".tsv")).map(_.toString).toSeq.sorted
-    else Seq(p.toString)
+      finally stream.close()
+    } else Seq(p.toString)
   }
 
   def inferSchema(files: Seq[String]): StructType = {
     require(files.nonEmpty, "no .tsv files found")
-    val header = Files.lines(Paths.get(files.head)).findFirst().orElseThrow()
+    val lines = Files.lines(Paths.get(files.head))
+    val header = try lines.findFirst().orElseThrow() finally lines.close()
     StructType(header.split('\t').toSeq.map { cell =>
       val Array(name, tpe) = cell.split(':')
       StructField(name, tpe match {
