@@ -32,7 +32,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f interpolator honors the JVM default locale,
+    // and a comma-decimal locale would emit invalid JSON ("0,123")
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

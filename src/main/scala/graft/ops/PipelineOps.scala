@@ -45,7 +45,7 @@ object PipelineOps {
          (n_tokens BETWEEN 10 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 12.0)
            AND (symbol_ratio < 0.1) AND has_stopword AS pass
        FROM (SELECT doc_id,
-               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
                CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
                  / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len,
                CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z ]')) AS DOUBLE)
@@ -229,7 +229,7 @@ object PipelineOps {
              ORDER BY ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 ASC,
                       doc_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-         FROM (SELECT lang, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+         FROM (SELECT lang, doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens
                FROM documents) x) t
        ORDER BY lang, doc_id""")
 
@@ -245,9 +245,15 @@ object PipelineOps {
         .withColumn("n_tokens", size(col("toks")))
         .filter(col("n_tokens").between(10, 100000) &&
           array_contains(col("toks"), "the"))
+      // arg-min, not column-wise min: min(lang) independently of
+      // min(doc_id) could take the lang of a DIFFERENT duplicate than
+      // the kept doc, sampling the survivor at the wrong stratum rate
+      // whenever duplicates cross languages (doc_id is unique, so
+      // min_by is deterministic)
       val deduped = docs
         .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          expr("min_by(lang, doc_id)").as("lang"))
       deduped
         .withColumn("h", expr(
           "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
@@ -261,7 +267,7 @@ object PipelineOps {
          WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 10 AND 100000
            AND LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the')),
        deduped AS (
-         SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang
+         SELECT MIN(doc_id) AS doc_id, ARG_MIN(lang, doc_id) AS lang
          FROM gated GROUP BY text)
        SELECT doc_id, lang FROM deduped
        WHERE ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 <

@@ -78,15 +78,23 @@ object Landing {
     * count) is what kills scan planning (one FileIndex entry + one
     * task per file) and object-store metadata ops. Sizing from the
     * CURRENT directory bytes keeps output files near target without a
-    * second pass over the data. Write-then-swap keeps readers atomic
-    * on a posix filesystem; on an object store the swap step is a
-    * metadata-catalog pointer update instead. */
+    * second pass over the data. The two-rename swap leaves a brief
+    * window where the path is absent — on a shared posix filesystem,
+    * quiesce readers first; on an object store / lakehouse the swap is
+    * a metadata-catalog pointer update, which IS atomic. Operates on
+    * one FLAT parquet directory; a partitionBy layout must be
+    * compacted per leaf partition (preserving the layout and letting
+    * each leaf get its own file count). */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+    require(!entries.exists(_.isDirectory),
+      s"$path contains subdirectories (a partitioned layout?) — compact each leaf partition directory instead")
+    val bytes = entries
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length()).sum
+    require(bytes > 0, s"no .parquet files found at $path")
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = path.stripSuffix("/") + ".compact_tmp"
     spark.read.parquet(path).repartition(nFiles)

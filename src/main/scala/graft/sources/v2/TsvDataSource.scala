@@ -89,24 +89,28 @@ private[v2] object TsvFormat {
       case other       => throw new IllegalStateException(s"unreachable: $other")
     }
 
-  /** evaluate a pushed filter against a parsed full-schema row */
+  /** evaluate a pushed filter against a parsed row. Comparison result
+    * is Option[-1|0|1] — None for null operands, and compareTo results
+    * are signum-normalized (raw String.compareTo returns arbitrary
+    * char-code differences, so ANY in-band integer sentinel would
+    * collide with a legitimate comparison value). */
   def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
     def v(attr: String): Any = row(schema.fieldIndex(attr))
-    def cmp(attr: String, value: Any): Int = {
+    def cmp(attr: String, value: Any): Option[Int] = {
       val x = v(attr)
-      if (x == null) return -2 // sentinel: comparisons with null are false
+      if (x == null) return None // comparisons with null are false
       (x, value) match {
-        case (a: Int, b: Number)    => java.lang.Integer.compare(a, b.intValue())
-        case (a: Long, b: Number)   => java.lang.Long.compare(a, b.longValue())
-        case (a: Double, b: Number) => java.lang.Double.compare(a, b.doubleValue())
-        case (a: UTF8String, b)     => a.toString.compareTo(b.toString)
-        case _                      => -2
+        case (a: Int, b: Number)    => Some(java.lang.Integer.compare(a, b.intValue()))
+        case (a: Long, b: Number)   => Some(java.lang.Long.compare(a, b.longValue()))
+        case (a: Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue()))
+        case (a: UTF8String, b)     => Some(Integer.signum(a.toString.compareTo(b.toString)))
+        case _                      => None
       }
     }
     f match {
-      case EqualTo(a, value)     => cmp(a, value) == 0
-      case GreaterThan(a, value) => { val c = cmp(a, value); c != -2 && c > 0 }
-      case LessThan(a, value)    => { val c = cmp(a, value); c != -2 && c < 0 }
+      case EqualTo(a, value)     => cmp(a, value).contains(0)
+      case GreaterThan(a, value) => cmp(a, value).exists(_ > 0)
+      case LessThan(a, value)    => cmp(a, value).exists(_ < 0)
       case IsNotNull(a)          => v(a) != null
       case _                     => true // never pushed; defensive
     }
@@ -176,15 +180,29 @@ private[v2] class TsvReaderFactory(tableSchema: StructType,
       require(header == tableSchema,
         s"file $file header ${header.simpleString} != table ${tableSchema.simpleString}")
       private val outIdx = required.fieldNames.map(tableSchema.fieldIndex)
+      // parse ONLY the columns the scan needs: the pruned projection
+      // plus any column a pushed filter references — this is what makes
+      // SupportsPushDownRequiredColumns an actual saving here, not just
+      // a narrower output row
+      private val neededIdx: Array[Int] =
+        (outIdx ++ pushed.flatMap(_.references.map(tableSchema.fieldIndex)))
+          .distinct.sorted
       lines.readLine() // consume the header line
       private var row: Array[Any] = _
+      private var lineNo = 1L
 
       override def next(): Boolean = {
         var line = lines.readLine()
         while (line != null) {
+          lineNo += 1
           val cells = line.split("\t", -1)
-          row = Array.tabulate(tableSchema.length)(i =>
-            TsvFormat.parse(cells(i), tableSchema(i).dataType))
+          if (cells.length != tableSchema.length)
+            throw new IllegalStateException(
+              s"$file:$lineNo: expected ${tableSchema.length} cells, got ${cells.length}")
+          row = new Array[Any](tableSchema.length)
+          neededIdx.foreach { i =>
+            row(i) = TsvFormat.parse(cells(i), tableSchema(i).dataType)
+          }
           if (pushed.forall(TsvFormat.eval(_, tableSchema, row))) return true
           line = lines.readLine()
         }

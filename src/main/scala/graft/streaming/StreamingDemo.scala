@@ -125,18 +125,24 @@ object StreamingDemo {
 
   /** foreachBatch: the escape hatch that lets a stream reuse any BATCH
     * sink (JDBC upsert, partition overwrite, multi-sink fan-out).
-    * Exactly-once comes from idempotence: each micro-batch lands in a
-    * `batch_id=<id>`-partitioned directory with overwrite mode, so a
-    * replayed batch (restart between sink write and offset commit)
-    * overwrites its own partition instead of duplicating rows. */
-  def startPartitionedBatchSink(events: DataFrame, outDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+    * Exactly-once comes from idempotence PLUS a durable checkpoint:
+    * batch ids only resume (instead of restarting at 0 against stale
+    * output) when offsets survive in `checkpointDir` — so a replayed
+    * batch (restart between sink write and offset commit) re-lands in
+    * its own `batch_id=<id>` partition with overwrite mode instead of
+    * duplicating rows. Pass a durable checkpointDir in production; the
+    * None default is only for single-run demos/tests. */
+  def startPartitionedBatchSink(events: DataFrame, outDir: String,
+                                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
       }
-      .start()
+    checkpointDir.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
 
   /** Trigger.AvailableNow: incremental batch ingest — process
     * everything currently available (respecting source rate limits,

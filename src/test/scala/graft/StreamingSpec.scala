@@ -166,7 +166,8 @@ class StreamingSpec extends SparkSpec {
 
     val input = MemoryStream[Ev]
     val out = java.nio.file.Files.createTempDirectory("febatch").toString
-    val q = StreamingDemo.startPartitionedBatchSink(input.toDF(), out)
+    val ckpt = java.nio.file.Files.createTempDirectory("febatch_ckpt").toString
+    val q = StreamingDemo.startPartitionedBatchSink(input.toDF(), out, Some(ckpt))
     try {
       input.addData(Ev(1L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0))
       q.processAllAvailable()

@@ -64,6 +64,23 @@ class TsvSourceSpec extends SparkSpec {
     assert(readTsv.rdd.getNumPartitions === 2)
   }
 
+  test("pushed string LessThan survives compareTo's arbitrary return values") {
+    // "Government".compareTo("I") == -2: with an in-band -2 null
+    // sentinel in the comparator this row was silently dropped
+    val df = readTsv.where(col("segment") < "I")
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("a ragged data row fails with file and line context") {
+    val d = Files.createTempDirectory("graft_tsv_ragged")
+    Files.writeString(d.resolve("a.tsv"), "id:long\tname:string\n1\tx\n2\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format(classOf[TsvDataSource].getName).load(d.toString).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("expected 2 cells, got 1"), msg)
+  }
+
   test("a file whose header disagrees with the table schema fails loudly") {
     val d = Files.createTempDirectory("graft_tsv_bad")
     Files.writeString(d.resolve("a.tsv"), "id:long\tname:string\n1\tx\n")
