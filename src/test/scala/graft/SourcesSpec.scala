@@ -145,6 +145,36 @@ class SourcesSpec extends SparkSpec {
     assert(metrics.getAs[Long]("n_null_o_orderpriority") === 0L)
   }
 
+  test("malformed records: PERMISSIVE captures them, FAILFAST raises, DROPMALFORMED drops") {
+    val f = Files.createTempDirectory("badrows").resolve("x.json")
+    Files.writeString(f,
+      """{"id": 1, "v": 10.5}
+        |{"id": "not-a-number", "v": 2}
+        |{"id": 3, "v": 7.25}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt", StringType)))
+    // PERMISSIVE (default): bad row lands with nulls + raw text in the
+    // corrupt-record column — the audit trail a 100 TB ingest needs
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .json(f.toString).cache()
+    assert(permissive.count() === 3)
+    assert(permissive.filter(col("_corrupt").isNotNull).count() === 1)
+    assert(permissive.filter(col("id").isNull).select("_corrupt")
+      .head().getString(0).contains("not-a-number"))
+    // DROPMALFORMED: only clean rows survive
+    val dropped = spark.read.schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(f.toString)
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // FAILFAST: ingest refuses to continue
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.fields.dropRight(1)))
+        .option("mode", "FAILFAST").json(f.toString).collect()
+    }
+  }
+
   test("multi-format sinks: orc/csv/json land and read back with enforced schema") {
     val base = Files.createTempDirectory("fmt")
     val df = Tables.nation(spark, sfDir)
