@@ -76,6 +76,36 @@ object VectorOps {
        SELECT query_id, rank, neighbor_id, cosine FROM r
        WHERE rank <= 5 ORDER BY query_id, rank""")
 
+  /** The same brute-force top-k on the NATIVE codegen'd kernel
+    * ([[graft.functions.DotProductExpr]] over the raw float arrays,
+    * no double-array transform at all) — the throughput form for when
+    * no oracle rides along. Float accumulation is not bit-exact
+    * cross-engine → rows-only check; DotProductSpec +
+    * VectorOps' ranking-agreement spec pin it against the HOF/decimal
+    * baseline instead. */
+  val qKnnNative = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("norm", sqrt(graft.functions.DotProductExpr.dotF(
+          col("embedding"), col("embedding"))))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          graft.functions.DotProductExpr.dotF(col("qe"), col("embedding")) /
+            (col("qnorm") * col("norm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   /** 8-bit random-hyperplane signature from portable arithmetic:
     * hyperplane j component i is ±1 by `(i*2654435761 + j*40503) % 97
     * < 48`. Same formula in the oracle → identical buckets.
@@ -258,6 +288,7 @@ object VectorOps {
 
   val defs: Map[String, Q] = Map(
     "q_knn_bruteforce" -> qKnnBruteforce,
+    "q_knn_native" -> qKnnNative,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNeardup,

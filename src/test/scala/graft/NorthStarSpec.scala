@@ -86,6 +86,19 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("native-kernel knn ranks identically to the HOF/decimal baseline") {
+    // float vs double accumulation may differ in last ulps, but the
+    // RANKING (which neighbor is #1..#5) must agree on this corpus
+    // (max pairwise cosine 0.51 — no near-ties at 1e-6 scale)
+    val base = run("q_knn_bruteforce")
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val native = run("q_knn_native")
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native === base)
+  }
+
   test("ann top-1 cosine never exceeds brute-force top-1") {
     val bf = run("q_knn_bruteforce").filter(col("rank") === 1)
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
