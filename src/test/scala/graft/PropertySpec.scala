@@ -49,6 +49,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-round sampling hash: deterministic, in-range, roughly uniform (pure, 20k ids)") {
+    def h(id: Long): Long =
+      (((id + 1) * 2654435761L) % 2147483647L) * 2654435761L % 2147483629L
+    val n = 20000
+    val vals = (0L until n).map(h)
+    assert(vals == (0L until n).map(h)) // deterministic
+    assert(vals.forall(v => v >= 0 && v < 2147483629L))
+    // uniformity: a 10% threshold keeps 10% ± 1.5 pp over sequential ids
+    val kept = vals.count(_ < 214748362L).toDouble / n
+    assert(kept > 0.085 && kept < 0.115, s"keep rate $kept")
+    // and per-residue-class (the stratification failure mode round 2
+    // actually hit): no id-mod-5 class may deviate grossly
+    (0 until 5).foreach { r =>
+      val cls = (0L until n).filter(_ % 5 == r)
+      val rate = cls.count(id => h(id) < 214748362L).toDouble / cls.size
+      assert(rate > 0.06 && rate < 0.14, s"class $r rate $rate")
+    }
+  }
+
   test("dedup is idempotent on a DataFrame (spark, 5 cases)") {
     forAllN(Gen.nonEmptyListOf(Gen.chooseNum(0, 5)).map(_.take(30)), 5) { xs =>
       val s = spark

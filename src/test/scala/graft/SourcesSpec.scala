@@ -205,6 +205,16 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === before)
   }
 
+  test("compaction refuses a partitioned layout instead of flattening it") {
+    val out = Files.createTempDirectory("compact_part").resolve("t").toString
+    etl.Medallion.qGoldMart.fn(spark, sfDir)
+      .write.mode("overwrite").partitionBy("year").parquet(out)
+    val e = intercept[IllegalArgumentException] {
+      Landing.compact(spark, out)
+    }
+    assert(e.getMessage.contains("leaf partition"), e.getMessage)
+  }
+
   test("S5/S7 shape: landed parquet write round-trips") {
     val out = Files.createTempDirectory("landed").resolve("gold").toString
     val df = etl.Medallion.qGoldMart.fn(spark, sfDir)
