@@ -196,7 +196,75 @@ object EventsOps {
          COALESCE(first_purchase, 0) AS first_purchase
        FROM s3 ORDER BY user_id""")
 
+  /** Time-series resample + forward-fill: one row per (user, day) over
+    * each user's own active range, missing days carried forward from
+    * the last observed daily total — the gap-filling step before any
+    * per-entity time-series model sees the data. The spine is a
+    * per-user `sequence` explode (rows ∝ users × days, never a global
+    * cross join); the fill is a running `last(ignoreNulls)` window —
+    * one shuffle on user_id covers spine, join, and fill. */
+  val qEventsGapfill = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          expr("CAST(FLOOR(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("day_total"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("day_total"), ignoreNulls = true).over(w).as("filled_total"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    s"""WITH daily AS (
+         SELECT user_id, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+           COUNT(*) AS n, ${Num.sqlSum("value")} AS day_total
+         FROM events GROUP BY 1, 2),
+       spine AS (
+         SELECT user_id, UNNEST(RANGE(MIN(day), MAX(day) + 1)) AS day
+         FROM daily GROUP BY user_id)
+       SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n,
+         LAST_VALUE(d.day_total IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+       FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+       ORDER BY s.user_id, s.day""")
+
+  /** Cohort retention: users grouped by first-event week, counted as
+    * active per week offset — the classic retention triangle. Two
+    * shuffles (first-event agg, cohort-cell agg); the cohort dim joins
+    * broadcast. Weeks are epoch-week integers, engine-portable. */
+  val qCohortRetention = Q(
+    (s, d) => {
+      val weekly = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("CAST(FLOOR(unix_timestamp(ts) / 604800) AS BIGINT)").as("week"))
+        .distinct()
+      val cohort = weekly.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weekly.join(broadcast(cohort), Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    """WITH weekly AS (
+         SELECT DISTINCT user_id, CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS week
+         FROM events),
+       cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id)
+       SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+         COUNT(DISTINCT w.user_id) AS n_users
+       FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+       GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
+
   val defs: Map[String, Q] = Map(
+    "q_events_gapfill" -> qEventsGapfill,
+    "q_cohort_retention" -> qCohortRetention,
     "q_scd2_history" -> qScd2History,
     "q_funnel" -> qFunnel,
     "q_events_tumbling" -> qEventsTumbling,
