@@ -201,8 +201,12 @@ object EventsOps {
     * the last observed daily total — the gap-filling step before any
     * per-entity time-series model sees the data. The spine is a
     * per-user `sequence` explode (rows ∝ users × days, never a global
-    * cross join); the fill is a running `last(ignoreNulls)` window —
-    * one shuffle on user_id covers spine, join, and fill. */
+    * cross join); the fill is a running `last(ignoreNulls)` window.
+    * Plan (audited): the spine+fill side shuffles once on user_id
+    * (window and spine agg share it), the daily agg shuffles once on
+    * its (user_id, day) grain, and AQE broadcasts the daily side into
+    * the join while it is small — at 100 TB that join degrades
+    * gracefully to a co-partitioned SMJ on the same keys. */
   val qEventsGapfill = Q(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
