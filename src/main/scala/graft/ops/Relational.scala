@@ -582,6 +582,32 @@ object Relational {
     s"($richCustSql) UNION ($richSuppSql) ORDER BY nationkey")
 
   /** UNION ALL, aggregated to a deterministic grain. */
+  /** Schema-evolution union: two frames with different column sets
+    * merged BY NAME, absent columns null-filled — the shape every
+    * multi-vintage ingest hits (an old parquet partition lacks a
+    * column the new one has). Positional `union` silently mismatches
+    * columns; `unionByName(allowMissingColumns = true)` is the correct
+    * tool and this query pins its null-filling semantics against the
+    * oracle's UNION ALL BY NAME. */
+  val qUnionByName = Q(
+    (s, d) => {
+      val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")) // the column v1's vintage lacks
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)
+    },
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${Num.sqlSum("o_totalprice")} AS total
+       FROM (
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL BY NAME
+         SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""")
+
   val qSetUnionAll = Q(
     (s, d) =>
       richCustNations(s, d).union(richSuppNations(s, d))
@@ -637,6 +663,7 @@ object Relational {
     "q_distinct" -> qDistinct,
     "q_set_union" -> qSetUnion,
     "q_set_union_all" -> qSetUnionAll,
+    "q_union_by_name" -> qUnionByName,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }

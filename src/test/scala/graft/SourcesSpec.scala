@@ -175,6 +175,20 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution on read: mergeSchema unifies multi-vintage parquet") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("vintages").toString
+    // vintage 1 lacks the column vintage 2 adds
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$out/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$out/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet === Set("id", "v", "score", "p"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(rows === Seq((1L, None), (2L, Some(9.5))))
+  }
+
   test("multi-format sinks: orc/csv/json land and read back with enforced schema") {
     val base = Files.createTempDirectory("fmt")
     val df = Tables.nation(spark, sfDir)
