@@ -175,6 +175,47 @@ object PipelineOps {
        WHERE rk <= 20
        ORDER BY source, rk""")
 
+  /** Equal-frequency binning: decile of each doc's length within its
+    * language (ntile) — the rank-based feature/stratification op
+    * (length deciles are a standard curriculum/stratification axis).
+    * Tie-broken by doc_id so the assignment is total-ordered and
+    * engine-portable. */
+  val qLengthDeciles = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy(col("lang"), col("decile"))
+    },
+    """SELECT lang, decile, COUNT(*) AS n, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+       FROM (SELECT lang, doc_id, n_chars,
+               NTILE(10) OVER (PARTITION BY lang
+                 ORDER BY n_chars ASC, doc_id ASC) AS decile
+             FROM documents) t
+       GROUP BY lang, decile ORDER BY lang, decile""")
+
+  /** Equal-width histogram of document lengths — the profiling op that
+    * feeds every "what does this corpus look like" dashboard. Bin by
+    * integer arithmetic (width 50 chars), count per bin; a single
+    * partial-aggregated shuffle regardless of corpus size. */
+  val qLengthHistogram = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy((col("n_chars") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("bin_lo", col("bin") * 50)
+        .select(col("bin"), col("bin_lo"), col("n"))
+        .orderBy(col("bin")),
+    """SELECT bin, bin * 50 AS bin_lo, n FROM (
+         SELECT n_chars // 50 AS bin, COUNT(*) AS n
+         FROM documents GROUP BY 1)
+       ORDER BY bin""")
+
   /** Corpus length profile: exact token-count percentiles per source.
     * Exact (sort-based) percentile is the sf-sized diagnostic twin of
     * q_approx_quantiles' mergeable-sketch scale path. */
@@ -282,5 +323,7 @@ object PipelineOps {
     "q_sample_per_group" -> qSamplePerGroup,
     "q_pack_sequences" -> qPackSequences,
     "q_token_percentiles" -> qTokenPercentiles,
+    "q_length_deciles" -> qLengthDeciles,
+    "q_length_histogram" -> qLengthHistogram,
     "q_curation_pipeline" -> qCurationPipeline)
 }
