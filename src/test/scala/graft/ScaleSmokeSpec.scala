@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: the core operator shapes on 5M generated rows — 50×
+  * the sf0.01 verify scale, far beyond anything a driver-side
+  * materialization would survive in test heap. Catches the "works on
+  * 60k rows because it secretly collects" failure class; wall-clock
+  * kept low by using range() (no IO) and only counting. */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private def big = spark.range(0L, 5000000L, 1L, 16)
+    .select(col("id"), pmod(col("id"), lit(1000)).as("k"),
+      pmod(col("id"), lit(97)).cast("double").as("v"))
+
+  test("partial-aggregated groupBy on 5M rows") {
+    val agg = big.groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    assert(agg.count() === 1000)
+    assert(agg.agg(sum("n")).head().getLong(0) === 5000000L)
+  }
+
+  test("window top-3 per key on 5M rows") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("id").desc)
+    val top = big.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(top.count() === 3000)
+  }
+
+  test("broadcast dim join on 5M rows preserves cardinality") {
+    val s = spark
+    import s.implicits._
+    val dim = (0L until 1000L).map(k => (k, s"g${k % 7}")).toDF("k", "grp")
+    val joined = big.join(broadcast(dim), Seq("k"))
+    assert(joined.count() === 5000000L)
+    assert(joined.groupBy("grp").count().count() === 7)
+  }
+
+  test("exact dedup shape on 5M rows with heavy duplication") {
+    // 1000 distinct keys duplicated 5000× each — the shuffle carries
+    // one digest per distinct value, not the payload
+    val dedup = big.select(sha2(col("k").cast("string"), 256).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("copies"))
+    assert(dedup.count() === 1000)
+  }
+}
