@@ -582,6 +582,44 @@ object Relational {
     s"($richCustSql) UNION ($richSuppSql) ORDER BY nationkey")
 
   /** UNION ALL, aggregated to a deterministic grain. */
+  /** The pure-SQL entry path: TPC-H Q3 (shipping priority) written as
+    * `spark.sql` text over temp views — same Catalyst plan space as
+    * the DataFrame API (broadcast dim via hint, SMJ fact-fact, partial
+    * agg, top-10 as TakeOrderedAndProject), proving a SQL-first user
+    * of the engine gets the same operators and the same oracle
+    * guarantees. */
+  val qSqlQ3 = Q(
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("sql_customer")
+      Tables.orders(s, d).createOrReplaceTempView("sql_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+      s.sql(
+        s"""SELECT /*+ BROADCAST(c) */ l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS orderdate, o_orderpriority
+           FROM sql_customer c
+           JOIN sql_orders o ON c_custkey = o_custkey
+           JOIN sql_lineitem l ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1995-03-15'
+             AND l_shipdate > TIMESTAMP '1995-03-15'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, l_orderkey
+           LIMIT 10""")
+    },
+    """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+       FROM customer c
+       JOIN orders o ON c_custkey = o_custkey
+       JOIN lineitem l ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1995-03-15'
+         AND l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -664,6 +702,7 @@ object Relational {
     "q_set_union" -> qSetUnion,
     "q_set_union_all" -> qSetUnionAll,
     "q_union_by_name" -> qUnionByName,
+    "q_sql_q3" -> qSqlQ3,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }
