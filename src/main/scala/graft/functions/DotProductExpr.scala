@@ -54,7 +54,8 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    DotProductExpr.dot(x, y)
+    if (x.numElements() != y.numElements()) null
+    else DotProductExpr.dot(x, y)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,22 +63,31 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // length mismatch -> NULL, matching the zip_with/aggregate HOF
+      // (zip_with null-pads and acc + null = null): a truncated or
+      // corrupt embedding must SURFACE, not yield a plausible prefix
+      // dot product that silently corrupts downstream rankings
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }
 
 object DotProductExpr {
 
-  /** Interpreted twin of the generated loop. */
+  /** Interpreted twin of the generated loop (equal lengths assumed —
+    * callers null out mismatches first). */
   def dot(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -94,5 +104,12 @@ object DotProductExpr {
   /** Register to the SQL function registry as `dot_f`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+      "dot_f", { exprs =>
+        // a clear arity error instead of exprs(1)'s IndexOutOfBounds
+        // (the registry wraps whatever is thrown here)
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"dot_f requires exactly 2 arguments, got ${exprs.length}")
+        DotProductExpr(exprs.head, exprs(1))
+      }, "scala_udf")
 }

@@ -241,8 +241,10 @@ object EventsOps {
 
   /** Cohort retention: users grouped by first-event week, counted as
     * active per week offset — the classic retention triangle. Two
-    * shuffles (first-event agg, cohort-cell agg); the cohort dim joins
-    * broadcast. Weeks are epoch-week integers, engine-portable. */
+    * shuffles (first-event agg, cohort-cell agg). The cohort frame is
+    * one row PER USER — unbounded — so the join strategy is left to
+    * AQE (broadcast while small, co-partitioned SMJ at scale), never
+    * hinted. Weeks are epoch-week integers, engine-portable. */
   val qCohortRetention = Q(
     (s, d) => {
       val weekly = Tables.events(s, d)
@@ -251,7 +253,7 @@ object EventsOps {
         .distinct()
       val cohort = weekly.groupBy(col("user_id"))
         .agg(min(col("week")).as("cohort_week"))
-      weekly.join(broadcast(cohort), Seq("user_id"))
+      weekly.join(cohort, Seq("user_id"))
         .groupBy(col("cohort_week"),
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))

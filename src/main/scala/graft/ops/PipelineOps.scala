@@ -194,8 +194,8 @@ object PipelineOps {
     },
     """SELECT lang, decile, COUNT(*) AS n, MIN(n_chars) AS lo, MAX(n_chars) AS hi
        FROM (SELECT lang, doc_id, n_chars,
-               NTILE(10) OVER (PARTITION BY lang
-                 ORDER BY n_chars ASC, doc_id ASC) AS decile
+               CAST(NTILE(10) OVER (PARTITION BY lang
+                 ORDER BY n_chars ASC, doc_id ASC) AS INT) AS decile
              FROM documents) t
        GROUP BY lang, decile ORDER BY lang, decile""")
 

@@ -595,7 +595,7 @@ object Relational {
       Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
       s.sql(
         s"""SELECT /*+ BROADCAST(c) */ l_orderkey,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
              DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS orderdate, o_orderpriority
            FROM sql_customer c
            JOIN sql_orders o ON c_custkey = o_custkey
@@ -607,8 +607,8 @@ object Relational {
            ORDER BY revenue DESC, l_orderkey
            LIMIT 10""")
     },
-    """SELECT l_orderkey,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    s"""SELECT l_orderkey,
+         ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
          STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
        FROM customer c
        JOIN orders o ON c_custkey = o_custkey

@@ -23,17 +23,30 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
-  test("null input yields null; mismatched lengths use the common prefix") {
+  test("null input and mismatched lengths both yield null (matching the HOF)") {
     val s = spark
     import s.implicits._
     val df = Seq(
-      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 9.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f, 9.0f))), // truncated/corrupt pair
       (None, Some(Seq(1.0f))))
       .toDF("a", "b")
       .select(DotProductExpr.dotF(col("a"), col("b")).as("d"))
     val rows = df.collect()
-    assert(rows(0).getDouble(0) === 11.0) // 1*3 + 2*4, third element ignored
-    assert(rows(1).isNullAt(0))
+    assert(rows(0).getDouble(0) === 11.0) // 1*3 + 2*4
+    assert(rows(1).isNullAt(0), "length mismatch must surface as NULL, not a prefix product")
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("SQL registry rejects wrong arity with an analysis error, not an index crash") {
+    DotProductExpr.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("dot_arity")
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_f(embedding) FROM dot_arity").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("requires exactly 2 arguments"), chain)
   }
 
   test("works through the SQL registry and inside whole-stage codegen") {
