@@ -620,6 +620,109 @@ object Relational {
        ORDER BY revenue DESC, l_orderkey
        LIMIT 10""")
 
+  /** Registers every star-schema table as a `sql_*` temp view so the
+    * SQL-text entry path can name them; idempotent per session. */
+  private def sqlViews(s: SparkSession, d: String): Unit =
+    Seq("customer", "orders", "lineitem", "supplier",
+        "nation", "region", "part").foreach { t =>
+      Tables.read(s, d, t).createOrReplaceTempView(s"sql_$t")
+    }
+
+  /** SQL path #2: TPC-H Q5 (local-supplier volume) — a 6-way
+    * star join with a region filter that Catalyst pushes through
+    * nation to prune both dimension legs; nation/region broadcast by
+    * hint, the fact-side joins left to AQE. Exercises join reorder +
+    * multi-dim pruning in pure SQL text. */
+  val qSqlQ5 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT /*+ BROADCAST(n), BROADCAST(r) */ n_name,
+             ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           FROM sql_customer, sql_orders, sql_lineitem,
+                sql_supplier, sql_nation n, sql_region r
+           WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY n_name
+           ORDER BY revenue DESC, n_name""")
+    },
+    s"""SELECT n_name,
+         ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name""")
+
+  /** SQL path #3: TPC-H Q17 (small-quantity-order revenue) — a
+    * CORRELATED scalar subquery per part, which Catalyst decorrelates
+    * into an aggregate + join; the per-part average uses the decimal
+    * recipe so the correlated threshold is bit-identical in both
+    * engines (l_quantity is DOUBLE; a float AVG would be
+    * order-dependent). */
+  val qSqlQ17 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT ${Num.sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+             COUNT(*) AS n_small
+           FROM sql_lineitem l JOIN sql_part p ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#23'
+             AND l_quantity < (
+               SELECT 0.2 * (${Num.sqlAvg("l2.l_quantity")})
+               FROM sql_lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+    },
+    s"""SELECT ${Num.sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+         CAST(COUNT(*) AS BIGINT) AS n_small
+       FROM lineitem l JOIN part p ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#23'
+         AND l_quantity < (
+           SELECT 0.2 * (${Num.sqlAvg("l2.l_quantity")})
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+
+  /** SQL path #4: TPC-H Q18 (large-volume customers) — an IN
+    * aggregate subquery that planners turn into a semi-join against a
+    * grouped-HAVING derived table. The HAVING threshold compares a
+    * decimal-exact sum (double SUM near the cut could flip the
+    * membership set between engines). */
+  val qSqlQ18 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT c_name, o_orderkey, o_totalprice,
+             ${Num.sqlSum("l_quantity")} AS sum_qty
+           FROM sql_customer c
+           JOIN sql_orders o ON c_custkey = o_custkey
+           JOIN sql_lineitem l ON o_orderkey = l_orderkey
+           WHERE o_orderkey IN (
+             SELECT l_orderkey FROM sql_lineitem
+             GROUP BY l_orderkey
+             HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+           GROUP BY c_name, o_orderkey, o_totalprice
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 20""")
+    },
+    s"""SELECT c_name, o_orderkey, o_totalprice,
+         ${Num.sqlSum("l_quantity")} AS sum_qty
+       FROM customer c
+       JOIN orders o ON c_custkey = o_custkey
+       JOIN lineitem l ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+       GROUP BY c_name, o_orderkey, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 20""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -703,6 +806,9 @@ object Relational {
     "q_set_union_all" -> qSetUnionAll,
     "q_union_by_name" -> qUnionByName,
     "q_sql_q3" -> qSqlQ3,
+    "q_sql_q5" -> qSqlQ5,
+    "q_sql_q17" -> qSqlQ17,
+    "q_sql_q18" -> qSqlQ18,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }

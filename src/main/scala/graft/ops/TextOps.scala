@@ -381,28 +381,50 @@ object TextOps {
          USING (cluster_id)
        ORDER BY cluster_id, doc_id""")
 
-  /** SimHash fingerprints: 64-bit signature from per-token hash bit
+  /** (base, prime) per 16-bit simhash band: four independent
+    * character-level Rabin–Karp hashes whose low 16 bits form the
+    * 64 token-hash bits. Pure integer arithmetic — both engines
+    * compute the identical signature, unlike xxhash64. */
+  private val simhashBands: Seq[(Long, Long)] = Seq(
+    (1000003L, 1000000007L), (131L, 998244353L),
+    (137L, 1000000009L), (10007L, 999999937L))
+
+  /** SimHash fingerprints: 63-bit signature from per-token hash bit
     * votes. Near-dups land within small hamming distance; bucketing
-    * the 4 × 16-bit bands gives the candidate structure. xxhash64 is
-    * not reproducible in the oracle → rows-only check; the spec
-    * pins the semantics (twin docs ⇒ hamming ≤ 6).
+    * the 4 × 16-bit bands gives the candidate structure.
     *
-    * Shape: explode tokens → 64 codegen'd ±1-vote SUM aggregates →
-    * assemble the signature from the votes. The obvious alternative —
-    * an `aggregate(sequence(0,63), ...)` lambda with a nested
-    * `filter` per bit — is interpreted per element (O(64·tokens)
-    * non-codegen), the same trap measured at 4× on the MinHash
-    * signatures; this is its bit-vote twin. */
+    * Token hashes are engine-portable (char-level polynomial rolling
+    * hashes, one per band, same arithmetic in the DuckDB oracle), so
+    * the check is hash-exact — the round-3 xxhash64 version could
+    * only be rows-checked. Bit 63 is dropped from the assembled
+    * signature so it stays inside a non-negative BIGINT in both
+    * engines (no overflow-adjacent shiftleft(1L,63) edge).
+    *
+    * Shape: the interpreted char-fold lambdas run ONCE per distinct
+    * token (the dictionary, ~1e3 rows here and vocabulary-sized at
+    * any corpus scale), then join back to occurrences — AQE
+    * broadcasts the dictionary. Votes stay 64 codegen'd ±1-vote SUM
+    * aggregates; the nested-lambda alternative is interpreted per
+    * element, the trap measured at 4× on the MinHash signatures. */
   val qDedupSimhash = Q(
     (s, d) => {
-      val voteCols = (0 until 64).map(i =>
-        sum(expr(s"2 * ((h >> $i) & 1) - 1")).as(s"v$i"))
-      val sigExpr = (0 until 64)
-        .map(i => expr(s"IF(v$i > 0, shiftleft(1L, $i), 0L)"))
-        .reduce(_ + _)
-      Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .withColumn("h", xxhash64(col("t")))
+      val hashCols = simhashBands.zipWithIndex.map { case ((b, p), k) =>
+        expr(
+          s"""aggregate(transform(sequence(1, length(t)),
+                          i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+                        0L, (acc, x) -> (acc * ${b}L + x) % ${p}L) & 65535""")
+          .as(s"b$k")
+      }
+      val vocab = toks.select(col("t")).distinct()
+        .select(col("t") +: hashCols: _*)
+      val voteCols = (0 until 64).map(i =>
+        sum(expr(s"2 * ((b${i / 16} >> ${i % 16}) & 1) - 1")).as(s"v$i"))
+      val sigExpr = (0 until 63)
+        .map(i => expr(s"IF(v$i > 0, ${1L << i}L, 0L)"))
+        .reduce(_ + _)
+      toks.join(vocab, Seq("t"))
         .groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
         .withColumn("simhash", sigExpr)
@@ -413,7 +435,35 @@ object TextOps {
           expr("simhash & 65535").as("band3"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some {
+      val hashDefs = simhashBands.zipWithIndex.map { case ((b, p), k) =>
+        s"""LIST_REDUCE(LIST_TRANSFORM(RANGE(LENGTH(t)),
+              i -> CAST(ASCII(t[i + 1]) AS BIGINT)),
+              (acc, x) -> (acc * $b + x) % $p) & 65535 AS b$k"""
+      }.mkString(",\n           ")
+      val votes = (0 until 64)
+        .map(i => s"SUM(2 * ((b${i / 16} >> ${i % 16}) & 1) - 1) AS v$i")
+        .mkString(", ")
+      val sig = (0 until 63)
+        .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+           SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+         vocab AS (
+           SELECT t,
+           $hashDefs
+           FROM (SELECT DISTINCT t FROM toks)),
+         votes AS (
+           SELECT doc_id, $votes
+           FROM toks JOIN vocab USING (t) GROUP BY doc_id),
+         sig AS (SELECT doc_id, $sig AS simhash FROM votes)
+         SELECT doc_id, simhash,
+           (simhash >> 48) & 65535 AS band0,
+           (simhash >> 32) & 65535 AS band1,
+           (simhash >> 16) & 65535 AS band2,
+           simhash & 65535 AS band3
+         FROM sig ORDER BY doc_id"""
+    })
 
   /** Language ID by stopword-hit scoring against a tiny inline lexicon
     * (n-gram/keyword heuristic). The corpus vocabulary is synthetic, so

@@ -203,23 +203,54 @@ object VectorOps {
        WHERE $duckCosine >= 0.4
        ORDER BY vec_a, vec_b""")
 
+  /** Oracle twin of the Spark argmin assignment: nearest-centroid
+    * cell per vector from centroid CTE `cents`, ties broken by
+    * cent_id — identical (dist, cent_id) ordering on both engines. */
+  private def duckAssign(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, cell FROM (
+         SELECT n.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(64),
+               i -> (n.v[i + 1] - c.cv[i + 1]) * (n.v[i + 1] - c.cv[i + 1])),
+               (a, b) -> a + b) ASC, c.cent_id ASC) AS rn
+         FROM n, $cents c) t WHERE rn = 1)"""
+
+  /** Oracle twin of one Spark Lloyd step: per-(cell, dim) decimal
+    * mean over assignment CTE `asg`, reassembled dim-ordered. */
+  private def duckLloyd(name: String, asg: String): String =
+    s"""$name AS (
+         SELECT cell AS cent_id, LIST(mv ORDER BY pos) AS cv FROM (
+           SELECT cell, u.pos AS pos,
+             CAST(SUM(CAST(u.x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mv
+           FROM (SELECT a.cell,
+                   UNNEST(LIST_TRANSFORM(RANGE(64), i -> {'pos': i, 'x': n.v[i + 1]})) AS u
+                 FROM n JOIN $asg a USING (vec_id))
+           GROUP BY cell, u.pos)
+         GROUP BY cell)"""
+
   /** IVF-style ANN — the other scale path the brief names: a coarse
     * quantizer partitions vectors into cells; a query scores only the
-    * vectors in its nearest `nprobe` cells. Here the coarse centroids
-    * are a deterministic sample (every 250th vector) so both engines
-    * build the identical index; real deployments train them with
-    * k-means, but assignment/probe mechanics — the part that matters
-    * for the query plan — are the same: a broadcast centroid table, an
-    * argmin assignment (one narrow pass), and a cell-equi-join instead
-    * of an all-pairs scan. */
+    * vectors in its nearest `nprobe` cells.
+    *
+    * The coarse centroids are TRAINED: a deterministic seed sample
+    * (every 250th vector) refined by two Lloyd k-means iterations.
+    * Each iteration is one broadcast-argmin assignment pass plus one
+    * per-(cell, dim) mean — the mean accumulates in DECIMAL(18,6)
+    * and divides once in DOUBLE (the q_embed_centroids recipe), so
+    * both engines derive bit-identical centroids and the whole
+    * trained index is still oracle-checkable. Empty cells drop out
+    * identically on both sides. At scale each iteration is a narrow
+    * posexplode → partial-agg shuffle on (cell, dim) — centroid
+    * count × dims rows, never data-sized. */
   val qAnnIvf = Q(
     (s, d) => {
       val e = normed(s, d)
-      val cents = e.filter(col("vec_id") % 250 === 0)
+      val seed = e.filter(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       // assign every vector to its nearest centroid (deterministic
       // argmin via struct ordering: min (dist, cent_id))
-      def assigned(side: DataFrame, idc: String, vc: String, nc: String): DataFrame =
+      def assigned(cents: DataFrame, side: DataFrame, idc: String,
+                   vc: String, nc: String): DataFrame =
         side.crossJoin(broadcast(cents))
           .withColumn("dist",
             aggregate(zip_with(col(vc), col("cv"), (x, y) => (x - y) * (x - y)),
@@ -227,7 +258,19 @@ object VectorOps {
           .groupBy(col(idc))
           .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
           .select(col(idc), col("m.cent_id").as(s"cell_$nc"))
-      val cells = assigned(e, "vec_id", "v", "data")
+      // one Lloyd step: assign, then per-(cell, dim) decimal mean,
+      // reassembled into centroid arrays ordered by dim
+      def lloyd(cents: DataFrame): DataFrame =
+        e.join(assigned(cents, e, "vec_id", "v", "it"), Seq("vec_id"))
+          .select(col("cell_it").as("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg((sum(col("x").cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("mv"))
+          .groupBy(col("cent_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), p -> p.mv)")
+            .as("cv"))
+      val cents = lloyd(lloyd(seed))
+      val cells = assigned(cents, e, "vec_id", "v", "data")
       val indexed = e.join(cells, Seq("vec_id"))
       val q = indexed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -245,14 +288,12 @@ object VectorOps {
         .orderBy(col("query_id"), col("rank"))
     },
     s"""WITH n AS ($duckNormed),
-       cents AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 250 = 0),
-       asg AS (SELECT vec_id, cell FROM (
-                 SELECT n.vec_id, cents.cent_id AS cell,
-                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                     LIST_REDUCE(LIST_TRANSFORM(RANGE(64),
-                       i -> (n.v[i + 1] - cents.cv[i + 1]) * (n.v[i + 1] - cents.cv[i + 1])),
-                       (a, b) -> a + b) ASC, cents.cent_id ASC) AS rn
-                 FROM n, cents) t WHERE rn = 1),
+       cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 250 = 0),
+       ${duckAssign("asg0", "cents0")},
+       ${duckLloyd("cents1", "asg0")},
+       ${duckAssign("asg1", "cents1")},
+       ${duckLloyd("cents2", "asg1")},
+       ${duckAssign("asg", "cents2")},
        b AS (SELECT n.vec_id, n.v, n.norm, asg.cell FROM n JOIN asg USING (vec_id)),
        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $duckCosine AS cosine
              FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
