@@ -64,13 +64,29 @@ def main():
             print(f"SORT_ERR   {name}: {type(e).__name__}: {e}")
             n_bad += 1
             continue
-        # The driver's hash is dtype-sensitive (int64 123 != float64 123.0);
-        # flag kind mismatches even when values compare equal (round-1
-        # lesson: DuckDB integer SUM -> HUGEINT -> float64 vs spark int64).
+        # The driver's hash is dtype-sensitive at the KIND level (int64
+        # 123 != float64 123.0) but not the width level — CORRECTNESS_r03
+        # hash-passes spark int32 vs duck int64 and datetime64[ns] vs
+        # [us] on 23 queries. Mirror that: normalize both frames to
+        # canonical widths, then require exact dtype equality (round-1
+        # lesson: DuckDB integer SUM -> HUGEINT -> float64 vs spark
+        # int64; round-3 ADVICE: make the width policy explicit).
+        def canon(df):
+            out = df.copy()
+            for c in out.columns:
+                k = out[c].dtype.kind
+                if k in "iu":
+                    out[c] = out[c].astype("int64")
+                elif k == "f":
+                    out[c] = out[c].astype("float64")
+                elif k == "M":
+                    out[c] = out[c].astype("datetime64[ns]")
+            return out
+        a, b = canon(a), canon(b)
         kind_diff = [
             f"{c}: spark={a[c].dtype} duck={b[c].dtype}"
             for c in a.columns
-            if a[c].dtype.kind != b[c].dtype.kind
+            if a[c].dtype != b[c].dtype
         ]
         if kind_diff:
             print(f"DTYPE_DIFF {name}: {kind_diff}")

@@ -87,6 +87,13 @@ object Landing {
     * each leaf get its own file count). */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    // this implementation sizes and swaps via local filesystem calls;
+    // a URI-schemed path (s3a://, hdfs://) would silently list nothing
+    // and die with a misleading "no .parquet files" — reject it up
+    // front (an object-store compact swaps a catalog pointer instead)
+    require(!path.contains("://"),
+      s"compact() operates on local filesystem paths; got '$path' — " +
+        "object-store layouts compact via a metadata-catalog swap, not a rename")
     val dir = new java.io.File(path)
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
     require(!entries.exists(_.isDirectory),
@@ -102,7 +109,14 @@ object Landing {
     val dest = Paths.get(path)
     val old = Files.createTempDirectory(dir.getParentFile.toPath, ".pre_compact")
     Files.move(dest, old, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.move(Paths.get(tmp), dest)
+    try Files.move(Paths.get(tmp), dest)
+    catch { case e: Exception =>
+      // the original data is intact in `old` — surface the recovery
+      // path instead of stranding it in a hidden temp dir
+      throw new IllegalStateException(
+        s"compact swap failed after moving the original aside: " +
+          s"restore it with `mv $old $path` (compacted data is at $tmp)", e)
+    }
     // recursive: the pre-compact dir may hold partition subdirectories
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -32,10 +32,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     parquet's ReadSchema);
   *   - `SupportsPushDownFilters` — =, >, <, IS NOT NULL evaluate
   *     inside the partition reader; unsupported filters stay residual;
-  *   - one `InputPartition` per file → readers run in parallel across
-  *     executors (a production file source would further split large
-  *     files by byte range and use a Hadoop `FileIndex` for listing —
-  *     out of scope for the exhibit, noted for the 100 TB story).
+  *   - byte-range splits — each file is planned as
+  *     ceil(size / split_bytes) `InputPartition`s (Hadoop text-split
+  *     rule: a split seeks to start-1 and discards through the first
+  *     newline, so every line is read exactly once, by the split
+  *     where it STARTS; the split containing byte 0 skips the header
+  *     line instead). One 10 GB file therefore fans out across
+  *     executors rather than pinning one task — the property a 100 TB
+  *     file source must have. `split_bytes` is a read option so tests
+  *     can force multi-split plans on small files (a production
+  *     source would add a Hadoop `FileIndex` for distributed listing).
   *
   * Usage: `spark.read.format(classOf[TsvDataSource].getName).load(dir)`.
   */
@@ -46,12 +52,19 @@ class TsvDataSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new TsvTable(schema, properties.get("path"))
+    new TsvTable(schema, properties.get("path"),
+      Option(properties.get("split_bytes")).map(_.toLong)
+        .getOrElse(TsvFormat.DefaultSplitBytes))
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
 private[v2] object TsvFormat {
+  /** 32 MB default split: small enough that a handful of files keeps
+    * every core busy, large enough that per-task overhead stays
+    * negligible (same order as parquet's maxPartitionBytes). */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
+
   def listFiles(path: String): Seq[String] = {
     require(path != null, "path option is required")
     val p = Paths.get(path)
@@ -68,7 +81,11 @@ private[v2] object TsvFormat {
     val lines = Files.lines(Paths.get(files.head))
     val header = try lines.findFirst().orElseThrow() finally lines.close()
     StructType(header.split('\t').toSeq.map { cell =>
-      val Array(name, tpe) = cell.split(':')
+      val (name, tpe) = cell.split(':') match {
+        case Array(n, t) => (n, t)
+        case _ => throw new IllegalArgumentException(
+          s"malformed header cell '$cell', expected name:type")
+      }
       StructField(name, tpe match {
         case "int"    => IntegerType
         case "long"   => LongType
@@ -122,17 +139,17 @@ private[v2] object TsvFormat {
   }
 }
 
-private[v2] class TsvTable(tableSchema: StructType, path: String)
+private[v2] class TsvTable(tableSchema: StructType, path: String, splitBytes: Long)
     extends Table with SupportsRead {
   override def name(): String = s"tsv:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsvScanBuilder(tableSchema, path)
+    new TsvScanBuilder(tableSchema, path, splitBytes)
 }
 
-private[v2] class TsvScanBuilder(tableSchema: StructType, path: String)
+private[v2] class TsvScanBuilder(tableSchema: StructType, path: String, splitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -148,13 +165,16 @@ private[v2] class TsvScanBuilder(tableSchema: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TsvScan(tableSchema, required, pushed, path)
+  override def build(): Scan =
+    new TsvScan(tableSchema, required, pushed, path, splitBytes)
 }
 
-private[v2] case class TsvInputPartition(file: String) extends InputPartition
+/** One byte range [start, end) of one file. */
+private[v2] case class TsvInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 private[v2] class TsvScan(tableSchema: StructType, required: StructType,
-                          pushed: Array[Filter], path: String)
+                          pushed: Array[Filter], path: String, splitBytes: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -162,7 +182,12 @@ private[v2] class TsvScan(tableSchema: StructType, required: StructType,
     s"TsvScan(path=$path, read=${required.fieldNames.mkString(",")}, " +
       s"pushed=[${pushed.mkString(", ")}])"
   override def planInputPartitions(): Array[InputPartition] =
-    TsvFormat.listFiles(path).map(TsvInputPartition.apply).toArray
+    TsvFormat.listFiles(path).flatMap { f =>
+      val size = Files.size(Paths.get(f))
+      val n = math.max(1L, (size + splitBytes - 1) / splitBytes)
+      (0L until n).map(k =>
+        TsvInputPartition(f, k * splitBytes, math.min((k + 1) * splitBytes, size)))
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(tableSchema, required, pushed)
 }
@@ -172,13 +197,39 @@ private[v2] class TsvReaderFactory(tableSchema: StructType,
                                    pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[TsvInputPartition].file
+    val part = partition.asInstanceOf[TsvInputPartition]
+    val file = part.file
     new PartitionReader[InternalRow] {
-      private val lines = Files.newBufferedReader(
-        Paths.get(file), StandardCharsets.UTF_8)
       private val header = TsvFormat.inferSchema(Seq(file))
       require(header == tableSchema,
         s"file $file header ${header.simpleString} != table ${tableSchema.simpleString}")
+      private val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file))
+      private var pos = 0L
+      private val buf = new java.io.ByteArrayOutputStream(256)
+
+      /** next raw line as UTF-8 (sans newline), advancing `pos` past
+        * its terminator; null at EOF. Byte-counted by hand because
+        * BufferedReader hides offsets and multibyte chars break any
+        * chars-to-bytes guess. */
+      private def readRawLine(): String = {
+        var b = in.read()
+        if (b == -1) return null
+        buf.reset()
+        while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+        if (b == '\n') pos += 1
+        val s = new String(buf.toByteArray, StandardCharsets.UTF_8)
+        if (s.endsWith("\r")) s.substring(0, s.length - 1) else s
+      }
+
+      // Position at the first line this split owns. The split holding
+      // byte 0 consumes the header; any other seeks to start-1 and
+      // discards through the first newline — the straddling line
+      // belongs to the split where it starts, so each line is read
+      // exactly once across splits regardless of boundary placement.
+      if (part.start == 0) readRawLine()
+      else { in.skipNBytes(part.start - 1); pos = part.start - 1; readRawLine() }
+
       private val outIdx = required.fieldNames.map(tableSchema.fieldIndex)
       // parse ONLY the columns the scan needs: the pruned projection
       // plus any column a pushed filter references — this is what makes
@@ -187,30 +238,29 @@ private[v2] class TsvReaderFactory(tableSchema: StructType,
       private val neededIdx: Array[Int] =
         (outIdx ++ pushed.flatMap(_.references.map(tableSchema.fieldIndex)))
           .distinct.sorted
-      lines.readLine() // consume the header line
       private var row: Array[Any] = _
-      private var lineNo = 1L
 
       override def next(): Boolean = {
-        var line = lines.readLine()
-        while (line != null) {
-          lineNo += 1
+        // a line STARTING at or past `end` belongs to the next split
+        while (pos < part.end) {
+          val lineStart = pos
+          val line = readRawLine()
+          if (line == null) return false
           val cells = line.split("\t", -1)
           if (cells.length != tableSchema.length)
             throw new IllegalStateException(
-              s"$file:$lineNo: expected ${tableSchema.length} cells, got ${cells.length}")
+              s"$file@$lineStart: expected ${tableSchema.length} cells, got ${cells.length}")
           row = new Array[Any](tableSchema.length)
           neededIdx.foreach { i =>
             row(i) = TsvFormat.parse(cells(i), tableSchema(i).dataType)
           }
           if (pushed.forall(TsvFormat.eval(_, tableSchema, row))) return true
-          line = lines.readLine()
         }
         false
       }
       override def get(): InternalRow =
         InternalRow.fromSeq(outIdx.map(row).toSeq)
-      override def close(): Unit = lines.close()
+      override def close(): Unit = in.close()
     }
   }
 }

@@ -64,6 +64,35 @@ class TsvSourceSpec extends SparkSpec {
     assert(readTsv.rdd.getNumPartitions === 2)
   }
 
+  test("byte-range splits: a large file fans out and every line is read exactly once") {
+    val d = Files.createTempDirectory("graft_tsv_split")
+    // rows long enough that 256-byte splits land mid-line in many
+    // places, including (by varying widths) near line boundaries
+    val rows = (1 to 400).map(i => s"$i\t${"x" * (i % 37)}pad$i\t${i * 1.5}")
+    Files.writeString(d.resolve("big.tsv"),
+      "id:long\tname:string\tsales:double\n" + rows.mkString("\n") + "\n")
+    val df = spark.read.format(classOf[TsvDataSource].getName)
+      .option("split_bytes", "256").load(d.toString)
+    assert(df.rdd.getNumPartitions > 1, "expected >1 InputPartition for one large file")
+    assert(df.count() === 400)
+    // no line lost or double-read at any boundary, and values survive
+    assert(df.agg(sum(col("id"))).collect().head.getLong(0) === 400L * 401 / 2)
+    // pushdown still composes with splits
+    assert(df.where(col("id") <= 10).count() === 10)
+    // unsplit read agrees completely
+    val whole = spark.read.format(classOf[TsvDataSource].getName).load(d.toString)
+    assert(df.orderBy("id").collect().toSeq === whole.orderBy("id").collect().toSeq)
+  }
+
+  test("a malformed header cell is rejected with a clear message") {
+    val d = Files.createTempDirectory("graft_tsv_badcell")
+    Files.writeString(d.resolve("a.tsv"), "id:long\tname\n1\tx\n")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[TsvDataSource].getName).load(d.toString)
+    }
+    assert(e.getMessage.contains("malformed header cell 'name'"), e.getMessage)
+  }
+
   test("pushed string LessThan survives compareTo's arbitrary return values") {
     // "Government".compareTo("I") == -2: with an in-band -2 null
     // sentinel in the comparator this row was silently dropped
