@@ -45,7 +45,21 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ORDER=reverse flips the query sequence — the
+    // diagnostic for "is a slow query slow, or just late?" (round-3
+    // verdict: late-position queries reproducibly cost 3-4× their
+    // early twins). SPARK_GRAFT_HYGIENE=N clears the SQL cache and
+    // GCs every N queries, the candidate mitigation for that
+    // accumulated-session-state tax.
+    val ordered = {
+      val qs = SparkEntry.queries.toSeq
+      if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) qs.reverse else qs
+    }
+    val hygieneEvery = sys.env.get("SPARK_GRAFT_HYGIENE").map(_.toInt)
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      hygieneEvery.foreach { n =>
+        if (idx > 0 && idx % n == 0) { spark.catalog.clearCache(); System.gc() }
+      }
       val t = try math.min(timeOnce(fn), timeOnce(fn))
               catch { case _: Throwable => -1.0 }
       name -> t
@@ -57,8 +71,8 @@ object Bench {
     val (ok, bad) = results.partition(_._2 >= 0.0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val failed = bad.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench

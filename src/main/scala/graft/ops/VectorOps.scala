@@ -269,9 +269,14 @@ object VectorOps {
           .groupBy(col("cent_id"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), p -> p.mv)")
             .as("cv"))
-      val cents = lloyd(lloyd(seed))
+      // localCheckpoint truncates lineage at the index-build boundary:
+      // the trained centroid table (N/250 rows) and the assigned index
+      // (one row per vector) are each consumed by multiple downstream
+      // subplans (final assignment; query side; data side), and without
+      // the cut each consumer replays the whole training cascade
+      val cents = lloyd(lloyd(seed)).localCheckpoint()
       val cells = assigned(cents, e, "vec_id", "v", "data")
-      val indexed = e.join(cells, Seq("vec_id"))
+      val indexed = e.join(cells, Seq("vec_id")).localCheckpoint()
       val q = indexed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("norm").as("qnorm"), col("cell_data").as("cell"))

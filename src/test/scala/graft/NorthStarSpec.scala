@@ -99,6 +99,18 @@ class NorthStarSpec extends SparkSpec {
     assert(native === base)
   }
 
+  test("native-kernel knn rank-identity holds at sf0.1 too") {
+    // the float-vs-double ulp gap grows with corpus size (more
+    // near-ties possible); pin the agreement at the bench SF as well,
+    // so the only remaining rows-only queries are the two true
+    // sketches (approx_distinct / approx_quantiles)
+    val d = "/root/testdata/sf0.1"
+    def ranks(name: String) = SparkEntry.queries(name)(spark, d)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ranks("q_knn_native") === ranks("q_knn_bruteforce"))
+  }
+
   test("ann top-1 cosine never exceeds brute-force top-1") {
     val bf = run("q_knn_bruteforce").filter(col("rank") === 1)
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
