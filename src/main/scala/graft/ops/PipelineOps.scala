@@ -175,6 +175,54 @@ object PipelineOps {
        WHERE rk <= 20
        ORDER BY source, rk""")
 
+  /** Target-distribution mixing (DoReMi / Pile-style domain
+    * weighting): given target corpus shares per language and a token
+    * budget, derive per-stratum keep RATES from the measured corpus
+    * counts (rate = min(1, w·B / n)) and apply them as a
+    * deterministic hash-threshold filter. The output is the per-lang
+    * mixing report (measured size, derived rate, sampled size).
+    *
+    * Scale shape: the rate table is strata-sized (a tiny agg +
+    * broadcast join back); the keep decision is a pure map-side
+    * predicate on the same portable two-round hash as
+    * q_sample_stratified, so the sampler itself pushes into the scan.
+    * FLOOR before the bigint cast: Spark truncates double→long while
+    * DuckDB rounds, so the threshold must be made integral first. */
+  val qMixSources = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val weights = s.createDataFrame(Seq(
+        ("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)))
+        .toDF("lang", "w")
+      val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(weights, Seq("lang"))
+        .withColumn("rate", least(lit(1.0), col("w") * lit(200.0) / col("n_total")))
+        .withColumn("cut", expr("CAST(FLOOR(rate * 2147483629.0) AS BIGINT)"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .withColumn("h", expr(
+          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("kept", (col("h") < col("cut")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(max(col("n_total")).as("n_total"), max(col("rate")).as("rate"),
+          sum(col("kept")).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    """WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+       weights(lang, w) AS (VALUES
+         ('en', 0.40), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
+       rates AS (
+         SELECT c.lang, n_total,
+           LEAST(1.0, CAST(w AS DOUBLE) * 200.0 / n_total) AS rate,
+           CAST(FLOOR(LEAST(1.0, CAST(w AS DOUBLE) * 200.0 / n_total)
+                * 2147483629.0) AS BIGINT) AS cut
+         FROM counts c JOIN weights USING (lang))
+       SELECT d.lang, MAX(n_total) AS n_total, MAX(rate) AS rate,
+         CAST(SUM(CASE WHEN ((((doc_id + 1) * 2654435761) % 2147483647)
+                             * 2654435761) % 2147483629 < cut
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents d JOIN rates USING (lang)
+       GROUP BY d.lang ORDER BY d.lang""")
+
   /** Equal-frequency binning: decile of each doc's length within its
     * language (ntile) — the rank-based feature/stratification op
     * (length deciles are a standard curriculum/stratification axis).
@@ -323,6 +371,7 @@ object PipelineOps {
     "q_sample_per_group" -> qSamplePerGroup,
     "q_pack_sequences" -> qPackSequences,
     "q_token_percentiles" -> qTokenPercentiles,
+    "q_mix_sources" -> qMixSources,
     "q_length_deciles" -> qLengthDeciles,
     "q_length_histogram" -> qLengthHistogram,
     "q_curation_pipeline" -> qCurationPipeline)

@@ -465,6 +465,50 @@ object TextOps {
          FROM sig ORDER BY doc_id"""
     })
 
+  /** Benchmark decontamination — the training-pipeline stage that
+    * flags documents overlapping an evaluation set (GPT-3/Pile-style
+    * n-gram overlap): corpus docs sharing ≥ 3 word-bigram shingles
+    * with the benchmark are marked contaminated. The "benchmark" here
+    * is the doc_id % 100 == 0 slice standing in for an eval corpus;
+    * the planted twins of those docs are exactly what the stage must
+    * catch.
+    *
+    * Scale shape: the benchmark shingle set is eval-corpus-sized
+    * (thousands of docs, not billions) — explode it once, distinct,
+    * and let AQE broadcast it against the corpus shingle stream; the
+    * overlap count is a per-doc partial-agg groupBy. Never all-pairs,
+    * never a corpus-sized build side. */
+  val qDecontaminate = Q(
+    (s, d) => {
+      val sh = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val bench = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("shingle")).distinct()
+      val overlaps = sh.filter(col("doc_id") % 100 =!= 0)
+        .join(bench, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      Tables.documents(s, d).filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id"))
+        .join(overlaps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) >= 3).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH sh AS (
+         SELECT doc_id, UNNEST(shingles) AS shingle FROM ($duckShingles)),
+       bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+       ovl AS (
+         SELECT doc_id, COUNT(*) AS n_overlap
+         FROM sh JOIN bench USING (shingle)
+         WHERE doc_id % 100 <> 0 GROUP BY doc_id)
+       SELECT d.doc_id, COALESCE(o.n_overlap, 0) AS n_overlap,
+         COALESCE(o.n_overlap, 0) >= 3 AS contaminated
+       FROM documents d LEFT JOIN ovl o USING (doc_id)
+       WHERE d.doc_id % 100 <> 0
+       ORDER BY d.doc_id""")
+
   /** Language ID by stopword-hit scoring against a tiny inline lexicon
     * (n-gram/keyword heuristic). The corpus vocabulary is synthetic, so
     * the lexicon maps corpus words to language buckets — the operator
@@ -668,6 +712,7 @@ object TextOps {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_decontaminate" -> qDecontaminate,
     "q_lang_id" -> qLangId,
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,

@@ -54,6 +54,26 @@ class NorthStarSpec extends SparkSpec {
     assert(twinMean < randMean / 2.0, s"twin mean $twinMean vs random mean $randMean")
   }
 
+  test("decontamination flags every twin of a benchmark doc, never a benchmark doc") {
+    val flagged = run("q_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Boolean]("contaminated"))).toMap
+    // benchmark slice (doc_id % 100 == 0) must be absent from the report
+    assert(flagged.keys.forall(_ % 100 != 0))
+    // flag agrees with the threshold everywhere
+    flagged.foreach { case (id, (n, c)) => assert(c === (n >= 3), s"doc $id") }
+    // any planted twin straddling the benchmark boundary must be caught
+    val twins = run("q_ngram_jaccard").filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    twins.foreach {
+      case (a, b) if a % 100 == 0 && b % 100 != 0 =>
+        assert(flagged(b)._2, s"twin $b of benchmark doc $a not flagged")
+      case (a, b) if b % 100 == 0 && a % 100 != 0 =>
+        assert(flagged(a)._2, s"twin $a of benchmark doc $b not flagged")
+      case _ => ()
+    }
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, id = min member") {
     val clusters = run("q_dedup_clusters").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap

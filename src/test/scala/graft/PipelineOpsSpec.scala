@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   * inputs; the composed pipeline only ever shrinks its input. */
 class PipelineOpsSpec extends SparkSpec {
 
+  test("mixing rates derive exactly from counts; saturated strata keep everything") {
+    val weights = Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+    val rows = ops.PipelineOps.qMixSources.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, nTotal, rate, nKept) = (r.getAs[String]("lang"),
+        r.getAs[Long]("n_total"), r.getAs[Double]("rate"), r.getAs[Long]("n_kept"))
+      assert(rate === math.min(1.0, weights(lang) * 200.0 / nTotal), lang)
+      assert(nKept <= nTotal, lang)
+      if (rate == 1.0) assert(nKept === nTotal, s"$lang saturated but dropped rows")
+      else assert(nKept < nTotal, s"$lang rate $rate yet nothing dropped")
+    }
+  }
+
   test("stratified sample keeps a strict, deterministic, lang-skewed subset") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()
