@@ -264,6 +264,40 @@ object Relational {
        ON o_totalprice >= lo AND o_totalprice < hi
        GROUP BY band ORDER BY band""")
 
+  /** The SAME natural theta join as [[qJoinRange]], but binned
+    * AUTOMATICALLY by the [[graft.graft.plans.BinRangeJoin]] optimizer rule:
+    * the query AND-s a [[graft.graft.plans.BinWidthHint]] into its join
+    * condition and writes no binning code — the rule projects
+    * `floor(x/w)` on the probe side, explodes each interval to its
+    * overlapped bins, and equi-joins on the bin id with the exact
+    * predicate as residual. Identical results by construction (same
+    * oracle as both twins); PlanSpec asserts the nested-loop join is
+    * actually gone. The rule is registered per-session here the
+    * runtime way (`spark.experimental.extraOptimizations`); cluster
+    * deployments use `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  val qJoinRangeAuto = Q(
+    (s, d) => {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BinRangeJoin))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BinRangeJoin
+      val bands = s.createDataFrame(Seq(
+        (0.0, 100000.0, "low"), (100000.0, 300000.0, "mid"),
+        (300000.0, 1000000.0, "high")))
+        .toDF("lo", "hi", "band")
+      Tables.orders(s, d)
+        .join(bands,
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi") &&
+            graft.plans.BinWidthHint.binWidth(100000.0, col("o_totalprice"), col("lo")))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("band"))
+    },
+    s"""SELECT band, COUNT(*) AS n_orders, ${Num.sqlSum("o_totalprice")} AS total
+       FROM orders JOIN (VALUES (0.0, 100000.0, 'low'), (100000.0, 300000.0, 'mid'),
+                                (300000.0, 1000000.0, 'high')) AS b(lo, hi, band)
+       ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY band ORDER BY band""")
+
   /** As-of join, scalable formulation: instead of a per-key range join
     * (O(clicks × purchases) per user), union both event kinds and take
     * `max(click ts)` over an ordered running window — one shuffle on
@@ -785,6 +819,7 @@ object Relational {
     "q_join_full" -> qJoinFull,
     "q_join_range" -> qJoinRange,
     "q_join_range_binned" -> qJoinRangeBinned,
+    "q_join_range_auto" -> qJoinRangeAuto,
     "q_join_asof" -> qJoinAsof,
     "q_agg_stats" -> qAggStats,
     "q_count_distinct" -> qCountDistinct,

@@ -33,6 +33,8 @@ object FoldParseMoney extends Rule[LogicalPlan] {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => FoldParseMoney)
+    extensions.injectOptimizerRule(_ => BinRangeJoin)
+  }
 }

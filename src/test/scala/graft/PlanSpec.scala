@@ -110,6 +110,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("BinRangeJoin rule rewrites the natural theta join to an equi join") {
+    // the auto-binned twin registers the optimizer rule itself; its
+    // physical plan must contain an equi join on the synthesized bin
+    // ids and no nested loop — while producing qJoinRange's results
+    val df = SparkEntry.queries("q_join_range_auto")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"hint present but join still a nested loop:\n${plan.take(1500)}")
+    assert(plan.contains("graft_bin"), s"no synthesized bin key:\n${plan.take(1500)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(1500))
+    // result parity with the un-rewritten nested-loop twin
+    assert(df.collect().toSeq ===
+      SparkEntry.queries("q_join_range")(spark, sfDir).collect().toSeq)
+    // the hint alone (rule NOT registered) must not change results —
+    // BinWidthHint evaluates to true per row and the plan stays a
+    // nested loop, so an extension-less deployment degrades gracefully
+    val clean = spark.newSession()
+    val bands = clean.createDataFrame(Seq(
+      (0.0, 100000.0, "low"), (100000.0, 300000.0, "mid"),
+      (300000.0, 1000000.0, "high"))).toDF("lo", "hi", "band")
+    val unruled = Tables.orders(clean, sfDir)
+      .join(bands,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi") &&
+          graft.plans.BinWidthHint.binWidth(100000.0, col("o_totalprice"), col("lo")))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("band"))
+    assert(unruled.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(unruled.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // DPP is the 100 TB join pattern: the fact side is partitioned on
     // the join key, the dim side carries the selective filter, and the
