@@ -298,6 +298,31 @@ object Relational {
        ON o_totalprice >= lo AND o_totalprice < hi
        GROUP BY band ORDER BY band""")
 
+  /** Top-3 customers per market segment through the CUSTOM PHYSICAL
+    * OPERATOR [[graft.plans.TopKPerKey]] (LogicalPlan + SparkStrategy
+    * + SparkPlan, the third extension mechanism after native
+    * expressions and the BinRangeJoin optimizer rule): a bounded
+    * per-key heap replaces the window idiom's full per-partition sort
+    * — one shuffle, O(rows·log k), k·keys memory. Shares the
+    * row_number() formulation's oracle, so the custom operator is
+    * hash-checked against an independent engine. */
+  val qTopkGroupedNative = Q(
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      graft.plans.TopKPerKey.topKPerKey(base,
+          keys = Seq("c_mktsegment"),
+          order = Seq(("c_acctbal", true), ("c_custkey", false)), k = 3)
+        .orderBy(col("c_mktsegment"), col("rank"))
+    },
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+         FROM customer) t
+       WHERE rank <= 3
+       ORDER BY c_mktsegment, rank""")
+
   /** As-of join, scalable formulation: instead of a per-key range join
     * (O(clicks × purchases) per user), union both event kinds and take
     * `max(click ts)` over an ordered running window — one shuffle on
@@ -828,6 +853,7 @@ object Relational {
     "q_approx_quantiles" -> qApproxQuantiles,
     "q_agg_having" -> qAggHaving,
     "q_topk_global" -> qTopkGlobal,
+    "q_topk_grouped_native" -> qTopkGroupedNative,
     "q_window_topk" -> qWindowTopk,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,

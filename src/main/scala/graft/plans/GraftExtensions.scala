@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => FoldParseMoney)
     extensions.injectOptimizerRule(_ => BinRangeJoin)
+    extensions.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

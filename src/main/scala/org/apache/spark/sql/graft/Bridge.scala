@@ -1,15 +1,21 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 
-/** Column ⇄ Expression bridge. Spark 4 made the Column(Expression)
-  * constructor `private[sql]`; extensions that define native Catalyst
-  * expressions conventionally expose it through a shim in the
-  * org.apache.spark.sql namespace (same pattern third-party connectors
-  * use). Only [[graft.functions]] depends on this. */
+/** Column ⇄ Expression and DataFrame ⇄ LogicalPlan bridge. Spark 4
+  * made the Column(Expression) constructor and Dataset.ofRows
+  * `private[sql]`; extensions that define native Catalyst expressions
+  * or custom logical operators conventionally expose them through a
+  * shim in the org.apache.spark.sql namespace (same pattern
+  * third-party connectors use). Only [[graft.functions]] and
+  * [[graft.plans]] depend on this. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -141,6 +141,28 @@ class PlanSpec extends SparkSpec {
       df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("TopKPerKeyExec replaces the window sort and matches row_number semantics") {
+    val df = SparkEntry.queries("q_topk_grouped_native")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(1500))
+    assert(!plan.contains("Window"), s"window operator crept back in:\n${plan.take(1500)}")
+    // the child side must NOT be fully sorted — only the final
+    // presentation orderBy may sort, above the operator
+    val opIdx = plan.indexOf("TopKPerKey")
+    assert(!plan.substring(opIdx).contains("Sort"),
+      s"per-partition sort below the bounded heap:\n${plan.take(1500)}")
+    // parity with the declarative window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val twin = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("c_mktsegment"), col("rank"))
+    assert(df.collect().toSeq === twin.collect().toSeq)
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // DPP is the 100 TB join pattern: the fact side is partitioned on
     // the join key, the dim side carries the selective filter, and the
