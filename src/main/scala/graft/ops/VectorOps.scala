@@ -259,12 +259,15 @@ object VectorOps {
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
       // assign every vector to its nearest centroid (deterministic
       // argmin via struct ordering: min (dist, cent_id))
+      // native codegen'd L2 kernel — bit-identical to the HOF fold
+      // (same left-to-right IEEE sequence), so the oracle twin below
+      // still replays it exactly; it just skips the interpreted
+      // per-element lambda dispatch on the |N|×|cents| hot path
       def assigned(cents: DataFrame, side: DataFrame, idc: String,
                    vc: String, nc: String): DataFrame =
         side.crossJoin(broadcast(cents))
           .withColumn("dist",
-            aggregate(zip_with(col(vc), col("cv"), (x, y) => (x - y) * (x - y)),
-              lit(0.0), (a, x) => a + x))
+            graft.functions.L2DistExpr.l2Dist(col(vc), col("cv")))
           .groupBy(col(idc))
           .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
           .select(col(idc), col("m.cent_id").as(s"cell_$nc"))
