@@ -81,7 +81,10 @@ object BinRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       val conj = splitConjunctivePredicates(cond)
       val rewritten = for {
         h <- conj.collectFirst { case h: BinWidthHint => h }
-        w <- h.width match { case Literal(v: Double, DoubleType) => Some(v); case _ => None }
+        // non-positive width would floor NaN/Infinity bins — leave the
+        // join untouched rather than corrupt it
+        w <- h.width match {
+          case Literal(v: Double, DoubleType) if v > 0.0 => Some(v); case _ => None }
         g <- conj.collectFirst {
           case g @ GreaterThanOrEqual(x, lo)
             if numeric(x.dataType) && numeric(lo.dataType) &&

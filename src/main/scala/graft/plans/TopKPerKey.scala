@@ -57,6 +57,8 @@ object TopKPerKey {
     * `spark.sql.extensions=graft.plans.GraftExtensions`). */
   def topKPerKey(df: DataFrame, keys: Seq[String],
                  order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"topKPerKey needs k > 0, got $k")
+    require(keys.nonEmpty && order.nonEmpty, "topKPerKey needs keys and an order")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =

@@ -51,10 +51,17 @@ class TsvDataSource extends TableProvider {
     TsvFormat.inferSchema(TsvFormat.listFiles(options.get("path")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new TsvTable(schema, properties.get("path"),
-      Option(properties.get("split_bytes")).map(_.toLong)
-        .getOrElse(TsvFormat.DefaultSplitBytes))
+                        properties: JMap[String, String]): Table = {
+    val splitBytes = Option(properties.get("split_bytes")).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"split_bytes must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"split_bytes must be positive, got $n")
+      n
+    }.getOrElse(TsvFormat.DefaultSplitBytes)
+    new TsvTable(schema, properties.get("path"), splitBytes)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
