@@ -82,7 +82,12 @@ def main():
                 elif k == "M":
                     out[c] = out[c].astype("datetime64[ns]")
             return out
-        a, b = canon(a), canon(b)
+        try:
+            a, b = canon(a), canon(b)
+        except Exception as e:  # e.g. tz-aware datetime refusing [ns]
+            print(f"DTYPE_DIFF {name}: canonicalization failed: {e}")
+            n_bad += 1
+            continue
         kind_diff = [
             f"{c}: spark={a[c].dtype} duck={b[c].dtype}"
             for c in a.columns

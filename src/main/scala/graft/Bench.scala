@@ -55,7 +55,17 @@ object Bench {
       val qs = SparkEntry.queries.toSeq
       if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) qs.reverse else qs
     }
-    val hygieneEvery = sys.env.get("SPARK_GRAFT_HYGIENE").map(_.toInt)
+    // diagnostic-only: clearCache also drops SessionMemo's persisted
+    // shared stages (vec_buckets, shingle bitmaps), so memoized
+    // queries recompute them every run under hygiene mode — compare
+    // hygiene A/Bs only on non-memoized queries
+    val hygieneEvery = sys.env.get("SPARK_GRAFT_HYGIENE").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_HYGIENE must be a positive int, got '$v'")
+      }
+      require(n > 0, s"SPARK_GRAFT_HYGIENE must be positive, got $n"); n
+    }
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       hygieneEvery.foreach { n =>
         if (idx > 0 && idx % n == 0) { spark.catalog.clearCache(); System.gc() }

@@ -408,8 +408,13 @@ object TextOps {
     * element, the trap measured at 4× on the MinHash signatures. */
   val qDedupSimhash = Q(
     (s, d) => {
+      // drop empty tokens (doubled/leading spaces): a zero-length
+      // token would make DuckDB's no-init LIST_REDUCE error on an
+      // empty list while Spark folds sequence(1,0) = [1,0] DESCENDING
+      // over two phantom ascii('')=0 chars — divergent, not just ugly
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
       val hashCols = simhashBands.zipWithIndex.map { case ((b, p), k) =>
         expr(
           s"""aggregate(transform(sequence(1, length(t)),
@@ -448,7 +453,9 @@ object TextOps {
         .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
         .mkString(" + ")
       s"""WITH toks AS (
-           SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+           SELECT doc_id, t FROM (
+             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+           WHERE t <> ''),
          vocab AS (
            SELECT t,
            $hashDefs

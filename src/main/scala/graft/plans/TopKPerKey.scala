@@ -108,8 +108,16 @@ case class TopKPerKeyExec(
       // its key, so admission is a single head comparison
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty(rowOrd))
+        // probe with the projection's reused buffer; copy the key only
+        // on first sight — copying per row is pure GC churn when keys
+        // repeat millions of times
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty(rowOrd)
+            heaps.put(probe.copy(), h); h
+        }
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

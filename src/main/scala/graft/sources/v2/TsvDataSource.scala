@@ -207,9 +207,14 @@ private[v2] class TsvReaderFactory(tableSchema: StructType,
     val part = partition.asInstanceOf[TsvInputPartition]
     val file = part.file
     new PartitionReader[InternalRow] {
-      private val header = TsvFormat.inferSchema(Seq(file))
-      require(header == tableSchema,
-        s"file $file header ${header.simpleString} != table ${tableSchema.simpleString}")
+      // header-consistency check once per FILE (the split holding byte
+      // 0), not once per split — re-opening a 10 GB file's header from
+      // all ~320 of its splits is pure redundant IO
+      if (part.start == 0) {
+        val header = TsvFormat.inferSchema(Seq(file))
+        require(header == tableSchema,
+          s"file $file header ${header.simpleString} != table ${tableSchema.simpleString}")
+      }
       private val in = new java.io.BufferedInputStream(
         new java.io.FileInputStream(file))
       private var pos = 0L
