@@ -679,6 +679,49 @@ object Relational {
        ORDER BY revenue DESC, l_orderkey
        LIMIT 10""")
 
+  /** SQL path #5: TPC-H Q21-shaped blame query (suppliers who were
+    * the SOLE late shipper on a multi-supplier order) — the
+    * EXISTS + correlated NOT EXISTS pair, which planners turn into a
+    * left-semi and a left-anti join against the same fact; the NOT
+    * EXISTS additionally carries an outer reference to o_orderdate
+    * (two-table correlation). Timestamp + INTERVAL arithmetic is
+    * exact in both engines. */
+  val qSqlQ21 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+           FROM sql_supplier, sql_lineitem l1, sql_orders
+           WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             AND o_orderstatus = 'F'
+             AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+             AND EXISTS (SELECT 1 FROM sql_lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM sql_lineitem l3
+                             WHERE l3.l_orderkey = l1.l_orderkey
+                               AND l3.l_suppkey <> l1.l_suppkey
+                               AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name
+           LIMIT 20""")
+    },
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier, lineitem l1, orders
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 20""")
+
   /** Registers every star-schema table as a `sql_*` temp view so the
     * SQL-text entry path can name them; idempotent per session. */
   private def sqlViews(s: SparkSession, d: String): Unit =
@@ -870,6 +913,7 @@ object Relational {
     "q_sql_q5" -> qSqlQ5,
     "q_sql_q17" -> qSqlQ17,
     "q_sql_q18" -> qSqlQ18,
+    "q_sql_q21" -> qSqlQ21,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }
