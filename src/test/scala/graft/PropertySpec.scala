@@ -103,6 +103,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey equals the window formulation on random data (spark, 5 cases)") {
+    forAllN(Gen.zip(Gen.choose(1, 6), Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 7), Gen.choose(-1000, 1000)))), 5) { case (k, rows) =>
+      val s = spark
+      import s.implicits._
+      // unique id column as tiebreaker → total order → deterministic
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g.toLong, v.toDouble, i.toLong) }
+        .toDF("g", "v", "id")
+      val native = graft.plans.TopKPerKey.topKPerKey(
+        df, keys = Seq("g"), order = Seq(("v", true), ("id", false)), k = k)
+        .select("g", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v").desc, col("id").asc)
+      val twin = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("g", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(native === twin, s"k=$k")
+    }
+  }
+
   test("FoldParseMoney rule folds literal money strings at plan time") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.FoldParseMoney

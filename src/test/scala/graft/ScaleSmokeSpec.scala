@@ -65,6 +65,27 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(vocab.count() === 1000)
   }
 
+  test("BinRangeJoin rewrite on 5M points x 200 intervals (BNLJ would be 1e9 pairs)") {
+    // the rule's scale claim: the natural theta join over 5M points
+    // and 200 half-open intervals runs as a binned equi-join — the
+    // nested-loop form this replaces would score a billion pairs
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BinRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BinRangeJoin
+    val s = spark
+    import s.implicits._
+    val ivs = (0 until 200).map(i => (i * 500.0, i * 500.0 + 500.0, i.toLong))
+      .toDF("lo", "hi", "iv")
+    val pts = big.withColumn("x", col("id").cast("double") % 100000.0)
+    val joined = pts.join(ivs,
+      col("x") >= col("lo") && col("x") < col("hi") &&
+        graft.plans.BinWidthHint.binWidth(500.0, col("x"), col("lo")))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // intervals tile [0, 100000) exactly, so every point matches once
+    assert(joined.count() === 5000000L)
+  }
+
   test("exact dedup shape on 5M rows with heavy duplication") {
     // 1000 distinct keys duplicated 5000× each — the shuffle carries
     // one digest per distinct value, not the payload
