@@ -301,6 +301,23 @@ object TextOps {
     * the growing lineage each round — without it an iterative
     * DataFrame loop replans the whole history every iteration. The
     * oracle replays connectivity with a recursive CTE. */
+  /** Shared recursive-CTE oracle prelude: exact near-dup pairs →
+    * undirected edges → transitive closure → per-node min-label
+    * component (`comp(doc_id, cluster_id)`). Quadratic by nature —
+    * fine at the sf0.01 gate, skipped in sf0.1 sweeps (verify skill
+    * notes which oracles to pop). */
+  private val duckCompCtes =
+    s"""WITH RECURSIVE sh AS ($duckShingles),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
+             / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5),
+       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, v) AS (SELECT u, v FROM edges
+                       UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)"""
+
   val qDedupClusters = Q(
     (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_clusters:$d") {
       val pairs = qNgramJaccard.fn(s, d).select(col("doc_a"), col("doc_b"))
@@ -366,16 +383,7 @@ object TextOps {
           col("cluster_size"))
         .orderBy(col("cluster_id"), col("doc_id"))
     },
-    s"""WITH RECURSIVE sh AS ($duckShingles),
-       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-             / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5),
-       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-                 UNION SELECT doc_b, doc_a FROM pairs),
-       reach(u, v) AS (SELECT u, v FROM edges
-                       UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-       comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+    s"""$duckCompCtes
        SELECT c.cluster_id, c.doc_id, cnt.n AS cluster_size
        FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) cnt
          USING (cluster_id)
@@ -471,6 +479,46 @@ object TextOps {
            simhash & 65535 AS band3
          FROM sig ORDER BY doc_id"""
     })
+
+  /** Leakage-safe train/val/test split — assignment by NEAR-DUP
+    * CLUSTER, not by document: a doc and its twins always land in the
+    * same split, so evaluation can never see a paraphrase of a
+    * training document (the dedup-aware splitting every serious LLM
+    * data pipeline needs; splitting by raw doc_id leaks). Singleton
+    * docs are their own cluster; the cluster id feeds the same
+    * portable two-round hash as the samplers, 80/10/10.
+    *
+    * Scale shape: reuses the dedup-cluster output (cluster table is
+    * dup-graph-sized, tiny next to the corpus) left-joined back to
+    * the corpus — one broadcast-size join + a map-side hash bucket.
+    * The oracle replays clustering via the recursive CTE (quadratic —
+    * sf0.01-gate only, like q_dedup_clusters). */
+  val qSplitLeakageSafe = Q(
+    (s, d) => {
+      val clusters = qDedupClusters.fn(s, d).select(col("doc_id"), col("cluster_id"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("bucket", expr(
+          "pmod(pmod((cluster_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629) % 10"))
+        .withColumn("split", expr(
+          "CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END"))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    s"""$duckCompCtes,
+       assigned AS (
+         SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN comp c USING (doc_id)),
+       bucketed AS (
+         SELECT doc_id, cluster_id,
+           ((((cluster_id + 1) * 2654435761) % 2147483647) * 2654435761)
+             % 2147483629 % 10 AS bucket
+         FROM assigned)
+       SELECT doc_id, cluster_id,
+         CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val'
+              ELSE 'test' END AS split
+       FROM bucketed ORDER BY doc_id""")
 
   /** Benchmark decontamination — the training-pipeline stage that
     * flags documents overlapping an evaluation set (GPT-3/Pile-style
@@ -720,6 +768,7 @@ object TextOps {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_decontaminate" -> qDecontaminate,
+    "q_split_leakage_safe" -> qSplitLeakageSafe,
     "q_lang_id" -> qLangId,
     "q_text_quality" -> qTextQuality,
     "q_token_count" -> qTokenCount,

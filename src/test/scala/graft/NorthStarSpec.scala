@@ -74,6 +74,25 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: twins share a split; buckets are 80/10/10-shaped") {
+    val split = run("q_split_leakage_safe").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // every doc assigned exactly one of the three splits
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(split.size === Tables.documents(spark, sfDir).count())
+    // the leakage property: no near-dup pair straddles splits
+    val pairs = run("q_ngram_jaccard")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"twin pair ($a,$b) split across sets")
+    }
+    // train must dominate (hash buckets 0-7 of 10)
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.getOrElse("train", 0) > counts.getOrElse("val", 0))
+    assert(counts.getOrElse("train", 0) > counts.getOrElse("test", 0))
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, id = min member") {
     val clusters = run("q_dedup_clusters").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
