@@ -33,4 +33,19 @@ object Num {
   /** DuckDB twins, so Spark-side and oracle-side stay in lockstep. */
   def sqlSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+
+  /** Portable two-round multiply-mod hash of a non-negative id column
+    * — the ONE deterministic sampler/splitter hash, uniform in
+    * [0, 2147483629) and identical in both engines (all intermediates
+    * stay non-negative and below 2^63 while id < 2^63 / 2654435761 ≈
+    * 3.5e9; shard-local ids keep it there). Two rounds with different
+    * prime moduli: one affine step stays linear in the id and
+    * correlates with id-periodic strata (measured round 2); the mod-p1
+    * truncation between rounds breaks the linearity. Spark expr text
+    * and DuckDB twin come from the same helper so a constant tweak
+    * can never drift one engine. */
+  def hashExpr(idCol: String): String =
+    s"pmod(pmod(($idCol + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"
+  def sqlHash(idCol: String): String =
+    s"(((($idCol + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629"
 }

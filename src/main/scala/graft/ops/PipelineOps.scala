@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Num, Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators — the filter/scrub/sample half of
@@ -128,8 +128,7 @@ object PipelineOps {
   val qSampleStratified = Q(
     (s, d) =>
       Tables.documents(s, d)
-        .withColumn("h", expr(
-          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("h", expr(Num.hashExpr("doc_id")))
         .withColumn("threshold", expr(
           """CASE WHEN lang = 'en' THEN 1073741814
                   WHEN lang = 'de' THEN 536870907
@@ -137,8 +136,8 @@ object PipelineOps {
         .filter(col("h") < col("threshold"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id")),
-    """SELECT doc_id, lang, source FROM documents
-       WHERE ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 <
+    s"""SELECT doc_id, lang, source FROM documents
+       WHERE ${Num.sqlHash("doc_id")} <
          CASE WHEN lang = 'en' THEN 1073741814
               WHEN lang = 'de' THEN 536870907
               ELSE 214748362 END
@@ -159,17 +158,16 @@ object PipelineOps {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("h").asc, col("doc_id").asc)
       Tables.documents(s, d)
-        .withColumn("h", expr(
-          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("h", expr(Num.hashExpr("doc_id")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
         .select(col("source"), col("doc_id"), col("rk"))
         .orderBy(col("source"), col("rk"))
     },
-    """SELECT source, doc_id, rk FROM (
+    s"""SELECT source, doc_id, rk FROM (
          SELECT source, doc_id,
            ROW_NUMBER() OVER (PARTITION BY source
-             ORDER BY ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 ASC,
+             ORDER BY ${Num.sqlHash("doc_id")} ASC,
                       doc_id ASC) AS rk
          FROM documents) t
        WHERE rk <= 20
@@ -199,15 +197,14 @@ object PipelineOps {
         .withColumn("rate", least(lit(1.0), col("w") * lit(200.0) / col("n_total")))
         .withColumn("cut", expr("CAST(FLOOR(rate * 2147483629.0) AS BIGINT)"))
       docs.join(broadcast(rates), Seq("lang"))
-        .withColumn("h", expr(
-          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("h", expr(Num.hashExpr("doc_id")))
         .withColumn("kept", (col("h") < col("cut")).cast("long"))
         .groupBy(col("lang"))
         .agg(max(col("n_total")).as("n_total"), max(col("rate")).as("rate"),
           sum(col("kept")).as("n_kept"))
         .orderBy(col("lang"))
     },
-    """WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+    s"""WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
        weights(lang, w) AS (VALUES
          ('en', 0.40), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
        rates AS (
@@ -217,8 +214,7 @@ object PipelineOps {
                 * 2147483629.0) AS BIGINT) AS cut
          FROM counts c JOIN weights USING (lang))
        SELECT d.lang, MAX(n_total) AS n_total, MAX(rate) AS rate,
-         CAST(SUM(CASE WHEN ((((doc_id + 1) * 2654435761) % 2147483647)
-                             * 2654435761) % 2147483629 < cut
+         CAST(SUM(CASE WHEN ${Num.sqlHash("doc_id")} < cut
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        FROM documents d JOIN rates USING (lang)
        GROUP BY d.lang ORDER BY d.lang""")
@@ -299,8 +295,7 @@ object PipelineOps {
         .orderBy(col("h").asc, col("doc_id").asc)
       Tables.documents(s, d)
         .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("h", expr(
-          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("h", expr(Num.hashExpr("doc_id")))
         .withColumn("cum_before",
           coalesce(sum(col("n_tokens")).over(
             order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -315,7 +310,7 @@ object PipelineOps {
        FROM (
          SELECT lang, doc_id, n_tokens,
            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
-             ORDER BY ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 ASC,
+             ORDER BY ${Num.sqlHash("doc_id")} ASC,
                       doc_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          FROM (SELECT lang, doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens
@@ -344,14 +339,13 @@ object PipelineOps {
         .agg(min(col("doc_id")).as("doc_id"),
           expr("min_by(lang, doc_id)").as("lang"))
       deduped
-        .withColumn("h", expr(
-          "pmod(pmod((doc_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629)"))
+        .withColumn("h", expr(Num.hashExpr("doc_id")))
         .filter(col("h") < when(col("lang") === "en", 1073741814)
           .otherwise(536870907))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
-    """WITH gated AS (
+    s"""WITH gated AS (
          SELECT doc_id, lang, text FROM documents
          WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 10 AND 100000
            AND LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the')),
@@ -359,7 +353,7 @@ object PipelineOps {
          SELECT MIN(doc_id) AS doc_id, ARG_MIN(lang, doc_id) AS lang
          FROM gated GROUP BY text)
        SELECT doc_id, lang FROM deduped
-       WHERE ((((doc_id + 1) * 2654435761) % 2147483647) * 2654435761) % 2147483629 <
+       WHERE ${Num.sqlHash("doc_id")} <
          CASE WHEN lang = 'en' THEN 1073741814 ELSE 536870907 END
        ORDER BY doc_id""")
 

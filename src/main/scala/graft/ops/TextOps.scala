@@ -291,16 +291,6 @@ object TextOps {
            / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
        ORDER BY doc_a, doc_b""")
 
-  /** Near-dup cluster canonicalization — the step that turns pairwise
-    * matches into dedup decisions: connected components over the
-    * near-dup graph, each doc labeled with its component's minimum
-    * doc_id (the canonical survivor). Implemented as iterative
-    * min-label propagation (the Pregel/GraphX formulation): each round
-    * every node takes the min of its own and its neighbors' labels;
-    * converges in ≤ graph-diameter rounds. `localCheckpoint` truncates
-    * the growing lineage each round — without it an iterative
-    * DataFrame loop replans the whole history every iteration. The
-    * oracle replays connectivity with a recursive CTE. */
   /** Shared recursive-CTE oracle prelude: exact near-dup pairs →
     * undirected edges → transitive closure → per-node min-label
     * component (`comp(doc_id, cluster_id)`). Quadratic by nature —
@@ -318,6 +308,16 @@ object TextOps {
                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)"""
 
+  /** Near-dup cluster canonicalization — the step that turns pairwise
+    * matches into dedup decisions: connected components over the
+    * near-dup graph, each doc labeled with its component's minimum
+    * doc_id (the canonical survivor). Implemented as iterative
+    * min-label propagation (the Pregel/GraphX formulation): each round
+    * every node takes the min of its own and its neighbors' labels;
+    * converges in ≤ graph-diameter rounds. `localCheckpoint` truncates
+    * the growing lineage each round — without it an iterative
+    * DataFrame loop replans the whole history every iteration. The
+    * oracle replays connectivity with a recursive CTE. */
   val qDedupClusters = Q(
     (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_clusters:$d") {
       val pairs = qNgramJaccard.fn(s, d).select(col("doc_a"), col("doc_b"))
@@ -499,8 +499,7 @@ object TextOps {
       Tables.documents(s, d).select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .withColumn("bucket", expr(
-          "pmod(pmod((cluster_id + 1) * 2654435761, 2147483647) * 2654435761, 2147483629) % 10"))
+        .withColumn("bucket", expr(s"${graft.Num.hashExpr("cluster_id")} % 10"))
         .withColumn("split", expr(
           "CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END"))
         .select(col("doc_id"), col("cluster_id"), col("split"))
@@ -512,8 +511,7 @@ object TextOps {
          FROM documents d LEFT JOIN comp c USING (doc_id)),
        bucketed AS (
          SELECT doc_id, cluster_id,
-           ((((cluster_id + 1) * 2654435761) % 2147483647) * 2654435761)
-             % 2147483629 % 10 AS bucket
+           ${graft.Num.sqlHash("cluster_id")} % 10 AS bucket
          FROM assigned)
        SELECT doc_id, cluster_id,
          CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val'

@@ -190,6 +190,15 @@ private[v2] class TsvScan(tableSchema: StructType, required: StructType,
       s"pushed=[${pushed.mkString(", ")}])"
   override def planInputPartitions(): Array[InputPartition] =
     TsvFormat.listFiles(path).flatMap { f =>
+      // validate every file's header ONCE, at planning time on the
+      // driver: fail-fast with the header-mismatch message before any
+      // task launches — per-split reader checks either multiplied the
+      // header IO by the split count (round-4 review #1) or, checked
+      // only in split 0, let data splits of a drifted file misparse
+      // rows first (review #2)
+      val header = TsvFormat.inferSchema(Seq(f))
+      require(header == tableSchema,
+        s"file $f header ${header.simpleString} != table ${tableSchema.simpleString}")
       val size = Files.size(Paths.get(f))
       val n = math.max(1L, (size + splitBytes - 1) / splitBytes)
       (0L until n).map(k =>
@@ -207,14 +216,8 @@ private[v2] class TsvReaderFactory(tableSchema: StructType,
     val part = partition.asInstanceOf[TsvInputPartition]
     val file = part.file
     new PartitionReader[InternalRow] {
-      // header-consistency check once per FILE (the split holding byte
-      // 0), not once per split — re-opening a 10 GB file's header from
-      // all ~320 of its splits is pure redundant IO
-      if (part.start == 0) {
-        val header = TsvFormat.inferSchema(Seq(file))
-        require(header == tableSchema,
-          s"file $file header ${header.simpleString} != table ${tableSchema.simpleString}")
-      }
+      // header consistency is validated at planning time (once per
+      // file, on the driver) — see planInputPartitions
       private val in = new java.io.BufferedInputStream(
         new java.io.FileInputStream(file))
       private var pos = 0L

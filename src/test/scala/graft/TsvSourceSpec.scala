@@ -110,14 +110,19 @@ class TsvSourceSpec extends SparkSpec {
     assert(msg.contains("expected 2 cells, got 1"), msg)
   }
 
-  test("a file whose header disagrees with the table schema fails loudly") {
+  test("a file whose header disagrees with the table schema fails loudly at planning") {
     val d = Files.createTempDirectory("graft_tsv_bad")
     Files.writeString(d.resolve("a.tsv"), "id:long\tname:string\n1\tx\n")
     Files.writeString(d.resolve("b.tsv"), "id:long\tprice:double\n2\t3.5\n")
-    val e = intercept[org.apache.spark.SparkException] {
+    // validation happens in planInputPartitions (driver side, before
+    // any task launches), so the header message is the DIRECT failure,
+    // not buried under a task-failure stack
+    val e = intercept[Exception] {
       spark.read.format(classOf[TsvDataSource].getName).load(d.toString).collect()
     }
-    assert(e.getMessage.contains("header") || e.getCause.getMessage.contains("header"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("header"), msgs)
   }
 
   test("unsupported column type in the header is rejected at inference") {
