@@ -75,7 +75,16 @@ def main():
             out = df.copy()
             for c in out.columns:
                 k = out[c].dtype.kind
-                if k in "iu":
+                if k == "u":
+                    # numpy astype('int64') silently WRAPS uint values
+                    # >= 2^63, so two frames could hash-agree on wrapped
+                    # garbage (round-4 ADVICE). Fail loudly instead.
+                    if len(out[c]) and int(out[c].max()) > 2**63 - 1:
+                        raise ValueError(
+                            f"column {c}: uint64 value {out[c].max()} "
+                            "exceeds int64 range — refusing to wrap")
+                    out[c] = out[c].astype("int64")
+                elif k == "i":
                     out[c] = out[c].astype("int64")
                 elif k == "f":
                     out[c] = out[c].astype("float64")

@@ -432,7 +432,10 @@ object TextOps {
       }
       val vocab = toks.select(col("t")).distinct()
         .select(col("t") +: hashCols: _*)
-      val voteCols = (0 until 64).map(i =>
+      // bits 0..62 only: the signature keeps the sign bit clear so the
+      // band arithmetic stays portable, so a v63 vote would be dead
+      // work in a 64-agg groupBy (round-4 ADVICE)
+      val voteCols = (0 until 63).map(i =>
         sum(expr(s"2 * ((b${i / 16} >> ${i % 16}) & 1) - 1")).as(s"v$i"))
       val sigExpr = (0 until 63)
         .map(i => expr(s"IF(v$i > 0, ${1L << i}L, 0L)"))
@@ -454,7 +457,7 @@ object TextOps {
               i -> CAST(ASCII(t[i + 1]) AS BIGINT)),
               (acc, x) -> (acc * $b + x) % $p) & 65535 AS b$k"""
       }.mkString(",\n           ")
-      val votes = (0 until 64)
+      val votes = (0 until 63)
         .map(i => s"SUM(2 * ((b${i / 16} >> ${i % 16}) & 1) - 1) AS v$i")
         .mkString(", ")
       val sig = (0 until 63)

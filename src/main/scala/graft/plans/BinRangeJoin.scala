@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Whole-operator Catalyst extension: automatic binning of
   * point-in-interval (range) joins.
@@ -43,7 +43,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * Scale judgment: the rewrite turns O(|fact| × |dim|) into
   * O(|fact| + Σ interval_width / w) shuffle-or-broadcast work; the
   * residual filter keeps semantics exact, so a too-coarse width only
-  * costs extra candidate pairs, never correctness. */
+  * costs extra candidate pairs, never correctness. A too-FINE width is
+  * guarded: empty intervals (lo > hi — always-false in the original
+  * predicate) explode to an empty bin array instead of tripping
+  * Sequence's illegal-boundaries check, and any interval wider than
+  * [[BinRangeJoin.MaxBinsPerInterval]] bins fails fast with a message
+  * naming the fix (larger width / drop the hint) instead of
+  * materializing a multi-gigabyte per-row array. */
 case class BinWidthHint(width: Expression, probe: Expression, bound: Expression)
     extends TernaryExpression with Predicate with CodegenFallback {
   // references both join sides (probe: fact, bound: dim) so predicate
@@ -67,7 +73,38 @@ object BinWidthHint {
       Bridge.expression(probe), Bridge.expression(bound)))
 }
 
+/** Runtime guard for the binned-interval explode: evaluated only when
+  * an interval spans more bins than the rewrite is willing to
+  * materialize. Throws with the interval's actual bin count and the
+  * two remedies, instead of letting Spark hit the array-length cap or
+  * an executor OOM with no hint of the cause. Declared array-typed so
+  * it can sit in the error branch of the `If` around [[Sequence]]. */
+case class BinCapError(binLo: Expression, binHi: Expression, cap: Long)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = binLo
+  override def right: Expression = binHi
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val lo = binLo.eval(input).asInstanceOf[Long]
+    val hi = binHi.eval(input).asInstanceOf[Long]
+    throw new IllegalStateException(
+      s"BinWidthHint: one interval spans ${hi - lo + 1} bins " +
+        s"(bin $lo..$hi, cap $cap). The bin width is too small for this " +
+        "interval — raise the width in binWidth(...), or drop the hint " +
+        "to keep the nested-loop join for this query.")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(binLo = newLeft, binHi = newRight)
+}
+
 object BinRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Hard per-interval bin cap: 1M bins ≈ an 8 MB long array per dim
+    * row — already pathological; anything past it is a mis-set width,
+    * not a workload. */
+  val MaxBinsPerInterval: Long = 1L << 20
 
   private def numeric(t: DataType): Boolean =
     t.isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -104,9 +141,27 @@ object BinRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         // it is UNRESOLVED and the optimizer's plan-integrity validation
         // rejects the rewrite (integer sequences never use it, but
         // resolution still demands one)
-        val seq = new Sequence(bin(g.right, w), bin(l.right, w), Some(Literal(1L)))
+        val (binLo, binHi) = (bin(g.right, w), bin(l.right, w))
+        val seq = new Sequence(binLo, binHi, Some(Literal(1L)))
           .withTimeZone(conf.sessionLocalTimeZone)
-        val gen = Generate(Explode(seq), Nil, outer = false, None, Seq(rBin), right)
+        // Two runtime guards around the explode (bin exprs are LongType,
+        // so the comparisons type-check regardless of the bound types):
+        //  * empty interval (lo > hi): the original predicate is
+        //    always-false there, so emit zero bins — Sequence itself
+        //    would throw 'Illegal sequence boundaries'. Note lo > hi
+        //    within ONE bin still yields that single bin; the residual
+        //    filter kills any matches, so semantics hold either way.
+        //  * oversized interval (> MaxBinsPerInterval, e.g. hi = +Inf
+        //    or a mis-set tiny width): fail fast with the remedy
+        //    instead of materializing the array.
+        val guarded = If(
+          GreaterThan(binLo, binHi),
+          Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)),
+          If(
+            LessThanOrEqual(Subtract(binHi, binLo), Literal(MaxBinsPerInterval - 1)),
+            seq,
+            BinCapError(binLo, binHi, MaxBinsPerInterval)))
+        val gen = Generate(Explode(guarded), Nil, outer = false, None, Seq(rBin), right)
         val newCond = (EqualTo(lBin.toAttribute, rBin) +: residual).reduce(And)
         Project(j.output, Join(newLeft, gen, Inner, Some(newCond), hint))
       }

@@ -52,6 +52,12 @@ case class TopKPerKey(
 }
 
 object TopKPerKey {
+  /** Session conf key bounding distinct keys held per partition (the
+    * heap map has no spill path — see [[TopKPerKeyExec.doExecute]]).
+    * Default 4M keys: at k=3 small rows that is ~hundreds of MB, the
+    * edge of sane for an executor; past it the window idiom wins. */
+  val MaxKeysPerPartitionKey = "spark.graft.topk.maxKeysPerPartition"
+
   /** Column-API entry point; registers the strategy in the session
     * (the runtime path — cluster deployments get it from
     * `spark.sql.extensions=graft.plans.GraftExtensions`). */
@@ -101,6 +107,12 @@ case class TopKPerKeyExec(
     // locals only: capturing `this` would drag the SparkPlan tree
     // into the task closure
     val (g, ord, kk, schema, out) = (groupExprs, order, k, child.output, output)
+    // the heap map pins k rows per DISTINCT key with no spill path —
+    // that is the whole point (no sort, no spill machinery), so
+    // high-cardinality misuse must fail predictably, not OOM an
+    // executor. Cap resolved at plan time from the session conf.
+    val maxKeys = conf.getConfString(
+      TopKPerKey.MaxKeysPerPartitionKey, "4000000").toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(g, schema)
       val rowOrd = RowOrdering.create(ord, schema)
@@ -115,6 +127,14 @@ case class TopKPerKeyExec(
         val heap = heaps.get(probe) match {
           case Some(h) => h
           case None =>
+            if (heaps.size >= maxKeys)
+              throw new IllegalStateException(
+                s"topKPerKey: more than $maxKeys distinct keys in one " +
+                  "partition — the bounded-heap operator holds k rows per " +
+                  "key in memory with no spill path. For high-cardinality " +
+                  "keys use the row_number() window idiom (which spills its " +
+                  "sort), repartition to more partitions, or raise " +
+                  s"${TopKPerKey.MaxKeysPerPartitionKey}.")
             val h = mutable.PriorityQueue.empty(rowOrd)
             heaps.put(probe.copy(), h); h
         }

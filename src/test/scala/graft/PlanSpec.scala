@@ -141,6 +141,55 @@ class PlanSpec extends SparkSpec {
       df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("BinRangeJoin guards empty intervals and caps oversized ones") {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BinRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BinRangeJoin
+    val facts = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS x")
+    def joined(dim: Seq[(Double, Double, String)], w: Double) = {
+      val bands = spark.createDataFrame(dim).toDF("lo", "hi", "band")
+      facts.join(bands,
+        col("x") >= col("lo") && col("x") < col("hi") &&
+          graft.plans.BinWidthHint.binWidth(w, col("x"), col("lo")))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .orderBy(col("band"))
+    }
+    // a lo > hi row is an always-false predicate in the nested-loop
+    // original; the rewrite must yield no match, not a Sequence
+    // 'Illegal sequence boundaries' crash — both across bins (500>100)
+    // and inside one bin (250.7>250.2, where the residual filter does
+    // the work)
+    val res = joined(Seq((0.0, 100.0, "ok"), (500.0, 100.0, "empty"),
+      (250.7, 250.2, "tiny_empty")), 50.0).collect()
+    assert(res.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("ok", 100L)))
+    // an interval spanning more bins than the cap must fail fast with
+    // the remedy in the message, not materialize a giant per-row array
+    val e = intercept[Exception] {
+      joined(Seq((0.0, 1e12, "huge")), 0.001).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(messages(e).contains("BinWidthHint"), messages(e).take(800))
+  }
+
+  test("TopKPerKeyExec fails predictably past the distinct-key cap") {
+    spark.conf.set(graft.plans.TopKPerKey.MaxKeysPerPartitionKey, "10")
+    try {
+      val df = spark.range(0, 1000)
+        .selectExpr("id AS k", "id % 7 AS v").repartition(1)
+      val e = intercept[Exception] {
+        graft.plans.TopKPerKey.topKPerKey(
+          df.toDF(), Seq("k"), Seq(("v", true)), 2).collect()
+      }
+      def messages(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+      assert(messages(e).contains("distinct keys"), messages(e).take(800))
+      assert(messages(e).contains("row_number"), "error must name the fallback idiom")
+    } finally spark.conf.unset(graft.plans.TopKPerKey.MaxKeysPerPartitionKey)
+  }
+
   test("TopKPerKeyExec replaces the window sort and matches row_number semantics") {
     val df = SparkEntry.queries("q_topk_grouped_native")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
