@@ -825,6 +825,131 @@ object Relational {
        ORDER BY o_totalprice DESC, o_orderkey
        LIMIT 20""")
 
+  /** SQL path #6: TPC-H Q7 (volume shipping between a nation pair) —
+    * the self-join of a dimension (nation joined twice, as supplier
+    * nation n1 and customer nation n2) under a symmetric pair
+    * predicate, plus a YEAR() rollup of a derived revenue column.
+    * Catalyst broadcasts both nation legs and pushes the shipdate
+    * range to the scan; the OR-of-pairs predicate cannot be pushed
+    * below the join (it references both legs) and stays a post-join
+    * filter — the planner-correct placement. */
+  val qSqlQ7 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT supp_nation, cust_nation, l_year,
+             ${Num.sqlSum("volume")} AS revenue
+           FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   YEAR(l_shipdate) AS l_year,
+                   l_extendedprice * (1.0 - l_discount) AS volume
+                 FROM sql_supplier, sql_lineitem, sql_orders,
+                      sql_customer, sql_nation n1, sql_nation n2
+                 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                   AND c_custkey = o_custkey
+                   AND s_nationkey = n1.n_nationkey
+                   AND c_nationkey = n2.n_nationkey
+                   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                   AND l_shipdate >= TIMESTAMP '1995-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+           GROUP BY supp_nation, cust_nation, l_year
+           ORDER BY supp_nation, cust_nation, l_year""")
+    },
+    s"""SELECT supp_nation, cust_nation, l_year,
+         ${Num.sqlSum("volume")} AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l_shipdate) AS l_year,
+               l_extendedprice * (1.0 - l_discount) AS volume
+             FROM supplier, lineitem, orders, customer,
+                  nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey
+               AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l_shipdate >= TIMESTAMP '1995-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year""")
+
+  /** SQL path #7: TPC-H Q10 (returned-item reporting) — identify the
+    * customers who returned the most revenue in one quarter: a
+    * selective fact filter (returnflag = 'R' + one quarter of orders)
+    * followed by a wide GROUP BY over customer attributes and a
+    * top-20. The revenue sort key is decimal-exact so the LIMIT
+    * cutoff cannot flip between engines. */
+  val qSqlQ10 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT c_custkey, c_name,
+             ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             c_acctbal, n_name
+           FROM sql_customer, sql_orders, sql_lineitem, sql_nation
+           WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             AND o_orderdate >= TIMESTAMP '1995-10-01'
+             AND o_orderdate < TIMESTAMP '1996-01-01'
+             AND l_returnflag = 'R'
+             AND c_nationkey = n_nationkey
+           GROUP BY c_custkey, c_name, c_acctbal, n_name
+           ORDER BY revenue DESC, c_custkey
+           LIMIT 20""")
+    },
+    s"""SELECT c_custkey, c_name,
+         ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         c_acctbal, n_name
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1995-10-01'
+         AND o_orderdate < TIMESTAMP '1996-01-01'
+         AND l_returnflag = 'R'
+         AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""")
+
+  /** SQL path #8: TPC-H Q22-shaped dormancy query — above-average-
+    * balance customers with NO recent orders, counted per nation.
+    * (Literal Q22 buckets by phone country code; the synthetic
+    * customer table carries no phone column, and every customer has
+    * SOME order, so the anti-join is windowed to 'since 2000'.)
+    * Exercises an UNcorrelated scalar subquery (planned as a
+    * broadcast-able single-row threshold) plus a correlated NOT
+    * EXISTS with its own pushed date filter → left-anti join against
+    * a pre-filtered orders side. The threshold average is
+    * decimal-exact: customers balanced near the cut must land on the
+    * same side in both engines. */
+  val qSqlQ22 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT n_name, COUNT(*) AS numcust,
+             ${Num.sqlSum("c_acctbal")} AS totacctbal
+           FROM sql_customer c JOIN sql_nation ON c_nationkey = n_nationkey
+           WHERE c_acctbal > (
+               SELECT 0.5 * (${Num.sqlAvg("c2.c_acctbal")})
+               FROM sql_customer c2 WHERE c2.c_acctbal > 0.0)
+             AND NOT EXISTS (
+               SELECT 1 FROM sql_orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+           GROUP BY n_name
+           ORDER BY n_name""")
+    },
+    s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+         ${Num.sqlSum("c_acctbal")} AS totacctbal
+       FROM customer c JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_acctbal > (
+           SELECT 0.5 * (${Num.sqlAvg("c2.c_acctbal")})
+           FROM customer c2 WHERE c2.c_acctbal > 0.0)
+         AND NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY n_name
+       ORDER BY n_name""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -911,9 +1036,12 @@ object Relational {
     "q_union_by_name" -> qUnionByName,
     "q_sql_q3" -> qSqlQ3,
     "q_sql_q5" -> qSqlQ5,
+    "q_sql_q7" -> qSqlQ7,
+    "q_sql_q10" -> qSqlQ10,
     "q_sql_q17" -> qSqlQ17,
     "q_sql_q18" -> qSqlQ18,
     "q_sql_q21" -> qSqlQ21,
+    "q_sql_q22" -> qSqlQ22,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }
