@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The true Structured Streaming surface (SURVEY.md §2B Streaming
   * row). The graded verify/bench contract is batch, so these live
@@ -168,4 +169,62 @@ object StreamingDemo {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  final case class UserAgg(n: Long, total: Double)
+  final case class UserSnapshot(userId: Long, n: Long, total: Double,
+                                recentN: Int, recentMax: Double)
+
+  /** Spark-4 arbitrary stateful processing v2 (`transformWithState`):
+    * the successor to mapGroupsWithState, with NAMED state variables
+    * (value/list/map) instead of one opaque blob, per-variable TTL,
+    * and timers decoupled from output. This processor keeps two
+    * variables per user — a running [[UserAgg]] ValueState and a
+    * last-3-values ListState — something v1 could only fake by
+    * packing both into a single case class rewritten wholesale on
+    * every event. Requires the RocksDB state store provider (the
+    * engine rejects the HDFS heap store for v2), which is the right
+    * production default anyway once state outgrows executor heap. TTL
+    * here is NONE for deterministic tests; a real pipeline would pass
+    * `TTLConfig(Duration.ofDays(30))` per variable to bound state
+    * without the coarse query-wide watermark eviction. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserSnapshot] {
+    @transient private var totals: ValueState[UserAgg] = _
+    @transient private var recent: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState(
+        "totals", Encoders.product[UserAgg], TTLConfig.NONE)
+      recent = getHandle.getListState(
+        "recent", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[UserSnapshot] = {
+      val vals = rows.map(_._2).toArray
+      val prev = if (totals.exists()) totals.get() else UserAgg(0L, 0.0)
+      val next = UserAgg(prev.n + vals.length, prev.total + vals.sum)
+      totals.update(next)
+      // bounded list state: keep only the 3 newest values — the state
+      // store never accumulates per-key history the logic doesn't need
+      val kept = (recent.get().toArray ++ vals).takeRight(3)
+      recent.put(kept)
+      Iterator.single(UserSnapshot(key, next.n, next.total, kept.length, kept.max))
+    }
+  }
+
+  /** Per-user running totals + recent-window summary on the v2 state
+    * API; emits one snapshot row per user per micro-batch (update
+    * mode), exactly like [[runningTotals]] does on v1 — StreamingSpec
+    * pins the two APIs to the same totals. */
+  def runningTotalsV2(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
 }
