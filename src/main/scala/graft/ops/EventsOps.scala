@@ -268,7 +268,44 @@ object EventsOps {
        FROM weekly w JOIN cohort c ON w.user_id = c.user_id
        GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
 
+  /** Batch twin of the `transformWithState` v2 processor
+    * ([[graft.streaming.StreamingDemo.RunningTotalsProcessor]]): the
+    * final per-user snapshot its ValueState + bounded ListState would
+    * hold after the stream drains — event count, running total, and
+    * the size/max of the last-3-values window. "Last" in the batch
+    * twin is (ts, event_id) order, the deterministic stand-in for the
+    * stream's arrival order. One shuffle total: the row_number window
+    * and the groupBy share the user_id hash partitioning, so the
+    * aggregation reuses the window's exchange. recent_max is a max
+    * over ≤3 doubles — order-independent, so it hash-matches the
+    * oracle without a decimal detour; the full-history total uses the
+    * usual decimal-sum portability rule. */
+  val qEventsRunningTotals = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          Num.dsum(col("value")).as("total"),
+          sum(when(col("rn") <= 3, 1L).otherwise(0L)).cast("long").as("recent_n"),
+          max(when(col("rn") <= 3, col("value"))).as("recent_max"))
+        .orderBy(col("user_id"))
+    },
+    s"""SELECT user_id, COUNT(*) AS n, ${Num.sqlSum("value")} AS total,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS recent_n,
+       MAX(CASE WHEN rn <= 3 THEN value END) AS recent_max
+       FROM (SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) t
+       GROUP BY user_id ORDER BY user_id""")
+
   val defs: Map[String, Q] = Map(
+    "q_events_running_totals" -> qEventsRunningTotals,
     "q_events_gapfill" -> qEventsGapfill,
     "q_cohort_retention" -> qCohortRetention,
     "q_scd2_history" -> qScd2History,

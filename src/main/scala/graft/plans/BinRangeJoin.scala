@@ -88,11 +88,41 @@ case class BinCapError(binLo: Expression, binHi: Expression, cap: Long)
   override def eval(input: InternalRow): Any = {
     val lo = binLo.eval(input).asInstanceOf[Long]
     val hi = binHi.eval(input).asInstanceOf[Long]
+    // hi - lo itself can overflow Long (±Infinity bounds floor to
+    // Long.Min/MaxValue) — report the span overflow-safely
+    val span =
+      try String.valueOf(Math.addExact(Math.subtractExact(hi, lo), 1L))
+      catch { case _: ArithmeticException => "more than 2^63" }
     throw new IllegalStateException(
-      s"BinWidthHint: one interval spans ${hi - lo + 1} bins " +
+      s"BinWidthHint: one interval spans $span bins " +
         s"(bin $lo..$hi, cap $cap). The bin width is too small for this " +
         "interval — raise the width in binWidth(...), or drop the hint " +
         "to keep the nested-loop join for this query.")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(binLo = newLeft, binHi = newRight)
+}
+
+/** Overflow-safe span-within-cap predicate: true iff the interval
+  * spans at most `cap` bins. A plain `Subtract(binHi, binLo)` wraps on
+  * Long overflow (e.g. a -Infinity bound bins to Long.MinValue, +Inf
+  * to Long.MaxValue), and the wrapped small value would slip past the
+  * cap check and die in Sequence's opaque 'too long sequence' error —
+  * exactly the failure the cap exists to replace. `Math.subtractExact`
+  * turns that wrap into an exception, which we read as over-cap.
+  * CodegenFallback is fine here: it runs once per interval (dim) row,
+  * never on the fact side. */
+case class BinSpanWithinCap(binLo: Expression, binHi: Expression, cap: Long)
+    extends BinaryExpression with Predicate with CodegenFallback {
+  override def left: Expression = binLo
+  override def right: Expression = binHi
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val lo = binLo.eval(input).asInstanceOf[Long]
+    val hi = binHi.eval(input).asInstanceOf[Long]
+    try Math.subtractExact(hi, lo) <= cap - 1
+    catch { case _: ArithmeticException => false }
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -146,19 +176,25 @@ object BinRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           .withTimeZone(conf.sessionLocalTimeZone)
         // Two runtime guards around the explode (bin exprs are LongType,
         // so the comparisons type-check regardless of the bound types):
-        //  * empty interval (lo > hi): the original predicate is
-        //    always-false there, so emit zero bins — Sequence itself
-        //    would throw 'Illegal sequence boundaries'. Note lo > hi
-        //    within ONE bin still yields that single bin; the residual
-        //    filter kills any matches, so semantics hold either way.
+        //  * null or empty interval (null bound, or lo > hi): the
+        //    original predicate is null-or-false there, so emit zero
+        //    bins — Sequence itself would throw 'Illegal sequence
+        //    boundaries' on lo > hi, and a bare GreaterThan evaluates
+        //    null on null bounds, which If routes into the WRONG
+        //    (cap-error) branch. IsNull folds nulls into the empty
+        //    branch explicitly. Note lo > hi within ONE bin still
+        //    yields that single bin; the residual filter kills any
+        //    matches, so semantics hold either way.
         //  * oversized interval (> MaxBinsPerInterval, e.g. hi = +Inf
         //    or a mis-set tiny width): fail fast with the remedy
-        //    instead of materializing the array.
+        //    instead of materializing the array. The span check is
+        //    overflow-safe (BinSpanWithinCap) — a wrapped Subtract
+        //    would let a ±Infinity-bound interval past the cap.
         val guarded = If(
-          GreaterThan(binLo, binHi),
+          Or(IsNull(binLo), Or(IsNull(binHi), GreaterThan(binLo, binHi))),
           Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)),
           If(
-            LessThanOrEqual(Subtract(binHi, binLo), Literal(MaxBinsPerInterval - 1)),
+            BinSpanWithinCap(binLo, binHi, MaxBinsPerInterval),
             seq,
             BinCapError(binLo, binHi, MaxBinsPerInterval)))
         val gen = Generate(Explode(guarded), Nil, outer = false, None, Seq(rBin), right)

@@ -171,6 +171,31 @@ class PlanSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
     assert(messages(e).contains("BinWidthHint"), messages(e).take(800))
+    // ±Infinity bounds bin to Long.Min/MaxValue; a wrapping Subtract
+    // span (MaxValue - MinValue = -1) would slip past the cap into
+    // Sequence's opaque 'too long sequence' error — the overflow-safe
+    // check must route it to the cap error with the remedy instead
+    val e2 = intercept[Exception] {
+      joined(Seq((Double.NegativeInfinity, Double.PositiveInfinity, "inf")), 50.0)
+        .collect()
+    }
+    assert(messages(e2).contains("BinWidthHint"), messages(e2).take(800))
+    // null bounds must emit zero bins (the original nested-loop
+    // predicate is null → no match), not route into the cap-error
+    // branch; constraint propagation normally masks this by inferring
+    // IsNotNull from the residual, so disable it to hit the guard
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try {
+      val nb = spark.createDataFrame(Seq(
+        (Some(0.0), Some(100.0), "ok"), (None, Some(100.0), "null_lo"),
+        (Some(0.0), None, "null_hi"))).toDF("lo", "hi", "band")
+      val r2 = facts.join(nb,
+        col("x") >= col("lo") && col("x") < col("hi") &&
+          graft.plans.BinWidthHint.binWidth(50.0, col("x"), col("lo")))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .orderBy(col("band")).collect()
+      assert(r2.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("ok", 100L)))
+    } finally spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
   }
 
   test("TopKPerKeyExec fails predictably past the distinct-key cap") {

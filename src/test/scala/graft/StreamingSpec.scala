@@ -244,6 +244,49 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("transformWithState v2 matches v1 totals and the batch twin's last-3 window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // v2 state (named variables) requires the RocksDB provider — the
+    // engine rejects the HDFS heap store for transformWithState
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val out = StreamingDemo.runningTotalsV2(spark, input.toDF())
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 00:01:00"), 7L, "click", 1.5),
+        Ev(2L, ts("2024-01-01 00:02:00"), 7L, "click", 2.5))
+      out.processAllAvailable()
+      input.addData(
+        Ev(3L, ts("2024-01-01 00:03:00"), 7L, "view", 4.0),
+        Ev(4L, ts("2024-01-01 00:04:00"), 7L, "view", 0.5))
+      out.processAllAvailable()
+      val last = spark.table("tws_test")
+        .filter(col("userId") === 7L).orderBy(col("n").desc).head()
+      // totals identical to what v1 (mapGroupsWithState) accumulates …
+      assert(last.getAs[Long]("n") === 4L)
+      assert(math.abs(last.getAs[Double]("total") - 8.5) < 1e-9)
+      // … and the bounded ListState holds exactly the batch twin's
+      // last-3 window (q_events_running_totals: values 2.5, 4.0, 0.5
+      // by ts order = arrival order here → recent_n 3, recent_max 4.0)
+      assert(last.getAs[Int]("recentN") === 3)
+      assert(math.abs(last.getAs[Double]("recentMax") - 4.0) < 1e-9)
+    } finally {
+      out.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("mapGroupsWithState accumulates running per-user totals") {
     val s = spark
     import s.implicits._
