@@ -951,6 +951,152 @@ object Relational {
        GROUP BY n_name
        ORDER BY n_name""")
 
+  /** SQL path #9: TPC-H Q4 (order priority checking) — a correlated
+    * EXISTS whose inner predicate compares two columns ACROSS the
+    * correlation (l_shipdate vs o_orderdate + 60 days), so it cannot
+    * be pre-filtered on the inner side alone; Catalyst plans it as a
+    * left-semi join with the date arithmetic in the join condition.
+    * (Literal Q4 uses l_commitdate < l_receiptdate; the fixture's
+    * lineitem carries neither, so "late" is shipped >60 days after
+    * the order date — same shape, same plan.) */
+  val qSqlQ4 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+           FROM sql_orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND EXISTS (
+               SELECT 1 FROM sql_lineitem
+               WHERE l_orderkey = o_orderkey
+                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""")
+    },
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""")
+
+  /** SQL path #10: TPC-H Q6 (forecasting revenue change) — the
+    * pure scan-filter-aggregate: no join at all, three range
+    * predicates all pushed to the parquet scan, one decimal-exact
+    * SUM of a per-row product. The baseline "how fast can the engine
+    * eat the fact table" query; at 100 TB it is bounded by scan
+    * bandwidth × the pushed-filter selectivity, nothing else. */
+  val qSqlQ6 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT ${Num.sqlSum("l_extendedprice * l_discount")} AS revenue
+           FROM sql_lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07
+             AND l_quantity < 24.0""")
+    },
+    s"""SELECT ${Num.sqlSum("l_extendedprice * l_discount")} AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24.0""")
+
+  /** SQL path #11: TPC-H Q14 (promotion effect) — the conditional-
+    * aggregate ratio: one join, two decimal-exact sums over the same
+    * rows (a CASE-guarded numerator and the full denominator), one
+    * IEEE double division at the end. Both sums go through the
+    * decimal cast so the ratio's inputs are bit-identical in either
+    * engine; the division itself is a single exact-rounded op. */
+  val qSqlQ14 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT 100.0 *
+             ${Num.sqlSum("CASE WHEN p_type = 'PROMO' " +
+               "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+             ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue
+           FROM sql_lineitem JOIN sql_part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'""")
+    },
+    s"""SELECT 100.0 *
+         ${Num.sqlSum("CASE WHEN p_type = 'PROMO' " +
+           "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1996-04-01'""")
+
+  /** SQL path #12: TPC-H Q16 (parts/supplier relationship) — the
+    * NOT IN anti join: unlike Q21/Q22's NOT EXISTS, NOT IN has
+    * null-aware semantics (one NULL in the subquery empties the
+    * result), so Spark plans a LeftAnti with the null-aware flag —
+    * a genuinely different operator from the EXISTS family. Plus
+    * COUNT(DISTINCT) over a three-column grouping. (Literal Q16
+    * reads partsupp and screens '%Complaints%' comments; the fixture
+    * has neither, so lineitem is the part↔supplier association and
+    * low-balance suppliers are the excluded set — same plan shape.) */
+  val qSqlQ16 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+           FROM sql_part JOIN sql_lineitem ON p_partkey = l_partkey
+           WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+             AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+             AND l_suppkey NOT IN (
+               SELECT s_suppkey FROM sql_supplier WHERE s_acctbal < 2000.0)
+           GROUP BY p_brand, p_type, p_size
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    },
+    """SELECT p_brand, p_type, p_size,
+         COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+         AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         AND l_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+
+  /** SQL path #13: TPC-H Q19 (discounted revenue) — the disjunctive
+    * join predicate: an equi key AND an OR-of-ANDs mixing columns
+    * from both sides. Catalyst keeps the equi key for the hash join,
+    * evaluates the disjunction as a post-join filter, and (via CNF
+    * conversion) pushes the part-only disjunction `brand∈{...} AND
+    * size≤35`-ish residue down to the part scan — the query pattern
+    * that punishes engines without predicate normalization. */
+  val qSqlQ19 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           FROM sql_lineitem JOIN sql_part ON p_partkey = l_partkey
+           WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 1.0 AND 11.0)
+              OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                    AND l_quantity BETWEEN 10.0 AND 20.0)
+              OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                    AND l_quantity BETWEEN 20.0 AND 30.0)""")
+    },
+    s"""SELECT ${Num.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1.0 AND 11.0)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10.0 AND 20.0)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20.0 AND 30.0)""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -1036,8 +1182,13 @@ object Relational {
     "q_set_union_all" -> qSetUnionAll,
     "q_union_by_name" -> qUnionByName,
     "q_sql_q3" -> qSqlQ3,
+    "q_sql_q4" -> qSqlQ4,
     "q_sql_q5" -> qSqlQ5,
+    "q_sql_q6" -> qSqlQ6,
     "q_sql_q7" -> qSqlQ7,
+    "q_sql_q14" -> qSqlQ14,
+    "q_sql_q16" -> qSqlQ16,
+    "q_sql_q19" -> qSqlQ19,
     "q_sql_q10" -> qSqlQ10,
     "q_sql_q17" -> qSqlQ17,
     "q_sql_q18" -> qSqlQ18,

@@ -37,6 +37,19 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("q_sql_q16: NOT IN plans the null-aware anti join; q_sql_q4 EXISTS a semi join") {
+    // NOT IN has null-aware semantics (one NULL in the subquery empties
+    // the result) — Spark must plan a LeftAnti with the
+    // isNullAwareAntiJoin flag set (the trailing `true` in the BHJ
+    // argument list), not rewrite to the plain EXISTS anti join
+    val q16 = planOf("q_sql_q16")
+    assert(q16.contains("LeftAnti"), q16.take(1500))
+    assert(q16.contains("LeftAnti, BuildRight, true"),
+      s"anti join lost its null-aware flag:\n${q16.take(1500)}")
+    val q4 = planOf("q_sql_q4")
+    assert(q4.contains("LeftSemi"), q4.take(1500))
+  }
+
   test("q1: aggregation is partial (map-side) + final") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("partial_sum") || plan.contains("partial_"),
