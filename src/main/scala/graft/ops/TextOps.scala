@@ -225,6 +225,31 @@ object TextOps {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
+  /** Shared MinHash/LSH banding stage: (doc_id, band_idx, band_hash)
+    * from a shingled frame. 32 minhashes — min over murmur3(shingle,
+    * k), k = 0..31 — computed as 32 min-aggregates over the *exploded*
+    * shingle stream rather than nested array lambdas: higher-order
+    * lambdas are interpreted per element, while explode + hash + min
+    * is whole-stage-codegen'd end to end (measured ~4× faster here).
+    * Then 8 bands of 4 rows each → band key = hash(band index, four
+    * sig rows). The band frame carries ids + band key only — callers
+    * never shuffle shingle arrays through the candidate join. Used by
+    * the full self-dedup ([[qDedupMinhash]]) and the incremental
+    * batch-vs-corpus screen ([[qDedupIncremental]]). */
+  private def minhashBands(sh: DataFrame): DataFrame = {
+    val minCols = (0 until 32).map(k => min(hash(col("shingle"), lit(k))).as(s"m$k"))
+    val sig = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig", array((0 until 32).map(k => col(s"m$k")): _*))
+      .select(col("doc_id"), col("sig"))
+    sig.select(col("doc_id"),
+      posexplode(expr("""transform(sequence(0, 7),
+        j -> hash(j, element_at(sig, 4 * j + 1), element_at(sig, 4 * j + 2),
+                     element_at(sig, 4 * j + 3), element_at(sig, 4 * j + 4)))"""))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
   /** MinHash + LSH banding near-dup detection — the scale path: 32
     * minhashes per doc, 8 bands × 4 rows; only same-band docs are
     * paired, then candidates are confirmed with exact jaccard ≥ 0.5.
@@ -245,27 +270,7 @@ object TextOps {
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
         .persist()
-      // 32 minhashes: min over murmur3(shingle, k), k = 0..31 —
-      // computed as 32 min-aggregates over the *exploded* shingle
-      // stream rather than nested array lambdas: higher-order lambdas
-      // are interpreted per element, while explode + hash + min is
-      // whole-stage-codegen'd end to end (measured ~4× faster here).
-      val minCols = (0 until 32).map(k => min(hash(col("shingle"), lit(k))).as(s"m$k"))
-      val sig = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .withColumn("sig", array((0 until 32).map(k => col(s"m$k")): _*))
-        .select(col("doc_id"), col("sig"))
-      // 8 bands of 4 rows each → band key = hash(band index, four sig
-      // rows). Keep the band join lean (ids + band key only — never
-      // shuffle shingle arrays through it), dedup candidate id pairs,
-      // then attach the two shingle arrays for the exact confirm.
-      val banded = sig
-        .select(col("doc_id"),
-          posexplode(expr("""transform(sequence(0, 7),
-            j -> hash(j, element_at(sig, 4 * j + 1), element_at(sig, 4 * j + 2),
-                         element_at(sig, 4 * j + 3), element_at(sig, 4 * j + 4)))"""))
-            .as(Seq("band_idx", "band_hash")))
+      val banded = minhashBands(sh)
       val la = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
       val lb = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
       val cand = la.join(lb, Seq("band_idx", "band_hash"))
@@ -290,6 +295,59 @@ object TextOps {
        WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
            / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
        ORDER BY doc_a, doc_b""")
+
+  /** Incremental near-dup dedup — the production ingest shape: screen
+    * an INCOMING BATCH against an EXISTING CORPUS instead of
+    * self-joining everything. Corpus = even doc_ids, batch = odd
+    * doc_ids (a deterministic stand-in for "yesterday's index" vs
+    * "today's shard"). Same MinHash/LSH banding as [[qDedupMinhash]],
+    * but the candidate join is strictly batch×corpus: at 100 TB the
+    * corpus band table is a precomputed, incrementally-maintained
+    * index (append the new batch's bands after the screen), the batch
+    * side is small, and the join never generates corpus×corpus or
+    * batch×batch pairs — per-ingest cost is O(batch), not O(corpus²).
+    * Output: one decision row per matched batch doc (match count,
+    * first corpus match, best jaccard). The exact-jaccard oracle
+    * replays the decision because the corpus is similarity-bimodal
+    * (see qDedupMinhash's recall note); the all-pairs oracle is
+    * quadratic — popped in sf0.1 sweeps alongside q_ngram_jaccard. */
+  val qDedupIncremental = Q(
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_incremental:$d") {
+      val sh = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
+        .persist()
+      val banded = minhashBands(sh)
+      val corpus = banded.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+      val batch = banded.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      val cand = batch.join(corpus, Seq("band_idx", "band_hash"))
+        .select(col("doc_id"), col("corpus_id")).distinct()
+      val shB = sh.select(col("doc_id"), col("shingles").as("sh_b"), col("sz").as("sz_b"))
+      val shC = sh.select(col("doc_id").as("corpus_id"),
+        col("shingles").as("sh_c"), col("sz").as("sz_c"))
+      cand.join(shB, Seq("doc_id")).join(shC, Seq("corpus_id"))
+        .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_b") + col("sz_c") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("corpus_id")).as("first_match"),
+          max(col("jaccard")).as("best_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    s"""WITH sh AS ($duckShingles),
+       jm AS (
+         SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+           CAST(LEN(LIST_INTERSECT(b.shingles, c.shingles)) AS DOUBLE)
+             / (LEN(b.shingles) + LEN(c.shingles)
+                - LEN(LIST_INTERSECT(b.shingles, c.shingles))) AS jaccard
+         FROM sh b JOIN sh c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+       SELECT doc_id, COUNT(*) AS n_matches, MIN(corpus_id) AS first_match,
+         MAX(jaccard) AS best_jaccard
+       FROM jm WHERE jaccard >= 0.5
+       GROUP BY doc_id ORDER BY doc_id""")
 
   /** Shared recursive-CTE oracle prelude: exact near-dup pairs →
     * undirected edges → transitive closure → per-node min-label
@@ -766,6 +824,7 @@ object TextOps {
     "q_dedup_exact" -> qDedupExact,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_decontaminate" -> qDecontaminate,

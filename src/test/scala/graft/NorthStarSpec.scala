@@ -93,6 +93,26 @@ class NorthStarSpec extends SparkSpec {
     assert(counts.getOrElse("train", 0) > counts.getOrElse("test", 0))
   }
 
+  test("incremental dedup screens exactly the odd members of cross-parity pairs") {
+    // the batch-vs-corpus screen must agree with the full self-dedup:
+    // a batch (odd-id) doc is flagged iff the full pair set contains a
+    // near-dup pair linking it to a corpus (even-id) doc
+    val full = run("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val expected = full.collect {
+      case (a, b) if a % 2 != b % 2 => if (a % 2 == 1) a else b
+    }.toSet
+    val inc = run("q_dedup_incremental").collect()
+    assert(inc.map(_.getAs[Long]("doc_id")).toSet === expected)
+    inc.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 2 === 1, "corpus doc leaked into the batch report")
+      assert(r.getAs[Long]("first_match") % 2 === 0, "batch doc reported as a corpus match")
+      assert(r.getAs[Long]("n_matches") >= 1L)
+      val bj = r.getAs[Double]("best_jaccard")
+      assert(bj >= 0.5 && bj <= 1.0)
+    }
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, id = min member") {
     val clusters = run("q_dedup_clusters").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
