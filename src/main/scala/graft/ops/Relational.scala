@@ -1146,7 +1146,124 @@ object Relational {
         .orderBy(col("nationkey")),
     s"($richCustSql) EXCEPT ($richSuppSql) ORDER BY nationkey")
 
+  /** Snapshot diff (CDC shape) — classify every key across two table
+    * versions as added / removed / changed with ONE co-partitioned
+    * full-outer join, the primitive behind incremental medallion
+    * refresh ("what changed since yesterday's gold?"). The two
+    * versions are derived deterministically from orders: yesterday's
+    * snapshot lacks the `% 13` keys (added since), today's dropped the
+    * `% 10` keys (removed), and a `% 7`-of-open-orders slice had a 10%
+    * price correction (changed). Unchanged rows — the overwhelming
+    * majority at scale — are filtered out AFTER the join but BEFORE
+    * the sort, so the expensive ordering only sees the delta. At
+    * 100 TB both snapshots live bucketed by the key and the
+    * full-outer SMJ runs with zero exchanges; the diff output is the
+    * exact input a MERGE/upsert step applies downstream. Per-row
+    * `* 1.1` doubles are bit-identical cross-engine; the null sides
+    * of added/removed rows are emitted as -1.0 sentinels (never NULL
+    * doubles) for hash portability. */
+  /** The two deterministic snapshot versions the CDC pair below diffs
+    * and merges (yesterday's table lacks the `% 13` keys; today's
+    * dropped the `% 10` keys and corrected a `% 7`-of-open price
+    * slice). */
+  private def snapOld(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("price_old"))
+
+  private def snapNew(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("price_new",
+        when(col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0,
+          col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")))
+      .select(col("o_orderkey"), col("price_new"))
+
+  /** Shared oracle prelude for the CDC pair. */
+  private val duckSnapCtes =
+    """WITH v_old AS (
+         SELECT o_orderkey, o_totalprice AS price_old FROM orders
+         WHERE o_orderkey % 13 <> 0),
+       v_new AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 0
+                THEN o_totalprice * 1.1 ELSE o_totalprice END AS price_new
+         FROM orders WHERE o_orderkey % 10 <> 0),
+       diff AS (
+         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.price_old <> n.price_new THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COALESCE(o.price_old, -1.0) AS price_old,
+           COALESCE(n.price_new, -1.0) AS price_new
+         FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey),
+       delta AS (
+         SELECT * FROM diff WHERE change_type <> 'unchanged')"""
+
+  val qSnapshotDiff = Q(
+    (s, d) => {
+      snapOld(s, d).join(snapNew(s, d), Seq("o_orderkey"), "full")
+        .withColumn("change_type",
+          when(col("price_old").isNull, "added")
+            .when(col("price_new").isNull, "removed")
+            .when(col("price_old") =!= col("price_new"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("o_orderkey"), col("change_type"),
+          coalesce(col("price_old"), lit(-1.0)).as("price_old"),
+          coalesce(col("price_new"), lit(-1.0)).as("price_new"))
+        .orderBy(col("o_orderkey"))
+    },
+    s"""$duckSnapCtes
+       SELECT o_orderkey, change_type, price_old, price_new FROM delta
+       ORDER BY o_orderkey""")
+
+  /** Merge/upsert (the MERGE INTO shape, vanilla-Spark formulation) —
+    * apply a CDC delta feed onto the base snapshot: tombstone the
+    * 'removed' keys (left-anti), upsert 'added'/'changed' rows with
+    * latest-wins priority (union + one row_number window on the key).
+    * This is how Spark expresses MERGE without a transactional table
+    * format; with one, the SAME delta feed drives `MERGE INTO`
+    * directly. The round-trip invariant — merge(old, diff(old, new))
+    * equals new, row for row — is pinned by RelationalSpec, which is
+    * what makes the diff feed trustworthy as an incremental-refresh
+    * input. One shuffle on the merge key (the window); the anti join
+    * broadcasts the tombstones while the delta is small and degrades
+    * to a co-partitioned SMJ at scale. */
+  val qMergeUpsert = Q(
+    (s, d) => {
+      val delta = qSnapshotDiff.fn(s, d)
+      val upserts = delta.filter(col("change_type") =!= "removed")
+        .select(col("o_orderkey"), col("price_new").as("price"), lit(1).as("pri"))
+      val tombstones = delta.filter(col("change_type") === "removed")
+        .select(col("o_orderkey"))
+      val baseRows = snapOld(s, d)
+        .select(col("o_orderkey"), col("price_old").as("price"), lit(0).as("pri"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("pri").desc)
+      baseRows.union(upserts)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(tombstones, Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    s"""$duckSnapCtes,
+       ups AS (SELECT o_orderkey, price_new AS price, 1 AS pri
+               FROM delta WHERE change_type <> 'removed'),
+       tomb AS (SELECT o_orderkey FROM delta WHERE change_type = 'removed'),
+       allr AS (SELECT o_orderkey, price_old AS price, 0 AS pri FROM v_old
+                UNION ALL SELECT * FROM ups),
+       ranked AS (SELECT o_orderkey, price,
+                    ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+                  FROM allr)
+       SELECT o_orderkey, price FROM ranked
+       WHERE rn = 1 AND o_orderkey NOT IN (SELECT o_orderkey FROM tomb)
+       ORDER BY o_orderkey""")
+
   val defs: Map[String, Q] = Map(
+    "q_snapshot_diff" -> qSnapshotDiff,
+    "q_merge_upsert" -> qMergeUpsert,
     "q1_pricing_summary" -> q1PricingSummary,
     "q_filter_project" -> qFilterProject,
     "q_join_broadcast" -> qJoinBroadcast,

@@ -103,4 +103,24 @@ class RelationalSpec extends SparkSpec {
     assert(exceptL.subsetOf(union))
     assert((inter & exceptL).isEmpty)
   }
+
+  test("CDC round-trip: merge(old, diff(old, new)) reproduces new exactly") {
+    // the property that makes the diff feed trustworthy as an
+    // incremental-refresh input: applying the delta onto the old
+    // snapshot yields the new snapshot, key for key, price for price
+    import org.apache.spark.sql.functions.{col, when}
+    val merged = run("q_merge_upsert").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vNew = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0,
+          col("o_totalprice") * 1.1).otherwise(col("o_totalprice")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(merged === vNew)
+    // and the diff is minimal: every delta row really differs
+    val deltaTypes = run("q_snapshot_diff").collect()
+      .map(_.getAs[String]("change_type")).toSet
+    assert(deltaTypes === Set("added", "removed", "changed"))
+  }
 }
