@@ -311,30 +311,47 @@ object TextOps {
     * replays the decision because the corpus is similarity-bimodal
     * (see qDedupMinhash's recall note); the all-pairs oracle is
     * quadratic — popped in sf0.1 sweeps alongside q_ngram_jaccard. */
+  /** PUBLIC batch-vs-corpus near-dup screen — the composable form of
+    * [[qDedupIncremental]]: both sides are any (doc_id, text) frame,
+    * so the SAME function runs in a batch backfill and inside a
+    * Structured Streaming `foreachBatch` (each micro-batch is a batch
+    * DataFrame — StreamingSpec drives exactly that). Candidates come
+    * from a MinHash band equi-join strictly batch×corpus; confirm is
+    * exact jaccard ≥ threshold; one decision row per matched batch
+    * doc. At scale the corpus band frame is a precomputed index the
+    * caller persists/broadcasts across micro-batches. */
+  def nearDupScreen(corpus: DataFrame, batch: DataFrame,
+                    threshold: Double = 0.5): DataFrame = {
+    val shC = withShingles(corpus)
+      .select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c"),
+        size(col("shingles")).as("sz_c"))
+    val shB = withShingles(batch)
+      .select(col("doc_id"), col("shingles").as("sh_b"),
+        size(col("shingles")).as("sz_b"))
+    val bandsC = minhashBands(
+      shC.select(col("corpus_id").as("doc_id"), col("sh_c").as("shingles")))
+      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
+    val bandsB = minhashBands(
+      shB.select(col("doc_id"), col("sh_b").as("shingles")))
+    val cand = bandsB.join(bandsC, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    cand.join(shB, Seq("doc_id")).join(shC, Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_b") + col("sz_c") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("corpus_id")).as("first_match"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+
   val qDedupIncremental = Q(
     (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_incremental:$d") {
-      val sh = withShingles(Tables.documents(s, d))
-        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-        .persist()
-      val banded = minhashBands(sh)
-      val corpus = banded.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
-      val batch = banded.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("band_idx"), col("band_hash"))
-      val cand = batch.join(corpus, Seq("band_idx", "band_hash"))
-        .select(col("doc_id"), col("corpus_id")).distinct()
-      val shB = sh.select(col("doc_id"), col("shingles").as("sh_b"), col("sz").as("sz_b"))
-      val shC = sh.select(col("doc_id").as("corpus_id"),
-        col("shingles").as("sh_c"), col("sz").as("sz_c"))
-      cand.join(shB, Seq("doc_id")).join(shC, Seq("corpus_id"))
-        .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sz_b") + col("sz_c") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_matches"),
-          min(col("corpus_id")).as("first_match"),
-          max(col("jaccard")).as("best_jaccard"))
+      val docs = Tables.documents(s, d)
+      nearDupScreen(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
         .orderBy(col("doc_id"))
     },
     s"""WITH sh AS ($duckShingles),

@@ -16,6 +16,8 @@ class StreamingSpec extends SparkSpec {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                 event_type: String, value: Double)
 
+  case class Doc(doc_id: Long, text: String)
+
   test("streaming tumbling counts match the batch window aggregation") {
     val s = spark
     import s.implicits._
@@ -242,6 +244,41 @@ class StreamingSpec extends SparkSpec {
       out.processAllAvailable()
       assert(spark.table("alerts_test").count() === 1, "already above: no re-alert")
     } finally out.stop()
+  }
+
+  test("foreachBatch runs the batch near-dup screen per micro-batch against a static corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the production LLM-ingest shape: every arriving micro-batch is
+    // screened against a static corpus with the SAME batch operator
+    // (TextOps.nearDupScreen) the backfill query uses — foreachBatch
+    // hands each micro-batch over as a plain DataFrame, so batch ops
+    // compose with zero streaming-specific code
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dupText = corpus.filter(size(split(col("text"), " ")) >= 5)
+      .orderBy(col("doc_id")).select("text").head().getString(0)
+    val results = new scala.collection.concurrent.TrieMap[Long, Double]()
+    val input = MemoryStream[Doc]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.TextOps.nearDupScreen(corpus, batch.toDF()).collect().foreach { r =>
+          results.put(r.getAs[Long]("doc_id"), r.getAs[Double]("best_jaccard"))
+        }
+      }.start()
+    try {
+      input.addData(
+        Doc(10001L, dupText), // exact copy of a corpus doc -> flagged, j = 1.0
+        Doc(10002L, "xyzzy plugh entirely novel gibberish tokens nowhere else"))
+      q.processAllAvailable()
+      input.addData(Doc(10003L, dupText)) // second micro-batch, same screen
+      q.processAllAvailable()
+      assert(results.contains(10001L) && results.contains(10003L))
+      assert(!results.contains(10002L), "novel doc must pass the screen")
+      assert(results(10001L) > 0.99 && results(10003L) > 0.99)
+    } finally q.stop()
   }
 
   test("transformWithState v2 matches v1 totals and the batch twin's last-3 window") {
