@@ -1097,6 +1097,166 @@ object Relational {
           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
                 AND l_quantity BETWEEN 20.0 AND 30.0)""")
 
+  /** SQL path #14: TPC-H Q8 (national market share) — the
+    * CASE-inside-aggregate ratio: one nation's share of a region's
+    * order volume per year, over a 7-table star join with two nation
+    * legs (customer region via n1→region, supplier nation via n2).
+    * Both sums accumulate in decimal; the share is ONE double
+    * division at the end, so the ratio is bit-identical across
+    * engines. Catalyst broadcasts all four dim legs and prunes the
+    * two-year order window at the scan. */
+  val qSqlQ8 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT o_year,
+             CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                                ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+           FROM (SELECT YEAR(o_orderdate) AS o_year,
+                   l_extendedprice * (1.0 - l_discount) AS volume,
+                   n2.n_name AS supp_nation
+                 FROM sql_part, sql_lineitem, sql_supplier, sql_orders,
+                      sql_customer, sql_nation n1, sql_nation n2, sql_region
+                 WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                   AND c_nationkey = n1.n_nationkey
+                   AND n1.n_regionkey = r_regionkey
+                   AND s_nationkey = n2.n_nationkey
+                   AND r_name = 'AMERICA' AND p_type = 'ECONOMY'
+                   AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                       AND TIMESTAMP '1996-12-31') all_nations
+           GROUP BY o_year
+           ORDER BY o_year""")
+    },
+    """SELECT o_year,
+         CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                            ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+       FROM (SELECT YEAR(o_orderdate) AS o_year,
+               l_extendedprice * (1.0 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+             FROM part, lineitem, supplier, orders, customer,
+                  nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r_regionkey
+               AND s_nationkey = n2.n_nationkey
+               AND r_name = 'AMERICA' AND p_type = 'ECONOMY'
+               AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                   AND TIMESTAMP '1996-12-31') all_nations
+       GROUP BY o_year
+       ORDER BY o_year""")
+
+  /** SQL path #15: TPC-H Q9-shaped product profit — per supplier
+    * nation per year, revenue minus a cost leg. True Q9 costs with
+    * `ps_supplycost` from the partsupp table this star schema does
+    * not have, so the cost proxy is `p_retailprice * 0.1 *
+    * l_quantity` — same shape (a part-side price joined into the
+    * fact and netted against revenue inside the aggregate), same
+    * plan (5-way join, LIKE filter on the part leg, wide rollup).
+    * The LIKE is evaluated at the part scan, shrinking the fact join
+    * 27/500 before any shuffle. Net amount accumulates in decimal. */
+  val qSqlQ9 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        s"""SELECT nation, o_year,
+             ${Num.sqlSum("amount")} AS sum_profit
+           FROM (SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+                   l_extendedprice * (1.0 - l_discount)
+                     - p_retailprice * 0.1 * l_quantity AS amount
+                 FROM sql_part, sql_supplier, sql_lineitem,
+                      sql_orders, sql_nation
+                 WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+                   AND o_orderkey = l_orderkey
+                   AND s_nationkey = n_nationkey
+                   AND p_name LIKE '%widget%') profit
+           GROUP BY nation, o_year
+           ORDER BY nation, o_year DESC""")
+    },
+    s"""SELECT nation, o_year,
+         ${Num.sqlSum("amount")} AS sum_profit
+       FROM (SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+               l_extendedprice * (1.0 - l_discount)
+                 - p_retailprice * 0.1 * l_quantity AS amount
+             FROM part, supplier, lineitem, orders, nation
+             WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+               AND o_orderkey = l_orderkey
+               AND s_nationkey = n_nationkey
+               AND p_name LIKE '%widget%') profit
+       GROUP BY nation, o_year
+       ORDER BY nation, o_year DESC""")
+
+  /** SQL path #16: TPC-H Q13 (customer order-count distribution) —
+    * the filter-in-ON-clause left join: the predicate on
+    * o_orderpriority lives in the JOIN condition, NOT the WHERE, so
+    * customers with zero qualifying orders still appear (count 0)
+    * instead of being dropped — the semantic distinction Q13 exists
+    * to test, and one a WHERE-clause rewrite silently corrupts.
+    * Two-level aggregation: count per customer, then the histogram
+    * of those counts. All-integer output — no float concerns. */
+  val qSqlQ13 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT c_count, COUNT(*) AS custdist
+           FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                 FROM sql_customer LEFT OUTER JOIN sql_orders
+                   ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+                 GROUP BY c_custkey) c_orders
+           GROUP BY c_count
+           ORDER BY custdist DESC, c_count DESC""")
+    },
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey
+              AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""")
+
+  /** SQL path #17: TPC-H Q15 (top supplier) — the reused named
+    * subquery: a per-supplier quarterly revenue CTE referenced twice,
+    * once as the join input and once under MAX in a scalar subquery.
+    * Revenue stays DECIMAL through the max-equality comparison (an
+    * exact tie test a double would make engine-dependent) and is cast
+    * to double only in the final projection. Spark plans the scalar
+    * MAX as a broadcast-able single-row subquery; at 100 TB the CTE
+    * is one shuffle on l_suppkey reused for both references. */
+  val qSqlQ15 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """WITH revenue AS (
+             SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS total_rev
+             FROM sql_lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey)
+           SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+           FROM sql_supplier JOIN revenue ON s_suppkey = supplier_no
+           WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+           ORDER BY s_suppkey""")
+    },
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(18,6))) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+       ORDER BY s_suppkey""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -1311,6 +1471,10 @@ object Relational {
     "q_sql_q18" -> qSqlQ18,
     "q_sql_q21" -> qSqlQ21,
     "q_sql_q22" -> qSqlQ22,
+    "q_sql_q8" -> qSqlQ8,
+    "q_sql_q9" -> qSqlQ9,
+    "q_sql_q13" -> qSqlQ13,
+    "q_sql_q15" -> qSqlQ15,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }
