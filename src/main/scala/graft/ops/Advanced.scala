@@ -279,7 +279,43 @@ object Advanced {
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
+  /** Bloom-filter join pruning — the manual twin of Spark's runtime
+    * row-level filtering (`spark.sql.optimizer.runtime.bloomFilter.*`,
+    * Spark's InjectRuntimeFilter): build a fixed-size bloom filter
+    * over the selective dim side's join keys (`DataFrameStatFunctions
+    * .bloomFilter`, a treeAggregate producing ~1 Mbit regardless of
+    * input rows), ship it to executors inside the predicate, and drop
+    * non-matching fact rows BEFORE the join shuffle. False positives
+    * survive the probe, so the exact join behind it confirms — the
+    * result is bit-identical to the plain join, which is exactly what
+    * the oracle asserts (the bloom is invisible to semantics, only to
+    * the shuffle byte count). Scale story: at 100 TB the fact side
+    * sheds ~(1 - selectivity) of its shuffle volume for one broadcast
+    * of a fixed-size bitset; sizing is `expectedNumItems`-driven, not
+    * data-driven, so a skewed dim cannot blow it up. */
+  val qBloomPrune = Q(
+    (s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      // ~1.05 Mbit at fpp 1% — sized for the largest test SF; at
+      // production scale derive expectedNumItems from a cheap count()
+      val bloom = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
+      val mightContain = udf((k: Long) => bloom.mightContain(k))
+      Tables.orders(s, d)
+        .filter(mightContain(col("o_custkey"))) // pre-shuffle prune
+        .join(cust, col("o_custkey") === col("c_custkey")) // exact confirm
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         ${Num.sqlSum("o_totalprice")} AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
   val defs: Map[String, Q] = Map(
+    "q_bloom_prune" -> qBloomPrune,
     "q_join_salted" -> qJoinSalted,
     "q_stddev_manual" -> qStddevManual,
     "q_hof_exists_forall" -> qHofExistsForall,

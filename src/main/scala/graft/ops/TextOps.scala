@@ -837,7 +837,36 @@ object TextOps {
              WHERE LEN(toks) >= 3)
        GROUP BY trigram ORDER BY n DESC, trigram LIMIT 30""")
 
+  /** Canonical text normalization — the first stage of every text
+    * pipeline: lowercase, fold every non-[a-z0-9] run to a single
+    * space, trim. Kept to ASCII-class regexes because Spark (Java
+    * regex) and DuckDB (RE2) agree on those byte-for-byte; Unicode
+    * classes (\\p{L} etc.) differ between the engines and would make
+    * the op silently engine-dependent. DuckDB's regexp_replace
+    * replaces only the FIRST match without the 'g' flag — the twin
+    * carries it explicitly. Scale story: pure narrow map, codegen'd,
+    * no shuffle; normalization this early shrinks every downstream
+    * shingle/token stage. */
+  val qTextNormalize = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm_text"))
+        .withColumn("norm_chars", length(col("norm_text")))
+        .orderBy(col("doc_id")),
+    """SELECT doc_id,
+         TRIM(REGEXP_REPLACE(
+           REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm_text,
+         LEN(TRIM(REGEXP_REPLACE(
+           REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS norm_chars
+       FROM documents ORDER BY doc_id""")
+
   val defs: Map[String, Q] = Map(
+    "q_text_normalize" -> qTextNormalize,
     "q_dedup_exact" -> qDedupExact,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,

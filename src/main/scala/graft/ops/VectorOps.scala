@@ -345,7 +345,45 @@ object VectorOps {
              FROM embeddings) t
        GROUP BY label, u.pos ORDER BY label, pos""")
 
+  /** Int8 scalar quantization of the embedding column — the standard
+    * 4× shrink before an ANN index or a network ship: per vector,
+    * `scale = 127 / max|x|`, each element rounds to
+    * `floor(x·scale + 0.5) ∈ [-127, 127]`. Emitted fully exploded
+    * (vec_id, pos, qval, scale) so the oracle checks every quantized
+    * element, not a digest. Portability: max|x| is order-independent
+    * and exact, the scale is ONE IEEE division, and the round is a
+    * floor — both engines execute the identical float sequence, so
+    * even the float path is hash-comparable. Scale story: pure map
+    * stage (narrow, codegen'd HOFs, no shuffle); at 100 TB this runs
+    * at scan speed and the 4× output shrink pays for itself in the
+    * very next shuffle or write. */
+  val qEmbedQuantize = Q(
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("amax") > 0.0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+        .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          floor(col("x") * col("scale") + lit(0.5)).cast("int").as("qval"),
+          col("scale"))
+        .orderBy(col("vec_id"), col("pos")),
+    """SELECT vec_id, i AS pos,
+         CAST(FLOOR(v[i + 1] * scale + 0.5) AS INTEGER) AS qval, scale
+       FROM (SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 0.0 END AS scale
+             FROM (SELECT vec_id,
+                     LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings)),
+            (SELECT UNNEST(RANGE(64)) AS i)
+       ORDER BY vec_id, pos""")
+
   val defs: Map[String, Q] = Map(
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_knn_native" -> qKnnNative,
     "q_ann_lsh" -> qAnnLsh,

@@ -204,4 +204,47 @@ class NorthStarSpec extends SparkSpec {
     val n = run("q_lang_id").count()
     assert(n === Tables.documents(spark, sfDir).count())
   }
+
+  test("int8 quantize: values in [-127,127]; dequant error within half a step") {
+    val rows = run("q_embed_quantize").collect()
+    assert(rows.length === Tables.embeddings(spark, sfDir).count() * 64)
+    val orig = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2).toDouble).toMap
+    rows.foreach { r =>
+      val (id, pos, q, scale) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(q >= -127 && q <= 127, s"q=$q out of int8 range")
+      // |x - q/scale| <= 0.5/scale: round-to-nearest never loses more
+      // than half a quantization step
+      if (scale > 0)
+        assert(math.abs(orig((id, pos)) - q / scale) <= 0.5 / scale + 1e-12)
+    }
+  }
+
+  test("bloom prune: result identical to the plain join it accelerates") {
+    val pruned = run("q_bloom_prune").collect().map(_.toSeq).toSeq
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val plain = Tables.orders(spark, sfDir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority")).collect().map(_.toSeq).toSeq
+    assert(pruned === plain)
+  }
+
+  test("text normalize: output is canonical ASCII and idempotent") {
+    val rows = run("q_text_normalize").collect()
+    assert(rows.length === Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val t = r.getString(1)
+      assert(t.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c == ' '),
+        s"non-canonical char in: ${t.take(60)}")
+      assert(!t.contains("  "), "uncollapsed whitespace")
+      assert(t == t.trim)
+      assert(r.getAs[Int]("norm_chars") === t.length)
+    }
+  }
 }
