@@ -235,6 +235,31 @@ class NorthStarSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
+  test("sorted-neighborhood dedup recovers the minhash near-dup pairs") {
+    val srt = run("q_dedup_sorted")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = run("q_dedup_minhash")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty)
+    // twins differ by small in-place edits, so their normalized sort
+    // keys are adjacent — the w=2 neighborhood should catch nearly
+    // all of them (an early-position edit can separate a pair)
+    assert((mh & srt).size >= mh.size * 8 / 10,
+      s"recall ${(mh & srt).size}/${mh.size}")
+  }
+
+  test("fixed-point pagerank: full node cover, teleport floor, bounded mass") {
+    val rows = run("q_graph_pagerank").collect()
+    assert(rows.length === Tables.nation(spark, sfDir).count())
+    val ranks = rows.map(_.getAs[Long]("r"))
+    // every node holds at least the teleport share; integer truncation
+    // only ever LOSES mass, so the total never exceeds N × initial
+    assert(ranks.forall(_ >= 150000000L))
+    assert(ranks.sum <= rows.length * 1000000000L)
+    val again = run("q_graph_pagerank").collect().map(_.getAs[Long]("r"))
+    assert(ranks.toSeq === again.toSeq, "ranks must be bit-deterministic")
+  }
+
   test("text normalize: output is canonical ASCII and idempotent") {
     val rows = run("q_text_normalize").collect()
     assert(rows.length === Tables.documents(spark, sfDir).count())
