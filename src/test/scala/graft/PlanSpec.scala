@@ -37,6 +37,32 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("q_bloom_prune: bloom probe filters the fact BELOW the join") {
+    val plan = planOf("q_bloom_prune")
+    // the UDF probe must sit in a Filter under the join, not above it —
+    // pruning after the shuffle would defeat the point
+    val joinAt = plan.indexOf("Join")
+    // the probe column may print wrapped, e.g. UDF(knownnotnull(o_custkey#1L))
+    val probeAt = plan.indexOf("UDF(")
+    assert(joinAt >= 0 && probeAt >= 0, plan.take(2000))
+    // executedPlan prints top-down: a deeper (earlier-executed) node
+    // appears LATER in the string than the join that consumes it
+    assert(probeAt > joinAt, "bloom probe not below the join:\n" + plan.take(2000))
+  }
+
+  test("q_dedup_sorted: neighborhood join is equi, never BNLJ/cartesian") {
+    val plan = planOf("q_dedup_sorted")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q_graph_pagerank: nation legs broadcast; no nested loop anywhere") {
+    val plan = planOf("q_graph_pagerank")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q_sql_q16: NOT IN plans the null-aware anti join; q_sql_q4 EXISTS a semi join") {
     // NOT IN has null-aware semantics (one NULL in the subquery empties
     // the result) — Spark must plan a LeftAnti with the
