@@ -51,8 +51,13 @@ object Bench {
     // early twins). SPARK_GRAFT_HYGIENE=N clears the SQL cache and
     // GCs every N queries, the candidate mitigation for that
     // accumulated-session-state tax.
+    // name-sorted base order: Map iteration order shifts whenever the
+    // registry gains a key, silently re-attributing shared memoized
+    // builds (band index, vec buckets) to whichever query now runs
+    // first — sorted order keeps per-query numbers comparable across
+    // rounds (order itself is perf-neutral per docs/SCALE.md)
     val ordered = {
-      val qs = SparkEntry.queries.toSeq
+      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) qs.reverse else qs
     }
     // diagnostic-only: clearCache also drops SessionMemo's persisted

@@ -357,7 +357,45 @@ object PipelineOps {
          CASE WHEN lang = 'en' THEN 1073741814 ELSE 536870907 END
        ORDER BY doc_id""")
 
+  /** Fixed-window document chunking with overlap — the step that turns
+    * curated documents into training sequences: 64-token windows at
+    * stride 56 (8 tokens of overlap so no boundary context is lost),
+    * each chunk routed to one of 8 output shards by the portable
+    * two-round hash of (doc_id, chunk_id) so shard files interleave
+    * documents deterministically. All arithmetic is integer (window
+    * starts, counts, shard routing) and the chunk text is a
+    * slice+join of the same whitespace tokenization every text op
+    * uses, so the full output is hash-exact cross-engine. Scale
+    * story: one narrow map + explode, no shuffle — chunk count not
+    * doc count drives output size, and the shard column is the
+    * partition key a `partitionBy("shard")` writer would use. */
+  val qChunkDocuments = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("chunk_id", explode(expr("sequence(0, (n - 1) div 56)")))
+        .withColumn("chunk_text",
+          array_join(slice(col("toks"), col("chunk_id") * lit(56) + lit(1), lit(64)), " "))
+        .withColumn("n_chunk_tokens",
+          size(slice(col("toks"), col("chunk_id") * lit(56) + lit(1), lit(64))))
+        .withColumn("shard",
+          expr(Num.hashExpr("(doc_id * 4096 + chunk_id)")) % 8)
+        .select(col("doc_id"), col("chunk_id"), col("shard"),
+          col("n_chunk_tokens"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    s"""SELECT doc_id, i AS chunk_id,
+         ${Num.sqlHash("(doc_id * 4096 + i)")} % 8 AS shard,
+         LEN(toks[i * 56 + 1 : i * 56 + 64]) AS n_chunk_tokens,
+         ARRAY_TO_STRING(toks[i * 56 + 1 : i * 56 + 64], ' ') AS chunk_text
+       FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               LEN(STRING_SPLIT(text, ' ')) AS n
+             FROM documents),
+            LATERAL (SELECT UNNEST(RANGE((n - 1) // 56 + 1)) AS i)
+       ORDER BY doc_id, chunk_id""")
+
   val defs: Map[String, Q] = Map(
+    "q_chunk_documents" -> qChunkDocuments,
     "q_quality_rules" -> qQualityRules,
     "q_pii_redact" -> qPiiRedact,
     "q_repetition_ratio" -> qRepetitionRatio,
