@@ -1257,6 +1257,122 @@ object Relational {
        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
        ORDER BY s_suppkey""")
 
+  /** SQL path #18: TPC-H Q2-shaped supplier selection — the
+    * correlated-MIN-over-a-join shape: for each qualifying part, keep
+    * the supplier(s) whose account balance equals the minimum among
+    * EVERY supplier that shipped that part within the region. True Q2
+    * minimizes ps_supplycost from the partsupp table this schema does
+    * not have; s_acctbal preserves the structure (a four-table
+    * correlated scalar subquery re-touching the fact). The outer/inner
+    * comparison is equality on a STORED double — no arithmetic, so no
+    * cross-engine float concern. DISTINCT collapses the lineitem
+    * multiplicity; (s_name, p_partkey) makes the LIMIT order total. */
+  val qSqlQ2 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+           FROM sql_part, sql_supplier, sql_lineitem, sql_nation, sql_region
+           WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'EUROPE' AND p_size = 10
+             AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+               FROM sql_supplier s2, sql_lineitem l2, sql_nation n2,
+                    sql_region r2
+               WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                 AND s2.s_nationkey = n2.n_nationkey
+                 AND n2.n_regionkey = r2.r_regionkey
+                 AND r2.r_name = 'EUROPE')
+           ORDER BY s_acctbal, s_name, p_partkey
+           LIMIT 20""")
+    },
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type
+       FROM part, supplier, lineitem, nation, region
+       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE' AND p_size = 10
+         AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+           FROM supplier s2, lineitem l2, nation n2, region r2
+           WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+             AND s2.s_nationkey = n2.n_nationkey
+             AND n2.n_regionkey = r2.r_regionkey
+             AND r2.r_name = 'EUROPE')
+       ORDER BY s_acctbal, s_name, p_partkey
+       LIMIT 20""")
+
+  /** SQL path #19: TPC-H Q12-shaped shipping-priority audit — the
+    * two-CASE-counts-per-group shape over a fact-fact join with a
+    * late-shipment predicate (true Q12 groups by l_shipmode and
+    * compares commit/receipt dates; this schema has neither, so the
+    * group key is l_returnflag and "late" is shipdate > orderdate +
+    * 60 days — same plan: date-window scan prune, one join, CASE
+    * aggregation). All-integer output, CAST to BIGINT on both sides
+    * so DuckDB's HUGEINT SUM can't drift the schema. */
+  val qSqlQ12 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT l_returnflag,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           FROM sql_orders JOIN sql_lineitem ON o_orderkey = l_orderkey
+           WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_returnflag
+           ORDER BY l_returnflag""")
+    },
+    """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""")
+
+  /** Bucketed co-located join as a GRADED query, not just a PlanSpec
+    * exhibit: both join sides are written `bucketBy(8, key)` +
+    * `sortBy` to external parquet tables, read back through the
+    * catalog, and merge-joined with NO Exchange on either side — the
+    * plan a 100 TB platform gets by bucketing its fact tables once
+    * and amortizing the layout over every subsequent join. The write
+    * happens inside the query (the one-time bucketing cost is part of
+    * the exhibit); the `merge` hint forces the SMJ so the zero-shuffle
+    * property never depends on a session broadcast threshold. The
+    * oracle is the plain join — bucketing must be invisible to
+    * semantics. */
+  val qJoinBucketed = Q(
+    (s, d) => {
+      val loc = s"/tmp/graft_bucketed_${new java.io.File(d).getName}"
+      Seq("graft_b_orders", "graft_b_customer").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $t"))
+      Tables.orders(s, d).write.mode("overwrite")
+        .option("path", s"$loc/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_b_orders")
+      Tables.customer(s, d).write.mode("overwrite")
+        .option("path", s"$loc/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_b_customer")
+      s.table("graft_b_orders").hint("merge")
+        .join(s.table("graft_b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         ${Num.sqlSum("o_totalprice")} AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -1475,6 +1591,9 @@ object Relational {
     "q_sql_q9" -> qSqlQ9,
     "q_sql_q13" -> qSqlQ13,
     "q_sql_q15" -> qSqlQ15,
+    "q_sql_q2" -> qSqlQ2,
+    "q_sql_q12" -> qSqlQ12,
+    "q_join_bucketed" -> qJoinBucketed,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }

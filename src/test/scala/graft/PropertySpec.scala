@@ -126,6 +126,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token; overlap stitches adjacent chunks") {
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("q_chunk_documents")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (docId, rows) =>
+      val byId = rows.sortBy(_.getLong(1))
+      assert(byId.map(_.getLong(1).toInt).toSeq === byId.indices, "chunk ids must be dense")
+      val toks = docs(docId).split(" ", -1)
+      // stride-56 reassembly: chunk i's tokens must equal the doc's
+      // slice [i*56, i*56+64) — so dropping each chunk's 8-token
+      // overlap reconstructs the document exactly
+      byId.foreach { r =>
+        val (i, text) = (r.getLong(1).toInt, r.getString(4))
+        assert(text === toks.slice(i * 56, i * 56 + 64).mkString(" "),
+          s"doc $docId chunk $i mismatch")
+      }
+      val rebuilt = byId.flatMap { r =>
+        val ts = r.getString(4).split(" ", -1)
+        if (r.getLong(1) == 0L) ts else ts.drop(8)
+      }
+      assert(rebuilt.toSeq === toks.toSeq, s"doc $docId reassembly failed")
+      rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) < 8L, "shard range"))
+    }
+  }
+
   test("FoldParseMoney rule folds literal money strings at plan time") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.FoldParseMoney
