@@ -93,4 +93,26 @@ class ScaleSmokeSpec extends SparkSpec {
       .groupBy("h").agg(count(lit(1)).as("copies"))
     assert(dedup.count() === 1000)
   }
+
+  test("blocked sorted-neighborhood shape on 5M keys stays equi-joined") {
+    // q_dedup_sorted's scale form: per-block rank windows (4096 blocks
+    // of ~1221 rows — never a global sort) + the (block, rank+offset)
+    // equi-join. Each block of m rows yields (m-1)+(m-2) = 2m-3
+    // neighbor pairs at w=2, so the total is exactly 2N - 3·blocks.
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0L, 5000000L, 1L, 16)
+      .select(pmod(col("id"), lit(4096)).as("blk"), col("id"),
+        concat(lit("k"), lpad(col("id").cast("string"), 7, "0")).as("key"))
+    val ranked = df.withColumn("rk", row_number().over(
+      Window.partitionBy(col("blk")).orderBy(col("key"), col("id"))))
+    val a = ranked.withColumn("off", explode(sequence(lit(1), lit(2))))
+    val b = ranked.select(col("blk").as("blk2"), col("rk").as("rk_b"),
+      col("id").as("id_b"))
+    val pairs = a.join(b,
+      a("blk") === b("blk2") && (a("rk") + a("off")) === b("rk_b"))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    assert(pairs.count() === 2L * 5000000L - 3L * 4096L)
+  }
 }
