@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The library's user-facing API — one object collecting the
+  * composable operators that the 139-query registry exercises, so a
+  * user of the reference pipeline (or any Spark application) can call
+  * them directly on their own DataFrames instead of going through the
+  * registry. Every function here is the exact code path a graded,
+  * DuckDB-oracle-checked query runs; none of them mutate session
+  * state.
+  *
+  * Conventions: document frames carry (doc_id LONG, text STRING),
+  * embedding frames carry (vec_id LONG, embedding ARRAY<FLOAT>),
+  * edge frames carry (src, dst, w LONG). Columns beyond those are
+  * passed through where the op allows.
+  *
+  * For the ingest/medallion surface (HTTP landing, JDBC round-trip,
+  * parquet sinks, money parsing, bronze→silver→gold composition) see
+  * [[graft.sources.Landing]], [[graft.etl.Clean]] and
+  * [[graft.etl.Medallion]]; for the Structured Streaming surface see
+  * [[graft.streaming.StreamingDemo]]; for the Catalyst extensions
+  * (auto-binned range joins, plan-time money folding, bounded top-k
+  * physical operator) see [[graft.plans.GraftExtensions]]. */
+object Graft {
+
+  // ---- text ----------------------------------------------------------
+
+  /** Canonical ASCII text normalization: lowercase, fold non-[a-z0-9]
+    * runs to one space, trim. Idempotent. */
+  def normalizeText(c: Column): Column = ops.TextOps.normalizeText(c)
+
+  /** Chunk (doc_id, text) into `chunkSize`-token windows at `stride`
+    * (overlap = chunkSize − stride), shard-routed by a portable hash.
+    * Narrow map+explode — no shuffle at any corpus size. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 64,
+                     stride: Int = 56, shards: Int = 8): DataFrame =
+    ops.PipelineOps.chunkDocuments(docs, chunkSize, stride, shards)
+
+  // ---- dedup ---------------------------------------------------------
+
+  /** Screen an incoming batch against an existing corpus via
+    * MinHash/LSH banding: candidates strictly batch×corpus, exact
+    * jaccard confirm, one decision row per matched batch doc. Runs
+    * unchanged inside a Structured Streaming `foreachBatch`. */
+  def nearDupScreen(corpus: DataFrame, batch: DataFrame,
+                    threshold: Double = 0.5): DataFrame =
+    ops.TextOps.nearDupScreen(corpus, batch, threshold)
+
+  // ---- vectors -------------------------------------------------------
+
+  /** Int8 scalar quantization of (vec_id, embedding), exploded to
+    * (vec_id, pos, qval, scale); |x − q/scale| ≤ half a step. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    ops.VectorOps.quantizeInt8(embeddings)
+
+  // ---- joins ---------------------------------------------------------
+
+  /** Inner-join fact to dim on long keys with a fixed-size bloom
+    * pre-filter probed on the fact side BEFORE the shuffle — result
+    * identical to the plain join, shuffle bytes shed by roughly the
+    * dim's selectivity. */
+  def bloomPruneJoin(fact: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String,
+                     expectedItems: Long = 100000L,
+                     fpp: Double = 0.01): DataFrame =
+    ops.Advanced.bloomPruneJoin(fact, factKey, dim, dimKey, expectedItems, fpp)
+
+  /** Join-condition hint that activates the BinRangeJoin optimizer
+    * rule: `fact.join(dim, x >= lo && x < hi && Graft.binWidth(w, x,
+    * lo))` plans as a binned equi-join instead of a nested loop. */
+  def binWidth(w: Double, probe: Column, bound: Column): Column =
+    plans.BinWidthHint.binWidth(w, probe, bound)
+
+  /** Bounded per-key top-k through the custom TopKPerKeyExec physical
+    * operator (heap per key, never a full window sort). */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+                 order: Seq[(String, Boolean)], k: Int): DataFrame =
+    plans.TopKPerKey.topKPerKey(df, keys, order, k)
+
+  // ---- graphs --------------------------------------------------------
+
+  /** Fixed-point PageRank (damping 0.85, ranks int64-scaled by 1e9,
+    * dangling mass dropped) over (src, dst, w) edges and (node)
+    * nodes. Integer arithmetic throughout: bit-identical results on
+    * any partitioning. */
+  def pagerankFixedPoint(edges: DataFrame, nodes: DataFrame,
+                         iterations: Int): DataFrame =
+    ops.GraphOps.pagerankFixedPoint(edges, nodes, iterations)
+}

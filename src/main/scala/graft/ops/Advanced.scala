@@ -293,16 +293,27 @@ object Advanced {
     * sheds ~(1 - selectivity) of its shuffle volume for one broadcast
     * of a fixed-size bitset; sizing is `expectedNumItems`-driven, not
     * data-driven, so a skewed dim cannot blow it up. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): join
+    * `fact` to `dim` on long keys with a bloom pre-filter on the fact
+    * side — result provably identical to the plain inner join, only
+    * the shuffle volume differs. */
+  def bloomPruneJoin(fact: org.apache.spark.sql.DataFrame, factKey: String,
+                     dim: org.apache.spark.sql.DataFrame, dimKey: String,
+                     expectedItems: Long = 100000L,
+                     fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    fact
+      .filter(mightContain(col(factKey))) // pre-shuffle prune
+      .join(dim, col(factKey) === col(dimKey)) // exact confirm
+  }
+
   val qBloomPrune = Q(
     (s, d) => {
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       // ~1.05 Mbit at fpp 1% — sized for the largest test SF; at
-      // production scale derive expectedNumItems from a cheap count()
-      val bloom = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
-      val mightContain = udf((k: Long) => bloom.mightContain(k))
-      Tables.orders(s, d)
-        .filter(mightContain(col("o_custkey"))) // pre-shuffle prune
-        .join(cust, col("o_custkey") === col("c_custkey")) // exact confirm
+      // production scale derive expectedItems from a cheap count()
+      bloomPruneJoin(Tables.orders(s, d), "o_custkey", cust, "c_custkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           Num.dsum(col("o_totalprice")).as("total_price"))

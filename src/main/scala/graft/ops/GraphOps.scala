@@ -39,27 +39,39 @@ object GraphOps {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
 
-  /** Three unrolled fixed-point PageRank iterations (damping 0.85,
-    * teleport floor(0.15e9); dangling mass dropped — the simplified
-    * textbook form). The edge derivation is the only fact-scale stage;
-    * each iteration is a dim-sized join + integer-sum aggregate, and
-    * the DuckDB twin unrolls the identical three CTE rounds. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]):
+    * fixed-point PageRank over any (src, dst, w) edge frame and
+    * (node) node frame — damping 0.85, teleport floor(0.15e9), ranks
+    * int64-scaled by 1e9, dangling mass dropped (the simplified
+    * textbook form). Each iteration is one join + one integer-sum
+    * aggregate; `localCheckpoint` the edge frame first if it was
+    * derived by an expensive cascade. */
+  def pagerankFixedPoint(edgeList: DataFrame, nodes: DataFrame,
+                         iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val outw = edgeList.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = edgeList.join(outw, "src")
+    var ranks = nodes.withColumn("r", lit(1000000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w) DIV wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L) + expr("(coalesce(cin, 0L) * 85) DIV 100")).as("r"))
+    }
+    ranks
+  }
+
+  /** Three fixed-point PageRank iterations over the trade graph; the
+    * edge derivation is the only fact-scale stage, and the DuckDB
+    * twin unrolls the identical three CTE rounds. */
   val qGraphPagerank = Q(
     (s, d) => {
       val e = edges(s, d).localCheckpoint() // derive once, iterate on the result
-      val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-      val ew = e.join(outw, "src")
       val nodes = Tables.nation(s, d).select(col("n_name").as("node"))
-      var ranks = nodes.withColumn("r", lit(1000000000L))
-      for (_ <- 1 to 3) {
-        val contrib = ew.join(ranks, col("src") === col("node"))
-          .select(col("dst"), expr("(r * w) DIV wout").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(150000000L) + expr("(coalesce(cin, 0L) * 85) DIV 100")).as("r"))
-      }
-      ranks.orderBy(col("r").desc, col("node"))
+      pagerankFixedPoint(e, nodes, iterations = 3)
+        .orderBy(col("r").desc, col("node"))
     },
     """WITH e AS (
          SELECT src, dst, COUNT(*) AS w

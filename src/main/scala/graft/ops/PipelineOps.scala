@@ -369,20 +369,33 @@ object PipelineOps {
     * story: one narrow map + explode, no shuffle — chunk count not
     * doc count drives output size, and the shard column is the
     * partition key a `partitionBy("shard")` writer would use. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): chunk any
+    * (doc_id, text) frame into `chunkSize`-token windows at `stride`,
+    * shard-routed by the portable hash. Pure map+explode — no
+    * shuffle at any corpus size. */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame,
+                     chunkSize: Int = 64, stride: Int = 56,
+                     shards: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize && shards > 0)
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_id", explode(expr(s"sequence(0, (n - 1) div $stride)")))
+      .withColumn("chunk_text",
+        array_join(
+          slice(col("toks"), col("chunk_id") * lit(stride) + lit(1), lit(chunkSize)),
+          " "))
+      .withColumn("n_chunk_tokens",
+        size(slice(col("toks"), col("chunk_id") * lit(stride) + lit(1), lit(chunkSize))))
+      .withColumn("shard",
+        expr(Num.hashExpr("(doc_id * 4096 + chunk_id)")) % shards)
+      .select(col("doc_id"), col("chunk_id"), col("shard"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
+
   val qChunkDocuments = Q(
     (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n", size(col("toks")))
-        .withColumn("chunk_id", explode(expr("sequence(0, (n - 1) div 56)")))
-        .withColumn("chunk_text",
-          array_join(slice(col("toks"), col("chunk_id") * lit(56) + lit(1), lit(64)), " "))
-        .withColumn("n_chunk_tokens",
-          size(slice(col("toks"), col("chunk_id") * lit(56) + lit(1), lit(64))))
-        .withColumn("shard",
-          expr(Num.hashExpr("(doc_id * 4096 + chunk_id)")) % 8)
-        .select(col("doc_id"), col("chunk_id"), col("shard"),
-          col("n_chunk_tokens"), col("chunk_text"))
+      chunkDocuments(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id")),
     s"""SELECT doc_id, i AS chunk_id,
          ${Num.sqlHash("(doc_id * 4096 + i)")} % 8 AS shard,

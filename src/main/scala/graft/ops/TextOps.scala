@@ -865,10 +865,7 @@ object TextOps {
   val qTextNormalize = Q(
     (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            " +", " ")).as("norm_text"))
+        .select(col("doc_id"), normalizeText(col("text")).as("norm_text"))
         .withColumn("norm_chars", length(col("norm_text")))
         .orderBy(col("doc_id")),
     """SELECT doc_id,
@@ -893,13 +890,19 @@ object TextOps {
     * levenshtein on an 80-char prefix — identical unit-cost dynamic
     * programs in Spark and DuckDB, so the whole pipeline is
     * hash-exact against the oracle. */
+  /** Canonical-form expression shared by q_text_normalize and the
+    * sorted-neighborhood sort key (and exported via [[graft.Graft]]):
+    * lowercase, fold non-[a-z0-9] runs to one space, trim. ASCII-class
+    * regexes only — the classes Spark (Java regex) and DuckDB (RE2)
+    * interpret identically. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   val qDedupSorted = Q(
     (s, d) => {
       val w = 2
       val normed = Tables.documents(s, d).select(col("doc_id"),
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-          " +", " ")).as("k"))
+        normalizeText(col("text")).as("k"))
         .withColumn("blk", substring(col("k"), 1, 2))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))))

@@ -357,18 +357,24 @@ object VectorOps {
     * stage (narrow, codegen'd HOFs, no shuffle); at 100 TB this runs
     * at scan speed and the 4× output shrink pays for itself in the
     * very next shuffle or write. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): int8
+    * scalar quantization of any (vec_id, embedding float[]) frame,
+    * exploded to (vec_id, pos, qval, scale). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") > 0.0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * col("scale") + lit(0.5)).cast("int").as("qval"),
+        col("scale"))
+
   val qEmbedQuantize = Q(
     (s, d) =>
-      Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
-        .withColumn("scale",
-          when(col("amax") > 0.0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
-        .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
-        .select(col("vec_id"), col("pos"),
-          floor(col("x") * col("scale") + lit(0.5)).cast("int").as("qval"),
-          col("scale"))
+      quantizeInt8(Tables.embeddings(s, d))
         .orderBy(col("vec_id"), col("pos")),
     """SELECT vec_id, i AS pos,
          CAST(FLOOR(v[i + 1] * scale + 0.5) AS INTEGER) AS qval, scale

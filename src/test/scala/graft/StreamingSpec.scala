@@ -47,6 +47,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session_window merges and splits sessions like the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    // user 7: 00:00 and 00:05 merge (gap < 10 min), 00:30 starts a new
+    // session; user 8: a singleton. The final far-future event only
+    // advances the watermark so append mode emits the closed sessions.
+    val rows = Seq(
+      Ev(1L, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
+      Ev(2L, ts("2024-01-01 00:05:00"), 7L, "click", 1.0),
+      Ev(3L, ts("2024-01-01 00:30:00"), 7L, "view", 1.0),
+      Ev(4L, ts("2024-01-01 00:02:00"), 8L, "view", 1.0))
+
+    val out = StreamingDemo.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      out.processAllAvailable()
+      input.addData(Ev(99L, ts("2024-01-01 09:00:00"), 9L, "tick", 0.0))
+      out.processAllAvailable()
+      val streamed = spark.table("session_test")
+        .select(col("user_id"), col("session_start").cast("long"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch twin: the same native session_window over the same rows
+      val batch = spark.createDataFrame(rows)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      // and the shape itself: the two user-7 sessions really did split
+      assert(streamed.count(_._1 == 7L) === 2)
+      assert(streamed.find(t => t._1 == 7L && t._3 == 2L).isDefined,
+        "00:00+00:05 must merge into one 2-event session")
+    } finally out.stop()
+  }
+
   test("stream-stream interval join attributes clicks within the window, drops outside") {
     val s = spark
     import s.implicits._
