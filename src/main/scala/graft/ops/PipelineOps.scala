@@ -407,7 +407,28 @@ object PipelineOps {
             LATERAL (SELECT UNNEST(RANGE((n - 1) // 56 + 1)) AS i)
        ORDER BY doc_id, chunk_id""")
 
+  /** Weight-proportional sampling — keep probability scales with a
+    * per-row quality weight (here: document length, capped), the
+    * "sample good documents more" knob between uniform sampling and a
+    * hard gate. The keep test is `hash < (base · weight) DIV cap` in
+    * PURE INTEGER arithmetic (base = 20 % of the hash modulus,
+    * weight = LEAST(n_chars, 400)): no float rate ever enters, so the
+    * decision is bit-identical cross-engine and reproducible at any
+    * scale — and it remains a parquet-pushable scan predicate, no
+    * shuffle. Max intermediate 429496725 × 400 ≈ 1.7e11 ≪ 2^63. */
+  val qSampleWeighted = Q(
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(expr(
+          s"${Num.hashExpr("doc_id")} < (429496725 * LEAST(n_chars, 400)) DIV 400"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       WHERE ${Num.sqlHash("doc_id")} < (429496725 * LEAST(n_chars, 400)) // 400
+       ORDER BY doc_id""")
+
   val defs: Map[String, Q] = Map(
+    "q_sample_weighted" -> qSampleWeighted,
     "q_chunk_documents" -> qChunkDocuments,
     "q_quality_rules" -> qQualityRules,
     "q_pii_redact" -> qPiiRedact,
