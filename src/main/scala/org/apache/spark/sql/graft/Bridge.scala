@@ -18,4 +18,10 @@ object Bridge {
   def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Block until queued listener events are delivered — needed by any
+    * metrics assertion built on a SparkListener (the bus is async and
+    * `waitUntilEmpty` is private[spark]). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
