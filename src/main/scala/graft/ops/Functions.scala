@@ -259,7 +259,40 @@ object Functions {
        GROUP BY NULLIF(l_returnflag, 'N')
        ORDER BY flag ASC NULLS FIRST""")
 
+  /** Spark-4 VARIANT surface: `parse_json` → `variant_get` typed
+    * extraction over the events' semi-structured props column —
+    * the open-schema alternative to a fixed `from_json` StructType
+    * (q_json_fns): a VARIANT column keeps the full document,
+    * binary-encoded, and pays shredding cost only for the paths a
+    * query touches. The oracle replays extraction with DuckDB's JSON
+    * path operators; the extracted values are integers, so the
+    * aggregate is exact in both engines. */
+  val qVariantExtract = Q(
+    (s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("var_events")
+      s.sql(
+        """SELECT event_type,
+             CAST(SUM(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+               AS k_sum,
+             CAST(MAX(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+               AS k_max,
+             COUNT(*) AS n
+           FROM var_events
+           GROUP BY event_type
+           ORDER BY event_type""")
+    },
+    """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_max,
+         COUNT(*) AS n
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""")
+
   val defs: Map[String, Q] = Map(
+    "q_variant_extract" -> qVariantExtract,
     "q_null_semantics" -> qNullSemantics,
     "q_string_fns" -> qStringFns,
     "q_date_fns" -> qDateFns,

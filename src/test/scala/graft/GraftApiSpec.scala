@@ -97,6 +97,33 @@ class GraftApiSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("asofJoin matches the nested-loop definition on events") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val got = Graft.asofJoin(purchases, clicks, "user_id", "ts", "value")
+      .select(col("event_id"), col("asof_ts"), col("asof_value"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), Option(r.get(2))))
+      .toMap
+    // oracle: the literal definition as a theta join + argmax
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("c_ts").desc)
+    val expect = purchases
+      .join(clicks.select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("value").as("c_val")),
+        col("user_id") === col("c_uid") && col("c_ts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("c_ts"), col("c_val"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), Option(r.get(2))))
+      .toMap
+    assert(got === expect)
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
