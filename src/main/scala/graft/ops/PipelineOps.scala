@@ -427,7 +427,80 @@ object PipelineOps {
        WHERE ${Num.sqlHash("doc_id")} < (429496725 * LEAST(n_chars, 400)) // 400
        ORDER BY doc_id""")
 
+  /** The capstone composition — a full dataset build as ONE lazy plan:
+    * quality gate (cheapest filter first, narrow) → exact dedup among
+    * survivors (32-byte digest shuffle key, min-id survivor) →
+    * deterministic 80/10/10 split by the portable hash (doc-level;
+    * the cluster-aware variant is q_split_leakage_safe) → chunk into
+    * training windows → per-(split, shard) chunk/doc/token counts.
+    * Catalyst fuses the gate into the scan, the dedup is the only
+    * wide stage before chunking, and every decision (gate, survivor,
+    * split, shard) is integer/exact arithmetic, so the WHOLE pipeline
+    * output is hash-identical to the DuckDB replay. At 100 TB this is
+    * the plan you'd actually submit: stage order is cost-sorted and
+    * nothing materializes between stages. */
+  val qDatasetBuild = Q(
+    (s, d) => {
+      val gated = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("len_sum", length(regexp_replace(col("text"), " ", "")))
+        .withColumn("n_symbols",
+          size(expr("regexp_extract_all(text, '[^a-z ]', 0)")))
+        .filter(col("n_tokens").between(10, 100000) &&
+          (col("len_sum").cast("double") / col("n_tokens")).between(2.0, 12.0) &&
+          (col("n_symbols").cast("double") / col("n_chars") < 0.1) &&
+          array_contains(col("toks"), "the"))
+        .select(col("doc_id"), col("text"))
+      val keep = gated
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      // 0.8 / 0.9 of the hash modulus 2147483629, as exact integers
+      val surv = gated.join(keep, Seq("doc_id"))
+        .withColumn("hh", expr(Num.hashExpr("doc_id")))
+        .withColumn("split",
+          when(col("hh") < 1717986903L, "train")
+            .when(col("hh") < 1932735266L, "val")
+            .otherwise("test"))
+      chunkDocuments(surv.select(col("doc_id"), col("text")))
+        .join(surv.select(col("doc_id"), col("split")), Seq("doc_id"))
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chunk_tokens")).cast("long").as("n_tokens"))
+        .orderBy(col("split"), col("shard"))
+    },
+    s"""WITH gated AS (
+         SELECT doc_id, text FROM documents
+         WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 10 AND 100000
+           AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / LEN(STRING_SPLIT(text, ' ')) BETWEEN 2.0 AND 12.0
+           AND CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z ]')) AS DOUBLE)
+               / n_chars < 0.1
+           AND LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the')),
+       keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+       surv AS (
+         SELECT g.doc_id, g.text,
+           CASE WHEN ${Num.sqlHash("g.doc_id")} < 1717986903 THEN 'train'
+                WHEN ${Num.sqlHash("g.doc_id")} < 1932735266 THEN 'val'
+                ELSE 'test' END AS split
+         FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+       chunks AS (
+         SELECT doc_id, split,
+           ${Num.sqlHash("(doc_id * 4096 + i)")} % 8 AS shard,
+           LEN(toks[i * 56 + 1 : i * 56 + 64]) AS n_chunk_tokens
+         FROM (SELECT doc_id, split, STRING_SPLIT(text, ' ') AS toks,
+                 LEN(STRING_SPLIT(text, ' ')) AS n
+               FROM surv),
+              LATERAL (SELECT UNNEST(RANGE((n - 1) // 56 + 1)) AS i))
+       SELECT split, shard, COUNT(*) AS n_chunks,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+       FROM chunks GROUP BY split, shard ORDER BY split, shard""")
+
   val defs: Map[String, Q] = Map(
+    "q_dataset_build" -> qDatasetBuild,
     "q_sample_weighted" -> qSampleWeighted,
     "q_chunk_documents" -> qChunkDocuments,
     "q_quality_rules" -> qQualityRules,
