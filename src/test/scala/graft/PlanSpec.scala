@@ -37,6 +37,20 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // 32 shuffle partitions against kilobytes of data: the static plan
+    // over-provisions, and AQE's coalesce rule must shrink the read
+    // side at runtime — the mechanism that makes one partition count
+    // serve every data scale
+    val df = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    df.collect() // AQE finalizes only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("coalesced"),
+      s"expected an AQEShuffleRead coalesced marker:\n${plan.take(1500)}")
+  }
+
   test("q_bloom_prune: bloom probe filters the fact BELOW the join") {
     val plan = planOf("q_bloom_prune")
     // the UDF probe must sit in a Filter under the join, not above it —

@@ -288,6 +288,39 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("foreachBatch chunks arriving documents with the batch chunker") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // chunking composes into streaming ingest the same way the screen
+    // does: each micro-batch is a plain DataFrame, so Graft.chunkDocuments
+    // runs unmodified and its chunk ids / shard routing stay identical
+    // to a batch backfill over the same documents
+    val text = (1 to 130).map(i => s"w$i").mkString(" ") // 130 tokens → 3 chunks
+    val results = new scala.collection.concurrent.TrieMap[(Long, Long), (Long, String)]()
+    val input = MemoryStream[Doc]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Graft.chunkDocuments(batch.toDF()).collect().foreach { r =>
+          results.put((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(4)))
+        }
+      }.start()
+    try {
+      input.addData(Doc(501L, text))
+      q.processAllAvailable()
+      input.addData(Doc(502L, text)) // second micro-batch
+      q.processAllAvailable()
+      val batchTwin = Graft.chunkDocuments(
+        Seq((501L, text), (502L, text)).toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(4))))
+        .toMap
+      assert(results.toMap === batchTwin)
+      assert(results.keySet.count(_._1 == 501L) === 3) // ceil((130-1)/56)+… = 3 windows
+    } finally q.stop()
+  }
+
   test("foreachBatch runs the batch near-dup screen per micro-batch against a static corpus") {
     val s = spark
     import s.implicits._
