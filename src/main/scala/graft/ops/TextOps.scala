@@ -322,12 +322,19 @@ object TextOps {
     * caller persists/broadcasts across micro-batches. */
   def nearDupScreen(corpus: DataFrame, batch: DataFrame,
                     threshold: Double = 0.5): DataFrame = {
+    // each side is consumed twice (banding + confirm): persist the
+    // shingled form or the tokenize→shingle pipeline runs 4× per
+    // screen (measured ~2× end-to-end on the registered query). MEMORY
+    // storage evicts under pressure, and a foreachBatch caller gets
+    // one persist per micro-batch frame, released with the batch.
     val shC = withShingles(corpus)
       .select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c"),
         size(col("shingles")).as("sz_c"))
+      .persist()
     val shB = withShingles(batch)
       .select(col("doc_id"), col("shingles").as("sh_b"),
         size(col("shingles")).as("sz_b"))
+      .persist()
     val bandsC = minhashBands(
       shC.select(col("corpus_id").as("doc_id"), col("sh_c").as("shingles")))
       .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))
@@ -901,11 +908,14 @@ object TextOps {
   val qDedupSorted = Q(
     (s, d) => {
       val w = 2
+      // persisted: both join sides read the ranked frame, and without
+      // it the normalize+window pipeline executes twice
       val normed = Tables.documents(s, d).select(col("doc_id"),
         normalizeText(col("text")).as("k"))
         .withColumn("blk", substring(col("k"), 1, 2))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))))
+        .persist()
       val a = normed.select(col("blk"), col("rk"), col("doc_id").as("id_a"),
           col("k").as("ka"))
         .withColumn("off", explode(sequence(lit(1), lit(w))))
