@@ -452,6 +452,7 @@ object PipelineOps {
           (col("n_symbols").cast("double") / col("n_chars") < 0.1) &&
           array_contains(col("toks"), "the"))
         .select(col("doc_id"), col("text"))
+        .persist() // consumed by the survivor agg AND the survivor join
       val keep = gated
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -463,6 +464,7 @@ object PipelineOps {
           when(col("hh") < 1717986903L, "train")
             .when(col("hh") < 1932735266L, "val")
             .otherwise("test"))
+        .persist() // consumed by the chunker AND the split join-back
       chunkDocuments(surv.select(col("doc_id"), col("text")))
         .join(surv.select(col("doc_id"), col("split")), Seq("doc_id"))
         .groupBy(col("split"), col("shard"))
