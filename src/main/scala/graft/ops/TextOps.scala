@@ -806,6 +806,7 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .persist() // consumed by the df derivation AND the final join
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
