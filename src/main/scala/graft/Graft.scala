@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** The library's user-facing API — one object collecting the
-  * composable operators that the 139-query registry exercises, so a
-  * user of the reference pipeline (or any Spark application) can call
-  * them directly on their own DataFrames instead of going through the
-  * registry. Every function here is the exact code path a graded,
-  * DuckDB-oracle-checked query runs; none of them mutate session
-  * state.
+  * composable operators the query registry exercises, so a user of
+  * the reference pipeline (or any Spark application) can call them
+  * directly on their own DataFrames instead of going through the
+  * registry. Each function delegates to the ops module a graded,
+  * DuckDB-oracle-checked query runs (asofJoin's generic form is
+  * additionally pinned by a spec against the literal theta-join
+  * definition); none of them mutate session state.
   *
   * Conventions: document frames carry (doc_id LONG, text STRING),
   * embedding frames carry (vec_id LONG, embedding ARRAY<FLOAT>),
@@ -81,37 +82,13 @@ object Graft {
   /** As-of join without a range join: for each `left` row, the latest
     * `right` row of the same `key` with `time` at-or-before the left
     * row's — the price-at-trade-time / last-click-attribution shape.
-    * Implemented as a tagged union + one running window per key
-    * (linear in rows, one shuffle on `key`), never the O(left × right)
-    * per-key nested loop a theta join would plan. Appends `asof_ts`
-    * (the matched right time, null if none) and `asof_<valueCol>`. */
+    * Tagged union + one running window per key (linear in rows, one
+    * shuffle on `key`), never the O(left × right) per-key nested loop
+    * a theta join would plan. Appends `asof_ts` (the matched right
+    * time, null if none) and `asof_<valueCol>`. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               time: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // named imports: functions.right (the string op) would make the
-    // `right` parameter ambiguous under a wildcard
-    import org.apache.spark.sql.functions.{col, last, lit, struct, when}
-    val vType = right.schema(valueCol).dataType
-    val l = left.withColumn("__graft_side", lit(1))
-      .withColumn("__graft_rv", lit(null).cast(vType))
-    val r = right.select(col(key), col(time),
-        col(valueCol).as("__graft_rv"))
-      .withColumn("__graft_side", lit(0))
-    // right rows sort before left rows at equal time, so "at-or-before"
-    // is inclusive
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__graft_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__graft_asof",
-        last(when(col("__graft_side") === 0,
-            struct(col(time).as("t"), col("__graft_rv").as("v"))),
-          ignoreNulls = true).over(w))
-      .filter(col("__graft_side") === 1)
-      .select(left.columns.map(col) :+
-        col("__graft_asof.t").as("asof_ts") :+
-        col("__graft_asof.v").as(s"asof_$valueCol"): _*)
-  }
+               time: String, valueCol: String): DataFrame =
+    ops.Relational.asofJoin(left, right, key, time, valueCol)
 
   // ---- graphs --------------------------------------------------------
 

@@ -270,24 +270,28 @@ object Functions {
   val qVariantExtract = Q(
     (s, d) => {
       Tables.events(s, d).createOrReplaceTempView("var_events")
+      // parse + path-extract ONCE per row in a projection below the
+      // aggregate — two aggregate arguments each parsing the document
+      // would double the per-row cost of exactly the step VARIANT
+      // exists to pay once
       s.sql(
         """SELECT event_type,
-             CAST(SUM(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
-               AS k_sum,
-             CAST(MAX(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
-               AS k_max,
+             CAST(SUM(k) AS BIGINT) AS k_sum,
+             CAST(MAX(k) AS BIGINT) AS k_max,
              COUNT(*) AS n
-           FROM var_events
+           FROM (SELECT event_type,
+                   variant_get(parse_json(props), '$.k', 'long') AS k
+                 FROM var_events)
            GROUP BY event_type
            ORDER BY event_type""")
     },
     """SELECT event_type,
-         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-           AS k_sum,
-         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-           AS k_max,
+         CAST(SUM(k) AS BIGINT) AS k_sum,
+         CAST(MAX(k) AS BIGINT) AS k_max,
          COUNT(*) AS n
-       FROM events
+       FROM (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events)
        GROUP BY event_type
        ORDER BY event_type""")
 

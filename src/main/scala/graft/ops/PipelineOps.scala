@@ -387,8 +387,14 @@ object PipelineOps {
           " "))
       .withColumn("n_chunk_tokens",
         size(slice(col("toks"), col("chunk_id") * lit(stride) + lit(1), lit(chunkSize))))
+      // hash the doc_id ALONE (inside Num.hashExpr's documented
+      // overflow-free domain, doc_id < ~3.5e9) and rotate by chunk_id:
+      // a packed (doc_id·K + chunk_id) input would overflow the hash's
+      // first multiply K× sooner — wrapping silently in Spark and
+      // erroring in DuckDB. The rotation keeps consecutive chunks of
+      // one doc on different shards (interleaving a writer wants).
       .withColumn("shard",
-        expr(Num.hashExpr("(doc_id * 4096 + chunk_id)")) % shards)
+        (expr(Num.hashExpr("doc_id")) + col("chunk_id")) % shards)
       .select(col("doc_id"), col("chunk_id"), col("shard"),
         col("n_chunk_tokens"), col("chunk_text"))
   }
@@ -398,7 +404,7 @@ object PipelineOps {
       chunkDocuments(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id")),
     s"""SELECT doc_id, i AS chunk_id,
-         ${Num.sqlHash("(doc_id * 4096 + i)")} % 8 AS shard,
+         (${Num.sqlHash("doc_id")} + i) % 8 AS shard,
          LEN(toks[i * 56 + 1 : i * 56 + 64]) AS n_chunk_tokens,
          ARRAY_TO_STRING(toks[i * 56 + 1 : i * 56 + 64], ' ') AS chunk_text
        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
@@ -490,7 +496,7 @@ object PipelineOps {
          FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
        chunks AS (
          SELECT doc_id, split,
-           ${Num.sqlHash("(doc_id * 4096 + i)")} % 8 AS shard,
+           (${Num.sqlHash("doc_id")} + i) % 8 AS shard,
            LEN(toks[i * 56 + 1 : i * 56 + 64]) AS n_chunk_tokens
          FROM (SELECT doc_id, split, STRING_SPLIT(text, ' ') AS toks,
                  LEN(STRING_SPLIT(text, ' ')) AS n

@@ -323,6 +323,41 @@ object Relational {
        WHERE rank <= 3
        ORDER BY c_mktsegment, rank""")
 
+  /** PUBLIC composable as-of join (exported via [[graft.Graft]]): for
+    * each `left` row, the latest `right` row of the same `key` with
+    * `time` at-or-before the left row's — the price-at-trade-time /
+    * last-observation shape. Tagged union + one running window per
+    * key: linear in rows, one shuffle on `key`, never the per-key
+    * nested loop a theta join plans. Right rows with a null `time`
+    * are excluded up front — the theta definition (`r.time <=
+    * l.time`) never matches them, but the window's nulls-first sort
+    * order WOULD have surfaced them as earlier-than-everything.
+    * Appends `asof_ts` (matched right time, null if none) and
+    * `asof_<valueCol>`. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               time: String, valueCol: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    val l = left.withColumn("__graft_side", lit(1))
+      .withColumn("__graft_rv", lit(null).cast(vType))
+    val r = right.filter(col(time).isNotNull)
+      .select(col(key), col(time), col(valueCol).as("__graft_rv"))
+      .withColumn("__graft_side", lit(0))
+    // right rows sort before left rows at equal time, so "at-or-before"
+    // is inclusive
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__graft_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__graft_asof",
+        last(when(col("__graft_side") === 0,
+            struct(col(time).as("t"), col("__graft_rv").as("v"))),
+          ignoreNulls = true).over(w))
+      .filter(col("__graft_side") === 1)
+      .select(left.columns.map(col) :+
+        col("__graft_asof.t").as("asof_ts") :+
+        col("__graft_asof.v").as(s"asof_$valueCol"): _*)
+  }
+
   /** As-of join, scalable formulation: instead of a per-key range join
     * (O(clicks × purchases) per user), union both event kinds and take
     * `max(click ts)` over an ordered running window — one shuffle on

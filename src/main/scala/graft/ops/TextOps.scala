@@ -324,13 +324,20 @@ object TextOps {
                     threshold: Double = 0.5): DataFrame = {
     // each side is consumed twice (banding + confirm): persist the
     // shingled form or the tokenize→shingle pipeline runs 4× per
-    // screen (measured ~2× end-to-end on the registered query). MEMORY
-    // storage evicts under pressure, and a foreachBatch caller gets
-    // one persist per micro-batch frame, released with the batch.
-    val shC = withShingles(corpus)
-      .select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c"),
-        size(col("shingles")).as("sz_c"))
-      .persist()
+    // screen (measured ~2× end-to-end on the registered query). The
+    // CORPUS side is memoized by the semantic hash of its plan, so a
+    // foreachBatch caller screening every micro-batch against the
+    // same corpus holds ONE persisted copy for the stream's lifetime
+    // instead of accumulating one per batch; the per-batch side's
+    // cache entry is reclaimed by the ContextCleaner when the batch
+    // frame goes out of scope.
+    val shC = SessionMemo.getOrElseUpdate(corpus.sparkSession,
+      s"screen_shingles:${corpus.queryExecution.analyzed.semanticHash()}") {
+      withShingles(corpus)
+        .select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c"),
+          size(col("shingles")).as("sz_c"))
+        .persist()
+    }
     val shB = withShingles(batch)
       .select(col("doc_id"), col("shingles").as("sh_b"),
         size(col("shingles")).as("sz_b"))
@@ -907,7 +914,7 @@ object TextOps {
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
   val qDedupSorted = Q(
-    (s, d) => {
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_sorted:$d") {
       val w = 2
       // persisted: both join sides read the ranked frame, and without
       // it the normalize+window pipeline executes twice
