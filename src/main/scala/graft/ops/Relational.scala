@@ -1408,6 +1408,37 @@ object Relational {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
 
+  /** SQL path #20: LATERAL correlated subquery — the modern top-N-per-
+    * group spelling (each customer's two largest orders via a
+    * correlated ordered LIMIT in the FROM clause). Catalyst decorrelates
+    * the lateral into a ranked window join; the same result as the
+    * row_number() formulation (q_window_topk) but written the way a
+    * SQL-2016 user writes it. The (o_totalprice, o_orderkey) sort key
+    * is total, so the LIMIT cutoff cannot flip between engines. */
+  val qSqlLateral = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+           FROM sql_customer c,
+           LATERAL (SELECT o_orderkey, o_totalprice
+                    FROM sql_orders
+                    WHERE o_custkey = c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    LIMIT 2) o
+           WHERE c_custkey < 100
+           ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    """SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_totalprice
+                FROM orders
+                WHERE o_custkey = c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                LIMIT 2) o
+       WHERE c_custkey < 100
+       ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -1629,6 +1660,7 @@ object Relational {
     "q_sql_q2" -> qSqlQ2,
     "q_sql_q12" -> qSqlQ12,
     "q_join_bucketed" -> qJoinBucketed,
+    "q_sql_lateral" -> qSqlLateral,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }

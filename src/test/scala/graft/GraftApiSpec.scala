@@ -124,6 +124,24 @@ class GraftApiSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("asofJoin never matches a null-timestamp right row") {
+    val s = spark
+    import s.implicits._
+    // key 1: only a null-time quote -> no match, both asof cols null.
+    // key 2: null-time AND a real earlier quote -> the real one wins.
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "t1"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "t2"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+        (1L, Option.empty[java.sql.Timestamp], 99.0),
+        (2L, Option.empty[java.sql.Timestamp], 98.0),
+        (2L, Some(java.sql.Timestamp.valueOf("2024-01-01 09:00:00")), 7.0))
+      .toDF("k", "ts", "px")
+    val out = Graft.asofJoin(left, right, "k", "ts", "px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(out === Map(1L -> None, 2L -> Some(7.0)))
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
