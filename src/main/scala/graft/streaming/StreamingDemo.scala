@@ -116,6 +116,29 @@ object StreamingDemo {
         col("click_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution variant
+    * that also reports UNMATCHED impressions: an impression with no
+    * click inside its window emits with null click columns, but only
+    * once the click-side watermark has passed the window's end (the
+    * state store must be sure no matching click can still arrive).
+    * Same join condition as [[clickAttribution]]; the outer semantics
+    * are pure configuration, which is the point of the exhibit. */
+  def clickAttributionOuter(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions
+      .selectExpr("event_id AS ad_id", "ts AS imp_ts", "user_id")
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks
+      .selectExpr("event_id AS click_ad_id", "ts AS click_ts", "value AS click_value")
+      .withWatermark("click_ts", "10 minutes")
+    imp.join(clk,
+      expr("""ad_id = click_ad_id AND
+              click_ts >= imp_ts AND
+              click_ts <= imp_ts + INTERVAL 10 MINUTES"""),
+      "leftOuter")
+      .select(col("ad_id"), col("user_id"), col("imp_ts"), col("click_ts"),
+        col("click_value"))
+  }
+
   /** Stream-static join: enrich a stream against a batch dimension.
     * No state store involved — the static side is (re)planned per
     * micro-batch, so a broadcastable dim behaves exactly like the

@@ -113,6 +113,43 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("left-outer interval join emits unmatched impressions after the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val impressions = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val out = StreamingDemo.clickAttributionOuter(impressions.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib_outer_test")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("attrib_outer").toString)
+      .start()
+    try {
+      impressions.addData(
+        Ev(100L, ts("2024-01-01 00:00:00"), 1L, "imp", 0.0), // will match
+        Ev(200L, ts("2024-01-01 00:00:00"), 2L, "imp", 0.0)) // never clicked
+      clicks.addData(
+        Ev(100L, ts("2024-01-01 00:05:00"), 1L, "click", 1.5))
+      out.processAllAvailable()
+      // the unmatched row may not emit yet: the state store must first
+      // learn no click can still arrive. Advance both watermarks far
+      // past ad 200's window, then run the extra batch that flushes.
+      impressions.addData(Ev(900L, ts("2024-01-01 09:00:00"), 9L, "imp", 0.0))
+      clicks.addData(Ev(901L, ts("2024-01-01 09:00:00"), 9L, "click", 0.0))
+      out.processAllAvailable()
+      impressions.addData(Ev(902L, ts("2024-01-01 09:30:00"), 9L, "imp", 0.0))
+      out.processAllAvailable()
+      val rows = spark.table("attrib_outer_test")
+        .filter(col("ad_id") < 900L)
+        .select("ad_id", "click_value").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(rows(100L) === Some(1.5), "matched impression keeps its click")
+      assert(rows.contains(200L) && rows(200L).isEmpty,
+        "unmatched impression must emit with null click after the watermark")
+    } finally out.stop()
+  }
+
   test("watermark drops late data from finalized windows (append mode)") {
     val s = spark
     import s.implicits._
