@@ -635,16 +635,25 @@ object Relational {
 
   /** GROUPING SETS via the SQL surface (spark.sql over a temp view) —
     * exhibits that the engine exposes Spark SQL, not just DataFrames. */
+  // GROUPING() flags disambiguate "null because the column was
+  // aggregated away" from "null in the data" — the classic subtotal
+  // pitfall; both engines emit 1 for the aggregated-away case
   val qGroupingSets = Q(
     (s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
       s.sql(
-        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        """SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             COUNT(*) AS n
            FROM gs_lineitem
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     },
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+         COUNT(*) AS n
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
