@@ -235,6 +235,21 @@ class NorthStarSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
+  test("simhash pairs: every emitted pair within threshold; majority are true twins") {
+    val pairs = run("q_dedup_simhash_pairs").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, h) => assert(h >= 0 && h <= 4, s"hamming $h") }
+    val twins = run("q_dedup_minhash")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = pairs.count(p => twins.contains(p._1))
+    // measured on this corpus: 18/25 twins at ≤4 with ~0.69 precision —
+    // simhash is the noisy family; the bar here is "mostly twins, most
+    // twins found", not exactness (that's the ensemble's job)
+    assert(hit * 2 >= twins.size, s"recall $hit/${twins.size}")
+    assert(hit * 2 >= pairs.length, s"precision $hit/${pairs.length}")
+  }
+
   test("sorted-neighborhood dedup recovers the minhash near-dup pairs") {
     val srt = run("q_dedup_sorted")
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
