@@ -957,38 +957,6 @@ object TextOps {
        FROM pairs WHERE lev <= 16
        ORDER BY doc_a, doc_b""")
 
-  /** Ensemble near-dup detection — union the pair sets of two
-    * independent families (MinHash/LSH content overlap and
-    * sorted-neighborhood edit distance) with per-method provenance
-    * flags. The families fail differently — LSH misses pairs whose
-    * shingle overlap dips below the band threshold, the neighborhood
-    * misses pairs whose keys diverge in the first characters — so the
-    * union's recall dominates either alone, and the flags tell a
-    * curation pipeline WHICH evidence fired. Composes the two graded
-    * queries' exact code paths (both memoized, so the ensemble adds
-    * one cheap union+groupBy, not a recompute). */
-  val qDedupEnsemble = Q(
-    (s, d) => {
-      val mh = qDedupMinhash.fn(s, d).select(col("doc_a"), col("doc_b"),
-        lit(1).as("by_minhash"), lit(0).as("by_sorted"))
-      val so = qDedupSorted.fn(s, d).select(col("doc_a"), col("doc_b"),
-        lit(0).as("by_minhash"), lit(1).as("by_sorted"))
-      mh.unionByName(so)
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(max(col("by_minhash")).as("by_minhash"),
-          max(col("by_sorted")).as("by_sorted"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    s"""WITH mh_pairs AS (${qDedupMinhash.oracle.get}),
-       so_pairs AS (${qDedupSorted.oracle.get}),
-       u AS (
-         SELECT doc_a, doc_b, 1 AS by_minhash, 0 AS by_sorted FROM mh_pairs
-         UNION ALL
-         SELECT doc_a, doc_b, 0 AS by_minhash, 1 AS by_sorted FROM so_pairs)
-       SELECT doc_a, doc_b, MAX(by_minhash) AS by_minhash,
-         MAX(by_sorted) AS by_sorted
-       FROM u GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""")
-
   /** SimHash candidate PAIRS — completes the simhash family: the
     * signature query proves the fingerprints are portable; this one
     * runs the actual dedup decision on top of them. Candidates from a
@@ -1044,6 +1012,50 @@ object TextOps {
        JOIN sig sb ON sb.doc_id = c.doc_b
        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 4
        ORDER BY doc_a, doc_b""")
+
+  /** Ensemble near-dup detection — union the pair sets of the three
+    * independent families (MinHash/LSH content overlap,
+    * sorted-neighborhood edit distance, SimHash signature hamming)
+    * with per-method provenance flags. The families fail differently —
+    * LSH misses pairs whose shingle overlap dips below the band
+    * threshold, the neighborhood misses pairs whose keys diverge in
+    * the first characters, simhash admits noise on short documents —
+    * so the union's recall dominates any single method and the flags
+    * tell a curation pipeline WHICH evidence fired (a pair flagged by
+    * 2+ methods is near-certain). Composes the graded queries' exact
+    * code paths (all memoized, so the ensemble adds one cheap
+    * union+groupBy, not a recompute). Declared AFTER its three
+    * constituents: the oracle text is assembled eagerly from theirs. */
+  val qDedupEnsemble = Q(
+    (s, d) => {
+      val mh = qDedupMinhash.fn(s, d).select(col("doc_a"), col("doc_b"),
+        lit(1).as("by_minhash"), lit(0).as("by_sorted"), lit(0).as("by_simhash"))
+      val so = qDedupSorted.fn(s, d).select(col("doc_a"), col("doc_b"),
+        lit(0).as("by_minhash"), lit(1).as("by_sorted"), lit(0).as("by_simhash"))
+      val sh = qDedupSimhashPairs.fn(s, d).select(col("doc_a"), col("doc_b"),
+        lit(0).as("by_minhash"), lit(0).as("by_sorted"), lit(1).as("by_simhash"))
+      mh.unionByName(so).unionByName(sh)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("by_minhash")).as("by_minhash"),
+          max(col("by_sorted")).as("by_sorted"),
+          max(col("by_simhash")).as("by_simhash"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    s"""WITH mh_pairs AS (${qDedupMinhash.oracle.get}),
+       so_pairs AS (${qDedupSorted.oracle.get}),
+       sh_pairs AS (${qDedupSimhashPairs.oracle.get}),
+       u AS (
+         SELECT doc_a, doc_b, 1 AS by_minhash, 0 AS by_sorted, 0 AS by_simhash
+         FROM mh_pairs
+         UNION ALL
+         SELECT doc_a, doc_b, 0 AS by_minhash, 1 AS by_sorted, 0 AS by_simhash
+         FROM so_pairs
+         UNION ALL
+         SELECT doc_a, doc_b, 0 AS by_minhash, 0 AS by_sorted, 1 AS by_simhash
+         FROM sh_pairs)
+       SELECT doc_a, doc_b, MAX(by_minhash) AS by_minhash,
+         MAX(by_sorted) AS by_sorted, MAX(by_simhash) AS by_simhash
+       FROM u GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""")
 
   val defs: Map[String, Q] = Map(
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
