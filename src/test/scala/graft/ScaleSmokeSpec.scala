@@ -94,6 +94,37 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(dedup.count() === 1000)
   }
 
+  test("chunking 1M synthetic docs emits the exact formula count, no shuffle") {
+    // 1M docs × 130 tokens → ceil shape: 3 chunks per doc at stride 56.
+    // The plan must stay a pure map+explode — any Exchange means the
+    // chunker stopped being narrow.
+    val docs = spark.range(0L, 1000000L, 1L, 16)
+      .select(col("id").as("doc_id"),
+        array_join(array_repeat(lit("tok"), 130), " ").as("text"))
+    val chunks = Graft.chunkDocuments(docs)
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunker must be narrow:\n${plan.take(1200)}")
+    assert(chunks.count() === 3000000L) // (130-1) div 56 = 2 → ids 0,1,2
+  }
+
+  test("fixed-point pagerank on a 1000-node derived graph is deterministic") {
+    val edges = spark.range(0L, 100000L, 1L, 16)
+      .select((col("id") % 1000).as("s"), ((col("id") * 7 + 13) % 1000).as("t"))
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("w"))
+      .select(concat(lit("n"), col("s")).as("src"),
+        concat(lit("n"), col("t")).as("dst"), col("w"))
+      .localCheckpoint()
+    val nodes = spark.range(0L, 1000L)
+      .select(concat(lit("n"), col("id")).as("node"))
+    def run() = Graft.pagerankFixedPoint(edges, nodes, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run()
+    assert(a.size === 1000)
+    assert(a.values.forall(_ >= 150000000L))
+    assert(a.values.map(BigInt(_)).sum <= BigInt(1000) * 1000000000L)
+    assert(a === run(), "ranks must be bit-identical across runs")
+  }
+
   test("blocked sorted-neighborhood shape on 5M keys stays equi-joined") {
     // q_dedup_sorted's scale form: per-block rank windows (4096 blocks
     // of ~1221 rows — never a global sort) + the (block, rank+offset)
