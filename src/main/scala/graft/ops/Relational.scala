@@ -637,7 +637,10 @@ object Relational {
     * exhibits that the engine exposes Spark SQL, not just DataFrames. */
   // GROUPING() flags disambiguate "null because the column was
   // aggregated away" from "null in the data" — the classic subtotal
-  // pitfall; both engines emit 1 for the aggregated-away case
+  // pitfall; both engines emit 1 for the aggregated-away case. The
+  // flags also close the ORDER BY: on a fixture with data nulls, a
+  // subtotal row would otherwise TIE the grand total on the key
+  // columns and row order would be engine-dependent
   val qGroupingSets = Q(
     (s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
@@ -648,7 +651,8 @@ object Relational {
              COUNT(*) AS n
            FROM gs_lineitem
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+           ORDER BY l_returnflag ASC NULLS FIRST,
+             l_linestatus ASC NULLS FIRST, g_flag, g_status""")
     },
     """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
@@ -656,7 +660,8 @@ object Relational {
          COUNT(*) AS n
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+       ORDER BY l_returnflag ASC NULLS FIRST,
+         l_linestatus ASC NULLS FIRST, g_flag, g_status""")
 
   /** DISTINCT over a projection. */
   val qDistinct = Q(

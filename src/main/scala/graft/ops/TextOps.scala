@@ -973,7 +973,10 @@ object TextOps {
     * trusting it alone. Scale: O(N × bucket) like every LSH path
     * here; the signature frame is memoized. */
   val qDedupSimhashPairs = Q(
-    (s, d) => {
+    // the WHOLE pair frame is memoized (like its sibling families), so
+    // the ensemble's reuse really is a cheap union — re-running just
+    // the band join per consumer measurably doubled the ensemble
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_simhash_pairs:$d") {
       val sig = SessionMemo.getOrElseUpdate(s, s"simhash_sigs:$d") {
         qDedupSimhash.fn(s, d).persist()
       }
@@ -993,6 +996,7 @@ object TextOps {
         .filter(col("hamming") <= 4)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+        .persist() // pair-count-sized; makes each re-consumption a cache read
     },
     s"""WITH sig AS (${qDedupSimhash.oracle.get}),
        bands AS (

@@ -101,7 +101,14 @@ object StreamingDemo {
     * condition every unbounded stream-stream join needs to avoid
     * unbounded state. Columns are disambiguated BEFORE the join
     * (stream-stream self-shaped joins can't alias after). */
-  def clickAttribution(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    attribution(impressions, clicks, "inner")
+
+  // one body for both variants — the docstrings claim the outer
+  // semantics are pure configuration, so the window/watermark/
+  // condition must live in exactly one place
+  private def attribution(impressions: DataFrame, clicks: DataFrame,
+                          joinType: String): DataFrame = {
     val imp = impressions
       .selectExpr("event_id AS ad_id", "ts AS imp_ts", "user_id")
       .withWatermark("imp_ts", "10 minutes")
@@ -111,7 +118,8 @@ object StreamingDemo {
     imp.join(clk,
       expr("""ad_id = click_ad_id AND
               click_ts >= imp_ts AND
-              click_ts <= imp_ts + INTERVAL 10 MINUTES"""))
+              click_ts <= imp_ts + INTERVAL 10 MINUTES"""),
+      joinType)
       .select(col("ad_id"), col("user_id"), col("imp_ts"), col("click_ts"),
         col("click_value"))
   }
@@ -123,21 +131,8 @@ object StreamingDemo {
     * state store must be sure no matching click can still arrive).
     * Same join condition as [[clickAttribution]]; the outer semantics
     * are pure configuration, which is the point of the exhibit. */
-  def clickAttributionOuter(impressions: DataFrame, clicks: DataFrame): DataFrame = {
-    val imp = impressions
-      .selectExpr("event_id AS ad_id", "ts AS imp_ts", "user_id")
-      .withWatermark("imp_ts", "10 minutes")
-    val clk = clicks
-      .selectExpr("event_id AS click_ad_id", "ts AS click_ts", "value AS click_value")
-      .withWatermark("click_ts", "10 minutes")
-    imp.join(clk,
-      expr("""ad_id = click_ad_id AND
-              click_ts >= imp_ts AND
-              click_ts <= imp_ts + INTERVAL 10 MINUTES"""),
-      "leftOuter")
-      .select(col("ad_id"), col("user_id"), col("imp_ts"), col("click_ts"),
-        col("click_value"))
-  }
+  def clickAttributionOuter(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    attribution(impressions, clicks, "leftOuter")
 
   /** Stream-static join: enrich a stream against a batch dimension.
     * No state store involved — the static side is (re)planned per
