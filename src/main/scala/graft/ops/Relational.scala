@@ -1453,6 +1453,49 @@ object Relational {
        WHERE c_custkey < 100
        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
 
+  /** SQL path #21: TPC-H Q11-shaped important-stock query — the
+    * group-vs-global-share HAVING: parts whose revenue exceeds 1.5×
+    * the AVERAGE part's share of total revenue (true Q11 uses a fixed
+    * fraction of partsupp stock value; a fixed fraction has no
+    * support once the part count outgrows it, and the synthetic
+    * revenue-per-part spread tops out at ~1.75× average, so the
+    * threshold scales with part count and sits inside the measured
+    * spread — same shape, every SF has rows). The share test is
+    * CROSS-MULTIPLIED (`part_sum × n_parts × 2 > total × 3`):
+    * decimal × integer is exact in both engines, whereas a fractional
+    * multiplier would round at engine-specific decimal scales and
+    * could flip rows at the threshold. Catalyst evaluates the scalar subquery once and
+    * broadcasts it into the HAVING filter. */
+  val qSqlQ11 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT p_partkey, CAST(grp AS DOUBLE) AS value
+           FROM (SELECT p_partkey,
+                   SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(18,6))) AS grp
+                 FROM sql_lineitem JOIN sql_part ON p_partkey = l_partkey
+                 GROUP BY p_partkey)
+           WHERE grp * (SELECT COUNT(*) FROM sql_part) * 2 >
+             (SELECT SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(18,6))) * 3
+              FROM sql_lineitem)
+           ORDER BY value DESC, p_partkey
+           LIMIT 30""")
+    },
+    """SELECT p_partkey, CAST(grp AS DOUBLE) AS value
+       FROM (SELECT p_partkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS grp
+             FROM lineitem JOIN part ON p_partkey = l_partkey
+             GROUP BY p_partkey)
+       WHERE grp * (SELECT COUNT(*) FROM part) * 2 >
+         (SELECT SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                          AS DECIMAL(18,6))) * 3
+          FROM lineitem)
+       ORDER BY value DESC, p_partkey
+       LIMIT 30""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -1675,6 +1718,7 @@ object Relational {
     "q_sql_q12" -> qSqlQ12,
     "q_join_bucketed" -> qJoinBucketed,
     "q_sql_lateral" -> qSqlLateral,
+    "q_sql_q11" -> qSqlQ11,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }
