@@ -322,15 +322,18 @@ object TextOps {
     * caller persists/broadcasts across micro-batches. */
   def nearDupScreen(corpus: DataFrame, batch: DataFrame,
                     threshold: Double = 0.5): DataFrame = {
-    // each side is consumed twice (banding + confirm): persist the
-    // shingled form or the tokenize→shingle pipeline runs 4× per
-    // screen (measured ~2× end-to-end on the registered query). The
-    // CORPUS side is memoized by the semantic hash of its plan, so a
-    // foreachBatch caller screening every micro-batch against the
-    // same corpus holds ONE persisted copy for the stream's lifetime
-    // instead of accumulating one per batch; the per-batch side's
-    // cache entry is reclaimed by the ContextCleaner when the batch
-    // frame goes out of scope.
+    // The CORPUS side is consumed twice (banding + confirm) and is
+    // shared across calls, so it is persisted once, memoized by the
+    // semantic hash of its plan: a foreachBatch caller screening every
+    // micro-batch against the same corpus holds ONE cached copy for
+    // the stream's lifetime. The BATCH side is deliberately NOT
+    // persisted: Dataset.persist() registers the plan in the session
+    // CacheManager, which holds it strongly until an explicit
+    // unpersist — in a streaming loop each micro-batch has a distinct
+    // plan, so per-batch persists would accumulate without bound.
+    // Recomputing the batch-side shingles for the second consumer is
+    // bounded by the (small) micro-batch size and keeps the function
+    // lifecycle-free for callers.
     val shC = SessionMemo.getOrElseUpdate(corpus.sparkSession,
       s"screen_shingles:${corpus.queryExecution.analyzed.semanticHash()}") {
       withShingles(corpus)
@@ -341,7 +344,6 @@ object TextOps {
     val shB = withShingles(batch)
       .select(col("doc_id"), col("shingles").as("sh_b"),
         size(col("shingles")).as("sz_b"))
-      .persist()
     val bandsC = minhashBands(
       shC.select(col("corpus_id").as("doc_id"), col("sh_c").as("shingles")))
       .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_hash"))

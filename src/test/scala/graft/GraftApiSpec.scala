@@ -108,10 +108,12 @@ class GraftApiSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), Option(r.get(2))))
       .toMap
-    // oracle: the literal definition as a theta join + argmax
+    // oracle: the literal definition as a theta join + argmax; c_val
+    // tiebreaks duplicate timestamps the same way asofJoin defines it
+    // (greatest value wins)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_id"))
-      .orderBy(col("c_ts").desc)
+      .orderBy(col("c_ts").desc, col("c_val").desc)
     val expect = purchases
       .join(clicks.select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
           col("value").as("c_val")),
@@ -140,6 +142,34 @@ class GraftApiSpec extends SparkSpec {
     val out = Graft.asofJoin(left, right, "k", "ts", "px")
       .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
     assert(out === Map(1L -> None, 2L -> Some(7.0)))
+  }
+
+  test("asofJoin resolves duplicate (key, time) right rows to the greatest value") {
+    val s = spark
+    import s.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "ts")
+    // three quotes at the SAME (key, time): defined winner is the max px,
+    // independent of input order or partitioning
+    val right = Seq((1L, t, 5.0), (1L, t, 9.0), (1L, t, 1.0))
+      .toDF("k", "ts", "px").repartition(4)
+    val out = Graft.asofJoin(left, right, "k", "ts", "px")
+      .collect().map(_.getDouble(3))
+    assert(out.toSeq === Seq(9.0))
+  }
+
+  test("asofJoin fails fast on reserved __graft_* input columns") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 0))
+      .toDF("k", "ts", "__graft_side")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1.0))
+      .toDF("k", "ts", "px")
+    val e = intercept[IllegalArgumentException] {
+      Graft.asofJoin(left, right, "k", "ts", "px")
+    }
+    assert(e.getMessage.contains("__graft_side"))
   }
 
   test("bloomPruneJoin equals the plain join on non-default fpp") {
