@@ -1535,6 +1535,62 @@ object Relational {
        ORDER BY value DESC, p_partkey
        LIMIT 30""")
 
+  /** SQL path #22: TPC-H Q20-shaped excess-availability query — the
+    * nested IN + CORRELATED scalar subquery pair that closes the
+    * feasible TPC-H sweep (true Q20's `partsupp.ps_availqty` has no
+    * table here, so availability is DERIVED from the fact itself:
+    * a supplier's all-time shipped quantity of a part, the same proxy
+    * family as qSqlQ2/qSqlQ9's). A supplier qualifies when it holds
+    * some name-filtered part in excess: all-time holding > 4× the
+    * part's total 1996 demand. The ×4 multiplier is MEASURED, not
+    * guessed (uniform synthetic data makes untuned thresholds
+    * all-or-nothing — the reason Q20 was deferred in round 6):
+    * qualifying-supplier counts by multiplier are 7/10 @ sf0.001,
+    * 12/100 @ sf0.01, 441/1000 @ sf0.1 — selective at every SF yet
+    * never empty. Catalyst decorrelates the scalar into a per-part
+    * aggregate + join and turns the INs into semi-joins; both
+    * quantity sums use the decimal recipe (l_quantity is DOUBLE;
+    * a float sum near the ×4 cut could flip membership between
+    * engines). Output columns are keys/strings only, so the hash
+    * never touches a float. */
+  val qSqlQ20 = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """SELECT s_suppkey, s_name, n_name
+           FROM sql_supplier JOIN sql_nation ON s_nationkey = n_nationkey
+           WHERE s_suppkey IN (
+             SELECT a_suppkey FROM (
+               SELECT l_partkey AS a_partkey, l_suppkey AS a_suppkey,
+                      SUM(CAST(l_quantity AS DECIMAL(18,6))) AS a_qty
+               FROM sql_lineitem GROUP BY l_partkey, l_suppkey) avail
+             WHERE a_partkey IN (SELECT p_partkey FROM sql_part
+                                 WHERE p_name LIKE 'small%')
+               AND a_qty > 4 * (
+                 SELECT SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                 FROM sql_lineitem
+                 WHERE l_partkey = a_partkey
+                   AND l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'))
+           ORDER BY s_suppkey""")
+    },
+    """SELECT s_suppkey, s_name, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_suppkey IN (
+         SELECT a_suppkey FROM (
+           SELECT l_partkey AS a_partkey, l_suppkey AS a_suppkey,
+                  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS a_qty
+           FROM lineitem GROUP BY l_partkey, l_suppkey) avail
+         WHERE a_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+           AND a_qty > 4 * (
+             SELECT SUM(CAST(l_quantity AS DECIMAL(18,6)))
+             FROM lineitem
+             WHERE l_partkey = a_partkey
+               AND l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01'))
+       ORDER BY s_suppkey""")
+
   /** Schema-evolution union: two frames with different column sets
     * merged BY NAME, absent columns null-filled — the shape every
     * multi-vintage ingest hits (an old parquet partition lacks a
@@ -1758,6 +1814,7 @@ object Relational {
     "q_join_bucketed" -> qJoinBucketed,
     "q_sql_lateral" -> qSqlLateral,
     "q_sql_q11" -> qSqlQ11,
+    "q_sql_q20" -> qSqlQ20,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept)
 }
