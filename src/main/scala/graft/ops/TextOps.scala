@@ -399,6 +399,64 @@ object TextOps {
                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)"""
 
+  /** Size-adaptive connected components over a bidirectional edge list
+    * `(u, v)` → per-node min-label frame `(node, lbl)`. The near-dup
+    * pair graph is orders of magnitude smaller than the corpus (it IS
+    * the dedup output), so below `unionFindBound` edges, union-find on
+    * the collected edge list is the honest plan — per-iteration
+    * distributed label propagation on a ~100-row graph is pure
+    * scheduler overhead (measured: 14 s of empty-task stages vs ~0
+    * driver-side). Past the bound the distributed min-label loop takes
+    * over unchanged (the 100 TB path — no driver materialization).
+    * The bound is a parameter so tests can FORCE the distributed
+    * branch and pin it label-identical to union-find on the same
+    * graph (ScaleSmokeSpec). */
+  private[graft] def componentLabels(edges: DataFrame,
+                                     unionFindBound: Long = 1000000L): DataFrame = {
+    val s = edges.sparkSession
+    val edgeCount = edges.count()
+    if (edgeCount <= unionFindBound) {
+      import s.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
+    } else {
+      var lbls = edges.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 15) {
+        // carry the previous label through the checkpoint so the
+        // convergence check shares the materialization (one action
+        // per round, not two)
+        val next = edges
+          .join(lbls.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
+          .groupBy(col("u").as("node")).agg(min(col("vlbl")).as("nbl"))
+          .join(lbls, Seq("node"))
+          .select(col("node"), least(col("lbl"), col("nbl")).as("lbl"),
+            col("lbl").as("prev"))
+          .localCheckpoint()
+        converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+        lbls = next.drop("prev")
+        iter += 1
+      }
+      lbls
+    }
+  }
+
   /** Near-dup cluster canonicalization — the step that turns pairwise
     * matches into dedup decisions: connected components over the
     * near-dup graph, each doc labeled with its component's minimum
@@ -419,55 +477,7 @@ object TextOps {
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("u", "v")
         .localCheckpoint()
-      // Size-adaptive closure. The near-dup pair graph is orders of
-      // magnitude smaller than the corpus (it IS the dedup output), so
-      // below a threshold, union-find on the collected edge list is
-      // the honest plan — per-iteration distributed label propagation
-      // on a ~100-row graph is pure scheduler overhead (measured:
-      // 14 s of empty-task stages vs ~0 driver-side). Past the
-      // threshold the distributed min-label loop takes over unchanged.
-      val edgeCount = edges.count()
-      val labels: DataFrame =
-        if (edgeCount <= 1000000L) {
-          import s.implicits._
-          val es = edges.as[(Long, Long)].collect()
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-            var c = x
-            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          es.foreach { case (u, v) =>
-            parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
-            val (ru, rv) = (find(u), find(v))
-            if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-          }
-          parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
-        } else {
-          var lbls = edges.select(col("u").as("node")).distinct()
-            .withColumn("lbl", col("node"))
-            .localCheckpoint()
-          var converged = false
-          var iter = 0
-          while (!converged && iter < 15) {
-            // carry the previous label through the checkpoint so the
-            // convergence check shares the materialization (one action
-            // per round, not two)
-            val next = edges
-              .join(lbls.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
-              .groupBy(col("u").as("node")).agg(min(col("vlbl")).as("nbl"))
-              .join(lbls, Seq("node"))
-              .select(col("node"), least(col("lbl"), col("nbl")).as("lbl"),
-                col("lbl").as("prev"))
-              .localCheckpoint()
-            converged = next.filter(col("lbl") =!= col("prev")).isEmpty
-            lbls = next.drop("prev")
-            iter += 1
-          }
-          lbls
-        }
+      val labels = componentLabels(edges)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("lbl"))
         .select(col("lbl").as("cluster_id"), col("node").as("doc_id"),

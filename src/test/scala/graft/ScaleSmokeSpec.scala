@@ -125,6 +125,33 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(a === run(), "ranks must be bit-identical across runs")
   }
 
+  test("distributed label propagation matches union-find on a 800k-edge graph") {
+    // componentLabels' size-adaptive closure: the >bound branch is the
+    // 100 TB path (iterative min-label propagation, no driver
+    // materialization). Force it by setting the union-find bound to 0
+    // and pin it label-identical to the union-find branch on the SAME
+    // graph: 500k nodes in 100k chain components of 5 (diameter 4 —
+    // converges well inside the 15-round cap).
+    val directed = spark.range(0L, 500000L, 1L, 16)
+      .filter(pmod(col("id"), lit(5)) =!= 4)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val edges = directed
+      .union(directed.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    assert(edges.count() === 800000L)
+    val dist = graft.ops.TextOps.componentLabels(edges, unionFindBound = 0L)
+    val uf = graft.ops.TextOps.componentLabels(edges, unionFindBound = Long.MaxValue)
+    val joined = dist.select(col("node"), col("lbl").as("dl"))
+      .join(uf.select(col("node"), col("lbl").as("ul")), Seq("node"), "full")
+    assert(joined.count() === 500000L, "both branches must label every node")
+    assert(joined.filter(col("dl").isNull || col("ul").isNull ||
+      col("dl") =!= col("ul")).count() === 0L,
+      "distributed labels must equal union-find labels")
+    // labels are the component minimum: chain k covers ids 5k..5k+4
+    assert(dist.filter(pmod(col("lbl"), lit(5)) =!= 0).count() === 0L)
+  }
+
   test("blocked sorted-neighborhood shape on 5M keys stays equi-joined") {
     // q_dedup_sorted's scale form: per-block rank windows (4096 blocks
     // of ~1221 rows — never a global sort) + the (block, rank+offset)
