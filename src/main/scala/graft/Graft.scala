@@ -48,6 +48,49 @@ object Graft {
                     threshold: Double = 0.5): DataFrame =
     ops.TextOps.nearDupScreen(corpus, batch, threshold)
 
+  /** MinHash/LSH near-dup pairs of a (doc_id, text) frame: banded
+    * candidates, exact-jaccard confirm — (doc_a, doc_b, jaccard),
+    * doc_a < doc_b. Never all-pairs. */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    ops.TextOps.minhashNearDupPairs(docs, threshold)
+
+  /** Blocked sorted-neighborhood near-dup pairs: per-block rank
+    * windows over the normalized key + (block, rank+offset) equi-join
+    * + prefix-levenshtein confirm — (doc_a, doc_b, lev). */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 2,
+                              maxLev: Int = 16): DataFrame =
+    ops.TextOps.sortedNeighborhoodPairs(docs, window, maxLev)
+
+  /** SimHash near-dup pairs: 16-bit band-collision candidates
+    * confirmed by signature hamming distance — (doc_a, doc_b,
+    * hamming). The noisier family on short docs; see
+    * [[ensembleNearDupPairs]]. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    ops.TextOps.simhashPairs(docs, maxHamming)
+
+  /** Union of the three independent near-dup families (MinHash
+    * content overlap, sorted-neighborhood edit distance, SimHash
+    * hamming) with per-method provenance flags — a pair flagged by 2+
+    * methods is near-certain. Constituents are memoized per session,
+    * so this adds one union + groupBy over calling them directly. */
+  def ensembleNearDupPairs(docs: DataFrame): DataFrame =
+    ops.TextOps.ensembleNearDupPairs(docs)
+
+  /** Flag corpus docs sharing >= `minOverlap` word-bigram shingles
+    * with an evaluation set (benchmark decontamination). The bench
+    * shingle set stays eval-corpus-sized — broadcast, never a
+    * corpus-sized build side. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    minOverlap: Int = 3): DataFrame =
+    ops.TextOps.decontaminate(corpus, bench, minOverlap)
+
+  /** 80/10/10 train/val/test assignment BY NEAR-DUP CLUSTER (MinHash
+    * pair graph → connected components → portable hash on the cluster
+    * id): a doc and its twins never straddle splits, so eval can't
+    * see a paraphrase of a training doc. */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    ops.TextOps.leakageSafeSplit(docs, threshold)
+
   // ---- vectors -------------------------------------------------------
 
   /** Int8 scalar quantization of (vec_id, embedding), exploded to
@@ -89,6 +132,33 @@ object Graft {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                time: String, valueCol: String): DataFrame =
     ops.Relational.asofJoin(left, right, key, time, valueCol)
+
+  // ---- pipelines -----------------------------------------------------
+
+  /** Full dataset build over a (doc_id, text, n_chars) frame as ONE
+    * lazy plan: quality gate → exact dedup → deterministic 80/10/10
+    * hash split → chunk → per-(split, shard) chunk/doc/token counts.
+    * Pass `n_chars` = `length(text)` if nothing better is
+    * precomputed. */
+  def datasetBuild(docs: DataFrame): DataFrame =
+    ops.PipelineOps.datasetBuild(docs)
+
+  // ---- CDC / incremental refresh -------------------------------------
+
+  /** Classify every `key` across two snapshots (each carrying `key`
+    * and `valueCol`) as added / removed / changed via one full-outer
+    * join; unchanged rows never leave the join. Output feeds
+    * [[mergeUpsert]]; merge(old, diff(old, new)) == new. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: String, valueCol: String): DataFrame =
+    ops.Relational.snapshotDiff(oldSnap, newSnap, key, valueCol)
+
+  /** Apply a [[snapshotDiff]] delta onto a base snapshot: tombstone
+    * removals, upsert adds/changes latest-wins — the MERGE INTO shape
+    * in vanilla Spark. One shuffle on the key. */
+  def mergeUpsert(base: DataFrame, delta: DataFrame,
+                  key: String, valueCol: String): DataFrame =
+    ops.Relational.mergeUpsert(base, delta, key, valueCol)
 
   // ---- graphs --------------------------------------------------------
 

@@ -445,9 +445,14 @@ object PipelineOps {
     * output is hash-identical to the DuckDB replay. At 100 TB this is
     * the plan you'd actually submit: stage order is cost-sorted and
     * nothing materializes between stages. */
-  val qDatasetBuild = Q(
-    (s, d) => {
-      val gated = Tables.documents(s, d)
+  /** PUBLIC composable form (exported via [[graft.Graft]]): the full
+    * dataset build over any (doc_id, text, n_chars) frame — quality
+    * gate → exact dedup → deterministic 80/10/10 hash split → chunk →
+    * per-(split, shard) counts, one lazy plan. `n_chars` is the
+    * precomputed text length the gate's symbol-ratio rule reads
+    * (`length(text)` if the caller has nothing better). */
+  def datasetBuild(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val gated = docs
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("len_sum", length(regexp_replace(col("text"), " ", "")))
@@ -478,7 +483,10 @@ object PipelineOps {
           countDistinct(col("doc_id")).as("n_docs"),
           sum(col("n_chunk_tokens")).cast("long").as("n_tokens"))
         .orderBy(col("split"), col("shard"))
-    },
+  }
+
+  val qDatasetBuild = Q(
+    (s, d) => datasetBuild(Tables.documents(s, d)),
     s"""WITH gated AS (
          SELECT doc_id, text FROM documents
          WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 10 AND 100000

@@ -1755,6 +1755,53 @@ object Relational {
        WHERE rn = 1 AND o_orderkey NOT IN (SELECT o_orderkey FROM tomb)
        ORDER BY o_orderkey""")
 
+  /** PUBLIC composable CDC diff (exported via [[graft.Graft]]): the
+    * generic form of [[qSnapshotDiff]] — classify every `key` across
+    * two snapshot frames (each carrying `key` and `valueCol`) as
+    * added / removed / changed with ONE co-partitioned full-outer
+    * join, unchanged rows dropped before anything expensive. Output:
+    * (key, change_type, <valueCol>_old, <valueCol>_new) with nulls on
+    * the absent side (the graded query's -1 sentinels exist only for
+    * oracle hash portability). The output is exactly the delta feed
+    * [[mergeUpsert]] applies; RelationalSpec and GraftApiSpec pin the
+    * merge(old, diff(old, new)) == new round-trip. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: String, valueCol: String): DataFrame = {
+    val o = oldSnap.select(col(key), col(valueCol).as("__graft_old"))
+    val n = newSnap.select(col(key), col(valueCol).as("__graft_new"))
+    o.join(n, Seq(key), "full")
+      .withColumn("change_type",
+        when(col("__graft_old").isNull, "added")
+          .when(col("__graft_new").isNull, "removed")
+          .when(col("__graft_old") =!= col("__graft_new"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col(key), col("change_type"),
+        col("__graft_old").as(s"${valueCol}_old"),
+        col("__graft_new").as(s"${valueCol}_new"))
+  }
+
+  /** PUBLIC composable merge/upsert (exported via [[graft.Graft]]):
+    * apply a [[snapshotDiff]] delta onto a base snapshot — tombstone
+    * the removed keys (left-anti), upsert added/changed rows with
+    * latest-wins priority (union + one row_number window on the
+    * key). One shuffle on the key; the anti join broadcasts while the
+    * delta is small and degrades to a co-partitioned SMJ at scale. */
+  def mergeUpsert(base: DataFrame, delta: DataFrame,
+                  key: String, valueCol: String): DataFrame = {
+    val upserts = delta.filter(col("change_type") =!= "removed")
+      .select(col(key), col(s"${valueCol}_new").as(valueCol), lit(1).as("__graft_pri"))
+    val tombstones = delta.filter(col("change_type") === "removed")
+      .select(col(key))
+    val baseRows = base.select(col(key), col(valueCol), lit(0).as("__graft_pri"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__graft_pri").desc)
+    baseRows.union(upserts)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .join(tombstones, Seq(key), "left_anti")
+      .select(col(key), col(valueCol))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_merge_upsert" -> qMergeUpsert,

@@ -260,14 +260,24 @@ object TextOps {
     * r = 4 fires j⁴ ≈ 1e-4. Recall at the j ≈ 0.99 planted twins is
     * 1 - (1-j⁴)^8 ≈ 1 - 1e-11, and the corpus is bimodal (nothing
     * between 0.15 and 0.9), so the exact-jaccard oracle still
-    * matches. */
-  val qDedupMinhash = Q(
-    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_minhash:$d") {
+    * matches.
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]]): takes any
+    * (doc_id, text) frame, returns (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b. Memoized by the semantic hash of the input plan
+    * (+ threshold), so the graded query, the ensemble and facade
+    * callers all share ONE persisted shingle table per distinct input
+    * per session — the bounded-persist pattern nearDupScreen's corpus
+    * side established. */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
+    SessionMemo.getOrElseUpdate(s,
+      s"minhash_pairs:${docs.queryExecution.analyzed.semanticHash()}:$threshold") {
       // persisted: consumed three times (signatures + both confirm
       // sides); without it the tokenize→shingle pipeline runs thrice.
       // The memo bounds this to one persist + one broadcast per
-      // (session, dir) no matter how often the query is invoked
-      val sh = withShingles(Tables.documents(s, d))
+      // (session, input plan) no matter how often it is invoked
+      val sh = withShingles(docs)
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
         .persist()
       val banded = minhashBands(sh)
@@ -282,9 +292,15 @@ object TextOps {
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  val qDedupMinhash = Q(
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_minhash:$d") {
+      minhashNearDupPairs(Tables.documents(s, d))
     },
     s"""WITH sh AS ($duckShingles)
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -514,14 +530,16 @@ object TextOps {
     * any corpus scale), then join back to occurrences — AQE
     * broadcasts the dictionary. Votes stay 64 codegen'd ±1-vote SUM
     * aggregates; the nested-lambda alternative is interpreted per
-    * element, the trap measured at 4× on the MinHash signatures. */
-  val qDedupSimhash = Q(
-    (s, d) => {
+    * element, the trap measured at 4× on the MinHash signatures.
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]] through
+    * [[simhashPairs]]): takes any (doc_id, text) frame. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
       // drop empty tokens (doubled/leading spaces): a zero-length
       // token would make DuckDB's no-init LIST_REDUCE error on an
       // empty list while Spark folds sequence(1,0) = [1,0] DESCENDING
       // over two phantom ascii('')=0 chars — divergent, not just ugly
-      val toks = Tables.documents(s, d)
+      val toks = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .filter(col("t") =!= "")
       val hashCols = simhashBands.zipWithIndex.map { case ((b, p), k) =>
@@ -566,7 +584,10 @@ object TextOps {
           expr("(simhash >> 16) & 65535").as("band2"),
           expr("simhash & 65535").as("band3"))
         .orderBy(col("doc_id"))
-    },
+  }
+
+  val qDedupSimhash = Q(
+    (s, d) => simhashSignatures(Tables.documents(s, d)),
     Some {
       val hashDefs = simhashBands.zipWithIndex.map { case ((b, p), k) =>
         s"""LIST_REDUCE(LIST_TRANSFORM(RANGE(LENGTH(t)),
@@ -925,12 +946,19 @@ object TextOps {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  val qDedupSorted = Q(
-    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_sorted:$d") {
-      val w = 2
+  /** PUBLIC composable form (exported via [[graft.Graft]]): blocked
+    * sorted-neighborhood near-dup pairs of any (doc_id, text) frame —
+    * per-block rank windows over the normalized sort key, the
+    * (block, rank+offset) equi-join, prefix-levenshtein confirm.
+    * Memoized like [[minhashNearDupPairs]]. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 2,
+                              maxLev: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    SessionMemo.getOrElseUpdate(s,
+      s"sorted_pairs:${docs.queryExecution.analyzed.semanticHash()}:$window:$maxLev") {
       // persisted: both join sides read the ranked frame, and without
       // it the normalize+window pipeline executes twice
-      val normed = Tables.documents(s, d).select(col("doc_id"),
+      val normed = docs.select(col("doc_id"),
         normalizeText(col("text")).as("k"))
         .withColumn("blk", substring(col("k"), 1, 2))
         .withColumn("rk", row_number().over(
@@ -938,16 +966,22 @@ object TextOps {
         .persist()
       val a = normed.select(col("blk"), col("rk"), col("doc_id").as("id_a"),
           col("k").as("ka"))
-        .withColumn("off", explode(sequence(lit(1), lit(w))))
+        .withColumn("off", explode(sequence(lit(1), lit(window))))
       val b = normed.select(col("blk"), col("rk").as("rk_b"),
         col("doc_id").as("id_b"), col("k").as("kb"))
       a.join(b, a("blk") === b("blk") && (a("rk") + a("off")) === b("rk_b"))
         .withColumn("lev",
           levenshtein(substring(col("ka"), 1, 80), substring(col("kb"), 1, 80)))
-        .filter(col("lev") <= 16)
+        .filter(col("lev") <= maxLev)
         .select(least(col("id_a"), col("id_b")).as("doc_a"),
           greatest(col("id_a"), col("id_b")).as("doc_b"), col("lev"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  val qDedupSorted = Q(
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_sorted:$d") {
+      sortedNeighborhoodPairs(Tables.documents(s, d))
     },
     """WITH normed AS (
          SELECT doc_id,
@@ -983,14 +1017,22 @@ object TextOps {
     * documents simhash is the noisier family, which is exactly why
     * the ensemble unions it with content-overlap methods rather than
     * trusting it alone. Scale: O(N × bucket) like every LSH path
-    * here; the signature frame is memoized. */
-  val qDedupSimhashPairs = Q(
+    * here; the signature frame is memoized.
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]]): takes any
+    * (doc_id, text) frame, confirms band-collision candidates by
+    * `bit_count(xor) <= maxHamming`. Memoized like
+    * [[minhashNearDupPairs]]; the signature frame persists once per
+    * distinct input per session. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    val sem = docs.queryExecution.analyzed.semanticHash()
     // the WHOLE pair frame is memoized (like its sibling families), so
     // the ensemble's reuse really is a cheap union — re-running just
     // the band join per consumer measurably doubled the ensemble
-    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_simhash_pairs:$d") {
-      val sig = SessionMemo.getOrElseUpdate(s, s"simhash_sigs:$d") {
-        qDedupSimhash.fn(s, d).persist()
+    SessionMemo.getOrElseUpdate(s, s"simhash_pairs:$sem:$maxHamming") {
+      val sig = SessionMemo.getOrElseUpdate(s, s"simhash_sigs:$sem") {
+        simhashSignatures(docs).persist()
       }
       val bands = (0 to 3).map(b =>
         sig.select(col("doc_id"), lit(b).as("band_idx"),
@@ -1005,10 +1047,16 @@ object TextOps {
       val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
       cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
         .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-        .filter(col("hamming") <= 4)
+        .filter(col("hamming") <= maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
         .persist() // pair-count-sized; makes each re-consumption a cache read
+    }
+  }
+
+  val qDedupSimhashPairs = Q(
+    (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_simhash_pairs:$d") {
+      simhashPairs(Tables.documents(s, d))
     },
     s"""WITH sig AS (${qDedupSimhash.oracle.get}),
        bands AS (
@@ -1041,22 +1089,77 @@ object TextOps {
     * 2+ methods is near-certain). Composes the graded queries' exact
     * code paths (all memoized, so the ensemble adds one cheap
     * union+groupBy, not a recompute). Declared AFTER its three
-    * constituents: the oracle text is assembled eagerly from theirs. */
+    * constituents: the oracle text is assembled eagerly from theirs.
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]]): takes any
+    * (doc_id, text) frame; the constituents are the memoized generic
+    * forms, so graded queries and facade callers share the same
+    * per-session builds. */
+  def ensembleNearDupPairs(docs: DataFrame): DataFrame = {
+    val mh = minhashNearDupPairs(docs).select(col("doc_a"), col("doc_b"),
+      lit(1).as("by_minhash"), lit(0).as("by_sorted"), lit(0).as("by_simhash"))
+    val so = sortedNeighborhoodPairs(docs).select(col("doc_a"), col("doc_b"),
+      lit(0).as("by_minhash"), lit(1).as("by_sorted"), lit(0).as("by_simhash"))
+    val sh = simhashPairs(docs).select(col("doc_a"), col("doc_b"),
+      lit(0).as("by_minhash"), lit(0).as("by_sorted"), lit(1).as("by_simhash"))
+    mh.unionByName(so).unionByName(sh)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("by_minhash")).as("by_minhash"),
+        max(col("by_sorted")).as("by_sorted"),
+        max(col("by_simhash")).as("by_simhash"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** PUBLIC composable benchmark decontamination (exported via
+    * [[graft.Graft]]): flag corpus docs sharing >= `minOverlap`
+    * word-bigram shingles with an eval set. Two-frame form of
+    * [[qDecontaminate]] (whose graded body fuses both sides into one
+    * shingle scan — possible there because its benchmark is a slice
+    * of the same table; arbitrary frames need separate scans). The
+    * bench shingle set stays eval-corpus-sized — AQE broadcasts it. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    minOverlap: Int = 3): DataFrame = {
+    val cs = withShingles(corpus)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val bs = withShingles(bench)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val overlaps = cs.join(bs, Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PUBLIC composable leakage-safe split (exported via
+    * [[graft.Graft]]): assign any (doc_id, text) frame to 80/10/10
+    * train/val/test BY NEAR-DUP CLUSTER, so a doc and its twins never
+    * straddle splits. The generic form clusters over the MinHash/LSH
+    * pair set (the scale path); the graded [[qSplitLeakageSafe]] keeps
+    * the exact-jaccard pair set its recursive-CTE oracle replays. */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    val clusters = componentLabels(edges)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", expr(s"${graft.Num.hashExpr("cluster_id")} % 10"))
+      .withColumn("split", expr(
+        "CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val qDedupEnsemble = Q(
-    (s, d) => {
-      val mh = qDedupMinhash.fn(s, d).select(col("doc_a"), col("doc_b"),
-        lit(1).as("by_minhash"), lit(0).as("by_sorted"), lit(0).as("by_simhash"))
-      val so = qDedupSorted.fn(s, d).select(col("doc_a"), col("doc_b"),
-        lit(0).as("by_minhash"), lit(1).as("by_sorted"), lit(0).as("by_simhash"))
-      val sh = qDedupSimhashPairs.fn(s, d).select(col("doc_a"), col("doc_b"),
-        lit(0).as("by_minhash"), lit(0).as("by_sorted"), lit(1).as("by_simhash"))
-      mh.unionByName(so).unionByName(sh)
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(max(col("by_minhash")).as("by_minhash"),
-          max(col("by_sorted")).as("by_sorted"),
-          max(col("by_simhash")).as("by_simhash"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, d) => ensembleNearDupPairs(Tables.documents(s, d)),
     s"""WITH mh_pairs AS (${qDedupMinhash.oracle.get}),
        so_pairs AS (${qDedupSorted.oracle.get}),
        sh_pairs AS (${qDedupSimhashPairs.oracle.get}),

@@ -172,6 +172,115 @@ class GraftApiSpec extends SparkSpec {
     assert(e.getMessage.contains("__graft_side"))
   }
 
+  // Synthetic corpus decoupled from Tables: 30 docs with per-doc
+  // DISJOINT vocabularies (cross-doc jaccard is exactly 0), plus a
+  // planted twin for every 3rd doc differing in one token (shingle
+  // jaccard 10/12). Letter-only tokens incl. "the" so the dataset
+  // build's quality gate keeps them.
+  private def synthDocs = {
+    val s = spark
+    import s.implicits._
+    def tok(i: Long, j: Int): String =
+      s"${('a' + (i % 26)).toChar}${('a' + (i / 26 % 26)).toChar}${('a' + j).toChar}"
+    def text(i: Long): String =
+      ("the" +: (0 until 11).map(j => tok(i, j))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, text(i)))
+    val twins = (0L until 30L by 3L).map(i =>
+      (100L + i, text(i).split(" ").init.mkString(" ") + " " + tok(i, 12)))
+    (base ++ twins).toDF("doc_id", "text")
+  }
+  private val plantedPairs = (0L until 30L by 3L).map(i => (i, 100L + i)).toSet
+
+  test("minhashNearDupPairs finds exactly the planted twins on a non-testdata frame") {
+    val pairs = Graft.minhashNearDupPairs(synthDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === plantedPairs)
+  }
+
+  test("ensembleNearDupPairs flags every planted twin with minhash evidence") {
+    val rows = Graft.ensembleNearDupPairs(synthDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    plantedPairs.foreach { p =>
+      assert(rows.contains(p), s"planted pair $p missing from ensemble")
+      assert(rows(p)._1 === 1, s"planted pair $p lacks minhash evidence")
+    }
+    // provenance flags are well-formed: every emitted pair has at
+    // least one method's vote
+    rows.values.foreach { case (mh, so, sh) => assert(mh + so + sh >= 1) }
+  }
+
+  test("leakageSafeSplit co-assigns twins and covers every doc") {
+    val out = Graft.leakageSafeSplit(synthDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet === synthDocs.collect().map(_.getLong(0)).toSet)
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    plantedPairs.foreach { case (a, b) =>
+      assert(out(a)._1 === out(b)._1, s"twins ($a,$b) in different clusters")
+      assert(out(a)._2 === out(b)._2, s"twins ($a,$b) straddle splits")
+    }
+    // non-twin docs are singleton clusters keyed by their own id
+    val twinIds = plantedPairs.flatMap(p => Set(p._1, p._2))
+    out.filterNot(kv => twinIds.contains(kv._1)).foreach { case (id, (c, _)) =>
+      assert(c === id, s"singleton $id landed in cluster $c")
+    }
+  }
+
+  test("decontaminate flags exactly the docs overlapping the bench set") {
+    val docs = synthDocs.filter(col("doc_id") < 30)
+    // bench = verbatim copies of docs 0, 3, 6 under new ids — 11
+    // shared bigrams each, far past the default minOverlap 3; all
+    // other docs share zero (disjoint vocabularies)
+    val bench = docs.filter(col("doc_id").isin(0L, 3L, 6L))
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val out = Graft.decontaminate(docs, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet === (0L until 30L).toSet)
+    (0L until 30L).foreach { id =>
+      if (Set(0L, 3L, 6L).contains(id)) {
+        assert(out(id)._2 && out(id)._1 >= 11L, s"doc $id should be contaminated")
+      } else assert(!out(id)._2 && out(id)._1 === 0L, s"doc $id is clean")
+    }
+  }
+
+  test("snapshotDiff + mergeUpsert round-trip on generic string-valued frames") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val next = Seq((2L, "b"), (3L, "x"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    val delta = Graft.snapshotDiff(base, next, "k", "v")
+    val byType = delta.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(byType === Map(
+      1L -> (("removed", Some("a"), None)),
+      3L -> (("changed", Some("c"), Some("x"))),
+      5L -> (("added", None, Some("e")))))
+    val merged = Graft.mergeUpsert(base, delta, "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(merged === next.collect().map(r => (r.getLong(0), r.getString(1))).toSet,
+      "merge(base, diff(base, next)) must equal next")
+  }
+
+  test("datasetBuild on a non-testdata frame: gate, dedup, split, chunk counts") {
+    // synthetic docs + one exact duplicate pair; every doc passes the
+    // gate (12 letter-only tokens incl. 'the'), each doc yields one
+    // 64-token chunk, and the duplicate contributes one survivor
+    val docs = synthDocs
+      .union(synthDocs.filter(col("doc_id") === 0L)
+        .select(lit(500L).as("doc_id"), col("text")))
+      .withColumn("n_chars", length(col("text")))
+    val nDocs = docs.count()
+    val out = Graft.datasetBuild(docs).collect()
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    val totalDocs = out.map(_.getLong(3)).sum
+    val totalChunks = out.map(_.getLong(2)).sum
+    val totalTokens = out.map(_.getLong(4)).sum
+    assert(totalDocs === nDocs - 1, "exactly the planted duplicate is dropped")
+    assert(totalChunks === totalDocs, "12-token docs chunk 1:1")
+    assert(totalTokens === 12L * totalDocs)
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
