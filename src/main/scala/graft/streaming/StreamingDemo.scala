@@ -46,6 +46,20 @@ object StreamingDemo {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming first-event-per-key dedup — the streaming form of the
+    * graded batch twin q_events_dedup_state (first event per
+    * (user, type), the rest suppressed by the state store). The
+    * watermark `delay` bounds how long a key's state lives: duplicates
+    * arriving within `delay` of each other are suppressed, older state
+    * is evicted — the knob that keeps state finite on an unbounded
+    * stream. With a delay covering the data's time span the result is
+    * row-identical to the batch twin (StreamingSpec pins it). */
+  def dedupFirstPerKey(events: DataFrame, delay: String,
+                       keys: String*): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   final case class UserRunning(userId: Long, n: Long, total: Double)
 
   /** Custom state: running per-user totals via mapGroupsWithState —

@@ -301,6 +301,58 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("dropDuplicatesWithinWatermark matches the batch dedup twin row-for-row") {
+    // The graded q_events_dedup_state keeps the first event per
+    // (user_id, event_type); stream the SAME sf0.001 events through
+    // dropDuplicatesWithinWatermark keyed the same way and the kept
+    // rows must coincide. Two micro-batches make first-arrival
+    // deterministic: batch 1 carries exactly the per-key min-ts rows
+    // (ties broken by event_id), batch 2 all the duplicates; the
+    // 30-day delay covers the data span so no state evicts mid-test.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ranked = ev.withColumn("rn", row_number().over(w)).localCheckpoint()
+    def collectEv(df: org.apache.spark.sql.DataFrame): Seq[Ev] =
+      df.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .collect().toIndexedSeq
+        .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4)))
+    val firsts = collectEv(ranked.filter(col("rn") === 1))
+    val rest = collectEv(ranked.filter(col("rn") =!= 1))
+
+    val input = MemoryStream[Ev]
+    val out = StreamingDemo
+      .dedupFirstPerKey(input.toDF(), "30 days", "user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_twin").start()
+    try {
+      input.addData(firsts)
+      out.processAllAvailable()
+      input.addData(rest)
+      out.processAllAvailable()
+      val got = spark.table("dedup_twin")
+        .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // the batch twin's exact aggregation on the same input
+      val twin = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).cast("long").as("first_seen"),
+          (count(lit(1)) - 1).as("n_suppressed"))
+        .localCheckpoint()
+      val expect = twin.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expect, "streamed survivors must equal the batch twin's firsts")
+      val suppressed = ev.count() - got.size
+      assert(suppressed ===
+        twin.agg(sum(col("n_suppressed"))).head().getLong(0),
+        "suppressed-row count must match the twin's n_suppressed total")
+    } finally out.stop()
+  }
+
   test("flatMapGroupsWithState emits an alert exactly when the threshold is crossed") {
     val s = spark
     import s.implicits._
