@@ -71,13 +71,27 @@ object Bench {
       }
       require(n > 0, s"SPARK_GRAFT_HYGIENE must be positive, got $n"); n
     }
-    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+    val sampled = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       hygieneEvery.foreach { n =>
         if (idx > 0 && idx % n == 0) { spark.catalog.clearCache(); System.gc() }
       }
-      val t = try math.min(timeOnce(fn), timeOnce(fn))
-              catch { case _: Throwable => -1.0 }
-      name -> t
+      val ts = try Seq(timeOnce(fn), timeOnce(fn))
+               catch { case _: Throwable => Seq.empty }
+      (name, fn, ts)
+    }
+    val results = sampled.map { case (name, _, ts) =>
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    // Median-of-3 diagnostic for the expensive tail (min-of-2 >
+    // 0.5 s): one extra sample each, median recorded in the detail
+    // JSON only. The graded per-query number stays min-of-2 so it is
+    // comparable across rounds; the median is the round-over-round
+    // regression signal — a plan regression moves the median, session
+    // noise does not (docs/SCALE.md variance section).
+    val medians = sampled.collect {
+      case (name, fn, ts) if ts.nonEmpty && ts.min > 0.5 =>
+        val t3 = try timeOnce(fn) catch { case _: Throwable => ts.max }
+        name -> (ts :+ t3).sorted.apply(1)
     }
     // Locale.ROOT: the f interpolator honors the JVM default locale,
     // and a comma-decimal locale would emit invalid JSON ("0,123")
@@ -88,8 +102,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val meds = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"failed":$failed,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench
     // (the driver may run this from a non-writable working directory,
     // and the final stdout line below is the graded artifact)

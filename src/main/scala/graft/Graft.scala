@@ -43,10 +43,14 @@ object Graft {
   /** Screen an incoming batch against an existing corpus via
     * MinHash/LSH banding: candidates strictly batch×corpus, exact
     * jaccard confirm, one decision row per matched batch doc. Runs
-    * unchanged inside a Structured Streaming `foreachBatch`. */
+    * unchanged inside a Structured Streaming `foreachBatch` (keep
+    * `persistBatch = false` there — per-batch cache entries would
+    * accumulate; set it true only for large one-shot backfills, and
+    * own the entry's lifetime). */
   def nearDupScreen(corpus: DataFrame, batch: DataFrame,
-                    threshold: Double = 0.5): DataFrame =
-    ops.TextOps.nearDupScreen(corpus, batch, threshold)
+                    threshold: Double = 0.5,
+                    persistBatch: Boolean = false): DataFrame =
+    ops.TextOps.nearDupScreen(corpus, batch, threshold, persistBatch)
 
   /** MinHash/LSH near-dup pairs of a (doc_id, text) frame: banded
     * candidates, exact-jaccard confirm — (doc_a, doc_b, jaccard),
