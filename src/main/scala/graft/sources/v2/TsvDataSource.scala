@@ -7,9 +7,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,8 +48,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class TsvDataSource extends TableProvider {
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TsvFormat.inferSchema(TsvFormat.listFiles(options.get("path")))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // a fresh WRITE target has no files to infer from: return the
+    // empty schema and let the write builder adopt the query schema
+    // (reading such a dir yields an empty zero-column frame)
+    val files = TsvFormat.listFiles(options.get("path"))
+    if (files.isEmpty) new StructType() else TsvFormat.inferSchema(files)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
@@ -80,7 +86,8 @@ private[v2] object TsvFormat {
       try stream.iterator().asScala
         .filter(f => f.toString.endsWith(".tsv")).map(_.toString).toSeq.sorted
       finally stream.close()
-    } else Seq(p.toString)
+    } else if (Files.exists(p)) Seq(p.toString)
+    else Seq.empty // a fresh write target
   }
 
   def inferSchema(files: Seq[String]): StructType = {
@@ -101,6 +108,15 @@ private[v2] object TsvFormat {
         case other    => throw new IllegalArgumentException(s"unsupported type $other")
       })
     })
+  }
+
+  /** Header type tag for a field — inverse of [[inferSchema]]'s map. */
+  def typeName(dt: DataType): String = dt match {
+    case IntegerType => "int"
+    case LongType    => "long"
+    case DoubleType  => "double"
+    case StringType  => "string"
+    case other       => throw new IllegalArgumentException(s"unsupported type $other")
   }
 
   def parse(raw: String, dt: DataType): Any =
@@ -147,13 +163,113 @@ private[v2] object TsvFormat {
 }
 
 private[v2] class TsvTable(tableSchema: StructType, path: String, splitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"tsv:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(tableSchema, path, splitBytes)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a fresh target (empty inferred schema) adopts the query schema;
+    // appends to an existing table must match it exactly — silent
+    // schema drift is how a header-typed format dies
+    if (tableSchema.nonEmpty)
+      require(info.schema() == tableSchema,
+        s"write schema ${info.schema().simpleString} != table ${tableSchema.simpleString}")
+    new TsvWriteBuilder(info.schema(), path)
+  }
+}
+
+/** Write path: each task streams rows to a `.tsv.tmp-<uuid>` file and
+  * reports it in its commit message; files become visible only when
+  * the DRIVER commit renames every temp to its final `.tsv` name —
+  * the standard two-phase commit that makes a failed/speculative task
+  * invisible (its temp is deleted on abort) and an aborted job leave
+  * the directory untouched. `truncate()` (the OVERWRITE mode hook)
+  * deletes the pre-existing `.tsv` files at commit time, after all
+  * temps are staged, so a crash mid-write never loses the old data. */
+private[v2] class TsvWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new TsvBatchWrite(schema, path, doTruncate)
+  }
+}
+
+private[v2] final case class TsvCommitMessage(tmpFile: String)
+    extends WriterCommitMessage
+
+private[v2] class TsvBatchWrite(schema: StructType, path: String,
+                                truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new TsvWriterFactory(schema, path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    val olds =
+      if (truncate) TsvFormat.listFiles(path) else Seq.empty
+    // stage 1 complete (every temp exists) → drop old data, publish new
+    olds.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    messages.foreach { case TsvCommitMessage(tmp) =>
+      val t = Paths.get(tmp)
+      Files.move(t, dir.resolve(t.getFileName.toString.stripSuffix(".tmp") + ".tsv"))
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case TsvCommitMessage(tmp) => Files.deleteIfExists(Paths.get(tmp))
+      case _ => ()
+    }
+}
+
+private[v2] class TsvWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(schema, path, partitionId, taskId)
+}
+
+private[v2] class TsvDataWriter(schema: StructType, path: String,
+                                partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tmp = Paths.get(path).resolve(
+    f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    Files.newOutputStream(tmp), StandardCharsets.UTF_8))
+  out.write(schema.fields.map(f => s"${f.name}:${TsvFormat.typeName(f.dataType)}")
+    .mkString("\t"))
+  out.write("\n")
+
+  override def write(row: InternalRow): Unit = {
+    val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) ""
+      else f.dataType match {
+        case IntegerType => row.getInt(i).toString
+        case LongType    => row.getLong(i).toString
+        case DoubleType  => row.getDouble(i).toString
+        case StringType  =>
+          val s = row.getUTF8String(i).toString
+          require(!s.exists(c => c == '\t' || c == '\n' || c == '\r'),
+            s"string cell contains a TSV delimiter: '$s'")
+          s
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
+    out.write(cells.mkString("\t"))
+    out.write("\n")
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    TsvCommitMessage(tmp.toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(tmp); ()
+  }
+  override def close(): Unit = ()
 }
 
 private[v2] class TsvScanBuilder(tableSchema: StructType, path: String, splitBytes: Long)

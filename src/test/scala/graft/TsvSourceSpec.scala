@@ -32,6 +32,58 @@ class TsvSourceSpec extends SparkSpec {
     df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
       .getOrElse(fail("no BatchScanExec in plan"))
 
+  test("write path round-trips: append to a fresh dir, then overwrite") {
+    val out = Files.createTempDirectory("graft_tsv_w").toString
+    val fmt = classOf[TsvDataSource].getName
+    // append to a fresh directory: the write builder adopts the query
+    // schema (nothing to infer), each task stages a temp, driver
+    // commit publishes the .tsv files
+    readTsv.write.format(fmt).mode("append").save(out)
+    val back = spark.read.format(fmt).load(out)
+    assert(back.schema === readTsv.schema)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(rows(back) === rows(readTsv))
+    assert(!Files.list(java.nio.file.Paths.get(out)).iterator().asScalaCompat
+      .exists(_.toString.contains(".tmp")), "no temp files survive commit")
+    // overwrite: TRUNCATE capability — old files dropped at commit
+    readTsv.filter(col("id") <= 2).write.format(fmt).mode("overwrite").save(out)
+    assert(rows(spark.read.format(fmt).load(out)) ===
+      rows(readTsv.filter(col("id") <= 2)))
+    // append on top must match the existing table schema
+    readTsv.filter(col("id") === 3).write.format(fmt).mode("append").save(out)
+    assert(rows(spark.read.format(fmt).load(out)) ===
+      rows(readTsv.filter(col("id") <= 3)))
+  }
+
+  test("a failed write task leaves the directory untouched (abort path)") {
+    val out = Files.createTempDirectory("graft_tsv_a").toString
+    val fmt = classOf[TsvDataSource].getName
+    readTsv.write.format(fmt).mode("append").save(out)
+    val before = rowsOf(out)
+    // a string cell carrying a tab is rejected mid-write → the task
+    // aborts, the job aborts, and no temp or partial file remains
+    val e = intercept[Exception] {
+      readTsv.withColumn("segment", concat(col("segment"), lit("\tx")))
+        .write.format(fmt).mode("overwrite").save(out)
+    }
+    assert(e.getMessage != null)
+    assert(rowsOf(out) === before, "aborted overwrite must not change the table")
+    assert(!Files.list(java.nio.file.Paths.get(out)).iterator().asScalaCompat
+      .exists(_.toString.contains(".tmp")), "aborted temps are deleted")
+  }
+
+  private def rowsOf(dir: String) =
+    spark.read.format(classOf[TsvDataSource].getName).load(dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+
+  private implicit class JIter[A](it: java.util.Iterator[A]) {
+    def asScalaCompat: Iterator[A] = {
+      import scala.jdk.CollectionConverters._
+      it.asScala
+    }
+  }
+
   test("infers the typed-header schema and reads all files") {
     val df = readTsv
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ===
