@@ -31,6 +31,11 @@ object Graft {
     * runs to one space, trim. Idempotent. */
   def normalizeText(c: Column): Column = ops.TextOps.normalizeText(c)
 
+  /** Unicode-aware variant: folds runs outside `\p{L}`/`\p{N}` — the
+    * multilingual-corpus form. Idempotent. */
+  def normalizeTextUnicode(c: Column): Column =
+    ops.TextOps.normalizeTextUnicode(c)
+
   /** Chunk (doc_id, text) into `chunkSize`-token windows at `stride`
     * (overlap = chunkSize − stride), shard-routed by a portable hash.
     * Narrow map+explode — no shuffle at any corpus size. */
