@@ -37,6 +37,34 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_join_anti").contains("LeftAnti"))
   }
 
+  test("q_sql_q20: both INs decorrelate to joins, the scalar to an aggregate — no loops") {
+    // the Q20 shape is only 100 TB-viable if Catalyst rewrites the
+    // nested IN + correlated scalar into semi/equi joins over a
+    // per-part aggregate; a CartesianProduct or BNLJ here means the
+    // decorrelation failed and the plan is quadratic in the fact
+    val plan = planOf("q_sql_q20")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("SemiJoin") || plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("q_join_bucketed: the graded query's join subtree is Exchange-free") {
+    // the bucketed layout is amortized in a memoized prepare; the
+    // graded plan's SortMergeJoin must then read both catalog tables
+    // with NO Exchange beneath it (the groupBy above it still
+    // shuffles — that aggregation is the query, not the join)
+    val plan = planOf("q_join_bucketed")
+    val at = plan.indexOf("SortMergeJoin")
+    assert(at >= 0, plan.take(1500))
+    // the SMJ's subtree is everything from its line to the end of the
+    // plan text (it is the deepest operator chain); the aggregation's
+    // Exchanges sit above it and are excluded by the slice
+    val subtree = plan.substring(at)
+    assert(!subtree.contains("Exchange"),
+      s"bucketed join still shuffles:\n${subtree.take(1500)}")
+    assert(subtree.contains("Bucketed: true"), subtree.take(1500))
+  }
+
   test("AQE coalesces over-provisioned shuffle partitions at runtime") {
     // 32 shuffle partitions against kilobytes of data: the static plan
     // over-provisions, and AQE's coalesce rule must shrink the read

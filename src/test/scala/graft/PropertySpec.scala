@@ -78,6 +78,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeUpsert(base, snapshotDiff(base, next)) == next for random snapshots (spark, 5 cases)") {
+    // the CDC pair's defining identity, under arbitrary overlapping
+    // key sets and values — adds/removes/changes/unchanged all arise
+    val snapGen = Gen.mapOf(Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0, 3)))
+    forAllN(Gen.zip(snapGen, snapGen), 5) { case (oldM, newM) =>
+      val s = spark
+      import s.implicits._
+      val base = oldM.toSeq.toDF("k", "v")
+      val next = newM.toSeq.toDF("k", "v")
+      val delta = Graft.snapshotDiff(base, next, "k", "v")
+      val merged = Graft.mergeUpsert(base, delta, "k", "v")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(merged === newM, s"old=$oldM new=$newM delta=${delta.collect().toSeq}")
+    }
+  }
+
   test("union-distinct is commutative (spark, 5 cases)") {
     val pair = Gen.zip(Gen.listOfN(20, Gen.chooseNum(0, 8)), Gen.listOfN(20, Gen.chooseNum(0, 8)))
     forAllN(pair, 5) { case (a, b) =>
