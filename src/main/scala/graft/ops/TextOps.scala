@@ -43,6 +43,20 @@ object TextOps {
       .filter(size(col("tokens")) >= 2)
       .withColumn("shingles", expr(bigramsExpr))
 
+  /** word n-grams for arbitrary n — the generalization of
+    * [[withShingles]]'s bigrams that serious decontamination needs
+    * (GPT-3/Pile flag 13-gram collisions; bigrams over-flag). Same
+    * shape: array_distinct over a transform window, pure map. */
+  private def withNgrams(df: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    df.withColumn("tokens", tokens(col("text")))
+      .filter(size(col("tokens")) >= n)
+      .withColumn("shingles", expr(
+        s"""array_distinct(transform(
+              sequence(0, size(tokens) - $n),
+              i -> array_join(slice(tokens, i + 1, $n), ' ')))"""))
+  }
+
   private val duckShingles =
     """SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(LEN(toks) - 1),
          i -> toks[i + 1] || ' ' || toks[i + 2])) AS shingles
@@ -1160,12 +1174,16 @@ object TextOps {
     * [[qDecontaminate]] (whose graded body fuses both sides into one
     * shingle scan — possible there because its benchmark is a slice
     * of the same table; arbitrary frames need separate scans). The
-    * bench shingle set stays eval-corpus-sized — AQE broadcasts it. */
+    * bench shingle set stays eval-corpus-sized — AQE broadcasts it.
+    * `n` is the n-gram size: the default 2 matches the graded query's
+    * bigrams; production decontamination wants longer grams (GPT-3
+    * used 13-grams) — longer grams are rarer, so raise `n` and drop
+    * `minOverlap` toward 1 together. */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
-                    minOverlap: Int = 3): DataFrame = {
-    val cs = withShingles(corpus)
+                    minOverlap: Int = 3, n: Int = 2): DataFrame = {
+    val cs = withNgrams(corpus, n)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val bs = withShingles(bench)
+    val bs = withNgrams(bench, n)
       .select(explode(col("shingles")).as("shingle")).distinct()
     val overlaps = cs.join(bs, Seq("shingle"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))

@@ -243,6 +243,27 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate at 13-grams only fires on long verbatim overlap") {
+    val s = spark
+    import s.implicits._
+    val run = (0 until 20).map(j => s"w$j").mkString(" ") // 20 shared tokens
+    val corpus = Seq(
+      (1L, run + " tail one"),                       // 13-gram overlap: 8 windows
+      (2L, (0 until 10).flatMap(k => Seq(s"w${2 * k}", s"w${2 * k + 1}", s"z$k"))
+        .mkString(" ")), // 10 shared bigrams (w0 w1, w2 w3, …), NO shared 13-gram
+      (3L, "totally different words here entirely distinct")).toDF("doc_id", "text")
+    val bench = Seq((9L, run + " other ending")).toDF("doc_id", "text")
+    // at n=13, minOverlap=1: only the verbatim 20-token run collides
+    val strict = Graft.decontaminate(corpus, bench, minOverlap = 1, n = 13)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(strict === Map(1L -> true, 2L -> false, 3L -> false))
+    // at bigrams the interleaved doc 2 would over-flag — the reason
+    // long grams exist
+    val loose = Graft.decontaminate(corpus, bench, minOverlap = 3, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(loose(2L), "bigrams over-flag interleaved shared vocabulary")
+  }
+
   test("snapshotDiff + mergeUpsert round-trip on generic string-valued frames") {
     val s = spark
     import s.implicits._
