@@ -95,6 +95,14 @@ object Graft {
                     minOverlap: Int = 3, n: Int = 2): DataFrame =
     ops.TextOps.decontaminate(corpus, bench, minOverlap, n)
 
+  /** Keep the best member of each MinHash near-dup cluster by
+    * `qualityCol` (keep-the-longest-duplicate etc.) — the dedup
+    * DECISION, not just the pair list. Returns (cluster_id,
+    * survivor_id, n_members) for multi-member clusters. */
+  def survivorsByQuality(docs: DataFrame, qualityCol: String,
+                         threshold: Double = 0.5): DataFrame =
+    ops.TextOps.survivorsByQuality(docs, qualityCol, threshold)
+
   /** 80/10/10 train/val/test assignment BY NEAR-DUP CLUSTER (MinHash
     * pair graph → connected components → portable hash on the cluster
     * id): a doc and its twins never straddle splits, so eval can't

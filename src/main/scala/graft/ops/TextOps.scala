@@ -531,6 +531,40 @@ object TextOps {
          USING (cluster_id)
        ORDER BY cluster_id, doc_id""")
 
+  /** Quality-weighted survivor selection — the dedup DECISION on top
+    * of cluster canonicalization: real pipelines keep the BEST member
+    * of each near-dup cluster (here: most characters, the
+    * keep-the-longest-duplicate policy), not the smallest id. One
+    * row_number window over the cluster table — which is
+    * dup-graph-sized, tiny next to the corpus, so the argmax costs a
+    * shuffle of the clusters only. Ties break on doc_id so the choice
+    * is total. Reuses the memoized [[qDedupClusters]] output; the
+    * oracle replays the same argmax over the recursive-CTE components
+    * (quadratic — sf0.01-gate only, popped in sf0.1 sweeps). */
+  val qDedupSurvivors = Q(
+    (s, d) => {
+      val clusters = qDedupClusters.fn(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      clusters.join(docs, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+          col("n_chars").as("survivor_chars"),
+          col("cluster_size").as("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+    s"""$duckCompCtes,
+       sized AS (
+         SELECT c.cluster_id, c.doc_id, d.n_chars,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+             ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         FROM comp c JOIN documents d USING (doc_id))
+       SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_chars,
+         n_members FROM sized WHERE rn = 1 ORDER BY cluster_id""")
+
   /** (base, prime) per 16-bit simhash band: four independent
     * character-level Rabin–Karp hashes whose low 16 bits form the
     * 64 token-hash bits. Pure integer arithmetic — both engines
@@ -1238,7 +1272,35 @@ object TextOps {
          MAX(by_sorted) AS by_sorted, MAX(by_simhash) AS by_simhash
        FROM u GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""")
 
+  /** PUBLIC composable survivor selection (exported via
+    * [[graft.Graft]]): cluster any (doc_id, text) frame by MinHash
+    * near-dup pairs, then keep the best member of each cluster by
+    * `qualityCol` (desc, doc_id tiebreak). Returns (cluster_id,
+    * survivor_id, n_members) for multi-member clusters; singletons
+    * are trivially their own survivor and are omitted. */
+  def survivorsByQuality(docs: DataFrame, qualityCol: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    val clusters = componentLabels(edges)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col("doc_id").asc)
+    clusters.join(docs, Seq("doc_id"))
+      .withColumn("__graft_n", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+        col("__graft_n").as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_dedup_survivors" -> qDedupSurvivors,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,
     "q_dedup_ensemble" -> qDedupEnsemble,
     "q_dedup_sorted" -> qDedupSorted,

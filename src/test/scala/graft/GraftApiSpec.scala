@@ -243,6 +243,29 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("survivorsByQuality keeps the best twin per cluster, tiebreaks by id") {
+    val s = spark
+    import s.implicits._
+    // planted twins have equal text length → quality ties → the lower
+    // doc_id (the base doc) must win deterministically
+    val docs = synthDocs.withColumn("n_chars", length(col("text")))
+    val out = Graft.survivorsByQuality(docs, "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === plantedPairs.map(_._1),
+      "one cluster per planted twin pair, keyed by the min member id")
+    plantedPairs.foreach { case (a, _) =>
+      assert(out(a) === ((a, 2L)), s"cluster $a: expected base doc as survivor")
+    }
+    // a longer twin must displace the base doc as survivor
+    val boosted = docs.withColumn("n_chars",
+      when(col("doc_id") >= 100L, col("n_chars") + 1000).otherwise(col("n_chars")))
+    val out2 = Graft.survivorsByQuality(boosted, "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    plantedPairs.foreach { case (a, b) =>
+      assert(out2(a) === b, s"cluster $a: boosted twin $b must survive")
+    }
+  }
+
   test("decontaminate at 13-grams only fires on long verbatim overlap") {
     val s = spark
     import s.implicits._
