@@ -213,6 +213,49 @@ object VectorOps {
        WHERE $duckCosine >= 0.4
        ORDER BY vec_a, vec_b""")
 
+  /** Incremental embedding screen — the vector-side mirror of the
+    * text pipeline's [[graft.ops.TextOps.nearDupScreen]]: screen a
+    * BATCH of new embeddings (odd vec_ids) against the EXISTING
+    * bucketed corpus index (even vec_ids). Candidates come strictly
+    * batch×corpus from the hyperplane-bucket equi-join — per-ingest
+    * cost is O(batch × bucket occupancy), never corpus×corpus — and
+    * exact cosine confirms. One decision row per matched batch
+    * vector (match count, first corpus match, best cosine), the same
+    * decision shape the text screen emits. Threshold 0.35 is
+    * MEASURED on the synthetic embeddings (no true near-dups exist:
+    * bucketed odd-even cosines top out ≈0.42, so 0.4 leaves 2-3
+    * rows; 0.35 keeps 10-12 batch vectors matched at every SF while
+    * still cutting 99%+ of candidates). At 100 TB the corpus bucket
+    * frame is the precomputed, appendable index — append the batch's
+    * buckets after the screen, exactly like the band index. */
+  val qEmbedIncremental = Q(
+    (s, d) => {
+      val e = bucketed(s, d)
+      val corpus = e.filter(col("vec_id") % 2 === 0)
+        .select(col("bucket"), col("vec_id").as("corpus_id"),
+          col("v"), col("norm"))
+      val batch = e.filter(col("vec_id") % 2 === 1)
+        .select(col("bucket"), col("vec_id"),
+          col("v").as("qv"), col("norm").as("qnorm"))
+      batch.join(corpus, Seq("bucket"))
+        .withColumn("cosine", cosineCol)
+        .filter(col("cosine") >= 0.35)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("corpus_id")).as("first_match"),
+          max(col("cosine")).as("best_cosine"))
+        .orderBy(col("vec_id"))
+    },
+    s"""WITH n AS ($duckNormed),
+       b AS (SELECT n.vec_id, n.v, n.norm, bk.bucket FROM n JOIN ($duckBuckets) bk USING (vec_id)),
+       p AS (SELECT q.vec_id, c.vec_id AS corpus_id, $duckCosine AS cosine
+             FROM b q JOIN b c ON q.bucket = c.bucket
+               AND q.vec_id % 2 = 1 AND c.vec_id % 2 = 0)
+       SELECT vec_id, COUNT(*) AS n_matches, MIN(corpus_id) AS first_match,
+         MAX(cosine) AS best_cosine
+       FROM p WHERE cosine >= 0.35
+       GROUP BY vec_id ORDER BY vec_id""")
+
   /** Oracle twin of the Spark argmin assignment: nearest-centroid
     * cell per vector from centroid CTE `cents`, ties broken by
     * cent_id — identical (dist, cent_id) ordering on both engines. */
@@ -395,5 +438,6 @@ object VectorOps {
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNeardup,
+    "q_embed_incremental" -> qEmbedIncremental,
     "q_embed_centroids" -> qEmbedCentroids)
 }
