@@ -117,6 +117,15 @@ object Graft {
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     ops.VectorOps.quantizeInt8(embeddings)
 
+  /** Screen a batch of (vec_id, embedding) rows against a corpus
+    * frame via the hyperplane-bucket index: candidates strictly
+    * batch×corpus, exact cosine confirm, one decision row per
+    * matched batch vector — the embedding mirror of
+    * [[nearDupScreen]]. Corpus index memoized per session. */
+  def embedScreen(corpus: DataFrame, batch: DataFrame,
+                  threshold: Double = 0.35): DataFrame =
+    ops.VectorOps.embedScreen(corpus, batch, threshold)
+
   // ---- joins ---------------------------------------------------------
 
   /** Inner-join fact to dim on long keys with a fixed-size bloom

@@ -26,13 +26,17 @@ import org.apache.spark.sql.functions._
   *    oracle-checkable: both engines compute the identical algorithm. */
 object VectorOps {
 
-  /** vec_id, v (double[]), norm. */
-  private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+  /** (vec_id, embedding) → (vec_id, v double[], norm) for any frame. */
+  private def normedOf(e: DataFrame): DataFrame =
+    e.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm",
         sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .drop("embedding")
+
+  /** vec_id, v (double[]), norm. */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    normedOf(Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding")))
 
   private val duckNormed =
     """SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -255,6 +259,33 @@ object VectorOps {
          MAX(cosine) AS best_cosine
        FROM p WHERE cosine >= 0.35
        GROUP BY vec_id ORDER BY vec_id""")
+
+  /** PUBLIC composable embedding screen (exported via [[graft.Graft]]):
+    * the generic two-frame form of [[qEmbedIncremental]] — screen any
+    * batch of (vec_id, embedding) rows against any corpus frame.
+    * The corpus bucket index is memoized by input-plan semantic hash
+    * (one persisted index per distinct corpus per session — the
+    * foreachBatch-safe lifecycle the text screen uses); the batch
+    * side is bucketed per call, O(batch). */
+  def embedScreen(corpus: DataFrame, batch: DataFrame,
+                  threshold: Double = 0.35): DataFrame = {
+    val s = corpus.sparkSession
+    val c = SessionMemo.getOrElseUpdate(s,
+      s"embed_screen_index:${corpus.queryExecution.analyzed.semanticHash()}") {
+      withBucket(normedOf(corpus)).persist()
+    }.select(col("bucket"), col("vec_id").as("corpus_id"), col("v"), col("norm"))
+    val b = withBucket(normedOf(batch))
+      .select(col("bucket"), col("vec_id"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    b.join(c, Seq("bucket"))
+      .withColumn("cosine", cosineCol)
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("corpus_id")).as("first_match"),
+        max(col("cosine")).as("best_cosine"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Oracle twin of the Spark argmin assignment: nearest-centroid
     * cell per vector from centroid CTE `cents`, ties broken by

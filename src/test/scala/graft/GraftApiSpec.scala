@@ -243,6 +243,27 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("embedScreen matches a near-copy against the corpus, ignores orthogonal vectors") {
+    val s = spark
+    import s.implicits._
+    // 4-dim toy space: batch vec 1 is a near-copy of corpus vec 0
+    // (cosine ≈ 0.994, same hyperplane signs → same bucket by
+    // construction); batch vec 3 is orthogonal to the whole corpus
+    // (cosine 0 < any threshold)
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Graft.embedScreen(corpus, batch, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L), s"only the near-copy matches: $out")
+    val (n, first, best) = out(1L)
+    assert(n === 1L && first === 0L)
+    assert(math.abs(best - 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)) < 1e-9)
+  }
+
   test("survivorsByQuality keeps the best twin per cluster, tiebreaks by id") {
     val s = spark
     import s.implicits._
