@@ -110,6 +110,43 @@ object Graft {
   def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     ops.TextOps.leakageSafeSplit(docs, threshold)
 
+  /** Per-document duplicated-substring mass (distributed analog of
+    * suffix-array substring dedup): fraction of the doc's token
+    * k-grams, counted at every position, that also occur in another
+    * doc — (doc_id, n_shingles, n_dup, dup_permille, flagged).
+    * Catches partial duplication whole-document methods miss. */
+  def substringHotness(docs: DataFrame, k: Int = 7,
+                       flagPermille: Int = 200): DataFrame =
+    ops.TextOps.substringHotness(docs, k, flagPermille)
+
+  /** Asymmetric containment pairs |A ∩ B| / min(|A|, |B|) over
+    * distinct k-gram sets — catches a doc quoted inside a much larger
+    * one, which jaccard under-scores. Pairs via shared-shingle
+    * equi-join with a boilerplate fanout cap, never all-pairs. */
+  def containmentPairs(docs: DataFrame, k: Int = 7,
+                       minPermille: Int = 500): DataFrame =
+    ops.TextOps.containmentPairs(docs, k, minPermille)
+
+  // ---- data quality ---------------------------------------------------
+
+  /** Per-column profile (rows, non-nulls, exact distincts, rendered
+    * min/max) — one pruned single-column aggregate per entry, unioned.
+    * `render` makes min/max strings engine-portable (decimal-fix
+    * doubles, date_format timestamps); pass `identity` for ints and
+    * strings. */
+  def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame =
+    ops.QualityOps.profile(df, cols)
+
+  /** Run named row-count constraints (each a one-row aggregate frame)
+    * and emit (constraint_name, violations, passed) per check. */
+  def checkConstraints(checks: Seq[ops.QualityOps.Check]): DataFrame =
+    ops.QualityOps.checkConstraints(checks)
+
+  /** Per-group robust outlier counts via exact discrete quartiles and
+    * cross-multiplied Tukey fences — (group, n, q1, q3, n_hi, n_lo). */
+  def outliersIqr(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    ops.QualityOps.outliersIqr(df, groupCol, valueCol)
+
   // ---- vectors -------------------------------------------------------
 
   /** Int8 scalar quantization of (vec_id, embedding), exploded to

@@ -370,6 +370,35 @@ class GraftApiSpec extends SparkSpec {
     assert(ascii.filter(col("a") =!= col("u")).count() === 0L)
   }
 
+  test("quality facade: profile, constraints and outliers run on a user frame") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 11.0), (2L, "c", 1000.0),
+      (3L, "a", 12.0), (4L, "a", 13.0)).toDF("id", "cat", "v")
+    val prof = Graft.profile(df, Seq("id" -> identity, "cat" -> identity))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prof === Map("id" -> 4L, "cat" -> 3L))
+    val checks = Graft.checkConstraints(Seq(ops.QualityOps.Check("id_unique",
+      df.agg((count(lit(1)) - countDistinct(col("id"))).as("v"))))).collect()
+    assert(checks.head.getLong(1) === 1L && !checks.head.getBoolean(2))
+    val out = Graft.outliersIqr(df.filter(col("cat") === "a" || col("id") === 2L)
+      .withColumn("g", lit("g")), "g", "v").collect().head
+    assert(out.getAs[Long]("n_hi") >= 1L, "the 1000.0 row is a high outlier")
+  }
+
+  test("substring facade: hotness and containment agree on a planted subset") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"t$i").mkString(" ")
+    val small = (5 to 16).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    val hot = Graft.substringHotness(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dup_permille")).toMap
+    assert(hot(2) === 1000L, "small doc is wholly duplicated substring mass")
+    assert(hot(1) > 0L && hot(1) < 1000L, "big doc is only partially duplicated")
+    val pairs = Graft.containmentPairs(docs, k = 4).collect()
+    assert(pairs.length === 1 &&
+      pairs.head.getAs[Long]("containment_permille") === 1000L)
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)

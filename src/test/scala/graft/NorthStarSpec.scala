@@ -275,6 +275,50 @@ class NorthStarSpec extends SparkSpec {
     assert(ranks.toSeq === again.toSeq, "ranks must be bit-deterministic")
   }
 
+  test("substring hotness measures PARTIAL duplication the twins can't show") {
+    import spark.implicits._
+    // doc 2 = first 10 tokens of doc 1 + 10 unique tokens: with k=3,
+    // doc 2 has 18 shingles of which 8 (positions 1..8) also occur in
+    // doc 1 → 444 permille. doc 3 is fully unique → 0.
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"x$i")).mkString(" ")
+    val c = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = ops.TextOps.substringHotness(docs, k = 3, flagPermille = 400)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2).getAs[Long]("n_shingles") === 18L)
+    assert(out(2).getAs[Long]("n_dup") === 8L)
+    assert(out(2).getAs[Long]("dup_permille") === 444L)
+    assert(out(2).getAs[Boolean]("flagged"))
+    assert(out(3).getAs[Long]("n_dup") === 0L && !out(3).getAs[Boolean]("flagged"))
+    // symmetric: doc 1's first 8 shingles are duplicated too
+    assert(out(1).getAs[Long]("n_dup") === 8L)
+  }
+
+  test("containment catches a subset pair that jaccard would score low") {
+    import spark.implicits._
+    // small doc = 12 tokens wholly inside a 60-token doc: containment
+    // is 1000 permille while jaccard is ~10/58 ≈ 0.17 — far below any
+    // near-dup threshold. A third unrelated doc must produce no pair.
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val small = (21 to 32).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+    val pairs = ops.TextOps.containmentPairs(docs, k = 3).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getAs[Long]("containment_permille") === 1000L)
+  }
+
+  test("boilerplate shingles beyond the fanout cap never generate pairs") {
+    import spark.implicits._
+    // 70 docs sharing one 3-gram ("common tail end") exceed the 64-doc
+    // fanout cap, so the shared shingle is dropped and no pair forms.
+    val docs = (1 to 70).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c common tail end")).toDF("doc_id", "text")
+    assert(ops.TextOps.containmentPairs(docs, k = 3).collect().isEmpty)
+  }
+
   test("text normalize: output is canonical ASCII and idempotent") {
     val rows = run("q_text_normalize").collect()
     assert(rows.length === Tables.documents(spark, sfDir).count())
