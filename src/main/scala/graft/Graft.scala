@@ -198,6 +198,16 @@ object Graft {
                time: String, valueCol: String): DataFrame =
     ops.Relational.asofJoin(left, right, key, time, valueCol)
 
+  /** Per-interval count of other overlapping intervals (closed
+    * semantics) via the distributed sweep-line identity — binned
+    * two-phase prefix sums, per-bin running windows, no quadratic
+    * interval×interval join. `idCols` must uniquely identify a row;
+    * returns (idCols..., __s, __e, n_overlapping). */
+  def intervalOverlapCounts(iv: DataFrame, idCols: Seq[String],
+                            sCol: String, eCol: String,
+                            binWidth: Long = 3600L): DataFrame =
+    ops.EventsOps.intervalOverlapCounts(iv, idCols, sCol, eCol, binWidth)
+
   // ---- pipelines -----------------------------------------------------
 
   /** Full dataset build over a (doc_id, text, n_chars) frame as ONE
@@ -234,4 +244,10 @@ object Graft {
   def pagerankFixedPoint(edges: DataFrame, nodes: DataFrame,
                          iterations: Int): DataFrame =
     ops.GraphOps.pagerankFixedPoint(edges, nodes, iterations)
+
+  /** Per-node triangle counts over (src, dst) edges (direction and
+    * duplicates canonicalized away): wedge join + closing join +
+    * corner explode — the clustering/cohesion kernel. */
+  def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame =
+    ops.GraphOps.triangleCounts(edges, nodes)
 }

@@ -304,7 +304,141 @@ object EventsOps {
              FROM events) t
        GROUP BY user_id ORDER BY user_id""")
 
+  // ------------------------------------------------- interval overlap
+
+  /** For every interval, the number of OTHER intervals it overlaps
+    * (closed-interval semantics: [s1,e1] meets [s2,e2] iff s2 ≤ e1 ∧
+    * s1 ≤ e2) — concurrency analytics (how many sessions ran at once)
+    * without the quadratic interval×interval join.
+    *
+    * Sweep-line identity: overlaps(i) = #{j: s_j ≤ e_i} − #{j: e_j <
+    * s_i} − 1. Both global rank counts distribute as binned two-phase
+    * prefix sums: a bin spine (span/binWidth rows — choose binWidth so
+    * this stays ~1e6, it is windowed once and broadcast) carries the
+    * cross-bin cumulative, and the within-bin residual is a running
+    * sum over a marker/probe union windowed PER BIN — bounded
+    * partitions, no cross product anywhere. Ties are safe by
+    * construction: markers sort before ≤-probes and after <-probes
+    * at equal time (the `kind` key), and rows tied with a probe
+    * contribute 0 to its frame.
+    *
+    * `idCols` must uniquely identify an interval row. */
+  def intervalOverlapCounts(iv: org.apache.spark.sql.DataFrame,
+                            idCols: Seq[String],
+                            sCol: String, eCol: String,
+                            binWidth: Long = 3600L): org.apache.spark.sql.DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(idCols.nonEmpty, "idCols must not be empty")
+    import org.apache.spark.sql.expressions.Window
+    val base = iv.select(
+      idCols.map(col) :+ col(sCol).cast("long").as("__s") :+
+        col(eCol).cast("long").as("__e"): _*)
+    val idT = base.select(struct(idCols.map(col): _*).as("id")).schema("id").dataType
+    val idS = struct(idCols.map(col): _*).as("id")
+    val nid = lit(null).cast(idT).as("id")
+    // bin spine with cumulative starts/ends BEFORE each bin
+    val startBins = base.groupBy(expr(s"__s DIV $binWidth").as("bin"))
+      .agg(count(lit(1)).as("ns"))
+    val endBins = base.groupBy(expr(s"__e DIV $binWidth").as("bin"))
+      .agg(count(lit(1)).as("ne"))
+    val spine = base
+      .agg(expr(s"min(__s) DIV $binWidth").as("lo"), expr(s"max(__e) DIV $binWidth").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("bin"))
+    val wSpine = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = spine
+      .join(startBins, Seq("bin"), "left").join(endBins, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ns"), lit(0L)).as("ns"), coalesce(col("ne"), lit(0L)).as("ne"))
+      .select(col("bin"),
+        coalesce(sum("ns").over(wSpine), lit(0L)).as("starts_before"),
+        coalesce(sum("ne").over(wSpine), lit(0L)).as("ends_before"))
+    val wBin = Window.partitionBy("bin").orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 1: starts ≤ e — start markers (kind 0) before end probes (kind 1)
+    val u1 = base.select(expr(s"__s DIV $binWidth").as("bin"), col("__s").as("t"),
+        lit(0).as("kind"), lit(1L).as("c"), nid)
+      .unionAll(base.select(expr(s"__e DIV $binWidth").as("bin"), col("__e").as("t"),
+        lit(1).as("kind"), lit(0L).as("c"), idS))
+    val startsLe = u1.withColumn("run", sum(col("c")).over(wBin))
+      .filter(col("kind") === 1).join(prefix, "bin")
+      .select(col("id"), col("t").as("__e"),
+        (col("run") + col("starts_before")).as("starts_le"))
+    // pass 2: ends < s — start probes (kind 0) before end markers (kind 1)
+    val u2 = base.select(expr(s"__e DIV $binWidth").as("bin"), col("__e").as("t"),
+        lit(1).as("kind"), lit(1L).as("c"), nid)
+      .unionAll(base.select(expr(s"__s DIV $binWidth").as("bin"), col("__s").as("t"),
+        lit(0).as("kind"), lit(0L).as("c"), idS))
+    val endsLt = u2.withColumn("run", sum(col("c")).over(wBin))
+      .filter(col("kind") === 0).join(prefix, "bin")
+      .select(col("id"), col("t").as("__s"),
+        (col("run") + col("ends_before")).as("ends_lt"))
+    startsLe.join(endsLt, "id")
+      .select(col("id.*") +: col("__s") +: col("__e") +:
+        (col("starts_le") - col("ends_lt") - lit(1L)).as("n_overlapping") +: Nil: _*)
+  }
+
+  /** Graded exhibit: concurrent-session counts over the 10-minute
+    * session intervals — one row per session with how many other
+    * sessions (any user) were active at some shared instant. */
+  val qIntervalOverlap = Q(
+    (s, d) => {
+      val sessions = Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window").getField("start").cast("long").as("session_start"),
+          col("session_window").getField("end").cast("long").as("session_end"))
+      intervalOverlapCounts(sessions, Seq("user_id", "session_start"),
+          "session_start", "session_end", 3600L)
+        .select(col("user_id"), col("__s").as("session_start"),
+          col("__e").as("session_end"), col("n_overlapping"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    """WITH marked AS (
+         SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 10 MINUTE OR
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           THEN 1 ELSE 0 END AS is_new
+         FROM events),
+       sess AS (
+         SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM marked),
+       iv AS (
+         SELECT user_id, sid,
+                CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS s,
+                CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) + 600 AS e
+         FROM sess GROUP BY 1, 2),
+       u1 AS (
+         SELECT s AS t, 0 AS kind, 1 AS c,
+                CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS sid FROM iv
+         UNION ALL SELECT e, 1, 0, user_id, sid FROM iv),
+       r1 AS (
+         SELECT user_id, sid, t, kind,
+                SUM(c) OVER (ORDER BY t, kind
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS starts_le
+         FROM u1),
+       a AS (SELECT user_id, sid, t AS e, starts_le FROM r1 WHERE kind = 1),
+       u2 AS (
+         SELECT e AS t, 1 AS kind, 1 AS c,
+                CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS sid FROM iv
+         UNION ALL SELECT s, 0, 0, user_id, sid FROM iv),
+       r2 AS (
+         SELECT user_id, sid, t, kind,
+                SUM(c) OVER (ORDER BY t, kind
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ends_lt
+         FROM u2),
+       b AS (SELECT user_id, sid, t AS s, ends_lt FROM r2 WHERE kind = 0)
+       SELECT a.user_id AS user_id, b.s AS session_start, a.e AS session_end,
+              CAST(a.starts_le - b.ends_lt - 1 AS BIGINT) AS n_overlapping
+       FROM a JOIN b ON a.user_id = b.user_id AND a.sid = b.sid
+       ORDER BY a.user_id, session_start""")
+
   val defs: Map[String, Q] = Map(
+    "q_interval_overlap" -> qIntervalOverlap,
     "q_events_running_totals" -> qEventsRunningTotals,
     "q_events_gapfill" -> qEventsGapfill,
     "q_cohort_retention" -> qCohortRetention,

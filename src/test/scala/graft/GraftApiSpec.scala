@@ -399,6 +399,29 @@ class GraftApiSpec extends SparkSpec {
       pairs.head.getAs[Long]("containment_permille") === 1000L)
   }
 
+  test("intervalOverlapCounts equals the brute-force join at any bin width") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals, including touching
+    // endpoints (closed-interval ties) and containment nesting
+    val iv = (1 to 120).map { i =>
+      val s = (i * 37) % 250
+      (i.toLong, s.toLong, (s + 1 + (i * 13) % 40).toLong)
+    }.toDF("id", "s", "e")
+    val brute = iv.as("a").join(iv.as("b"),
+        col("b.s") <= col("a.e") && col("a.s") <= col("b.e") &&
+          col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Graft.intervalOverlapCounts(iv, Seq("id"), "s", "e", w)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_overlapping")).toMap
+      assert(got.size === 120, s"width $w must cover every interval")
+      got.foreach { case (id, n) =>
+        assert(n === brute.getOrElse(id, 0L), s"id $id at width $w")
+      }
+    }
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)

@@ -319,6 +319,20 @@ class NorthStarSpec extends SparkSpec {
     assert(ops.TextOps.containmentPairs(docs, k = 3).collect().isEmpty)
   }
 
+  test("triangle counts: K4 plus a pendant path, exact per node") {
+    import spark.implicits._
+    // K4 over a,b,c,d (4 triangles, 3 per node); path d—e—f adds none.
+    // Edges given DIRECTED and duplicated to prove canonicalization.
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "e"))
+      .toDF("src", "dst")
+    val nodes = Seq("a", "b", "c", "d", "e", "f").toDF("node")
+    val got = ops.GraphOps.triangleCounts(edges, nodes).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 0L, "f" -> 0L))
+  }
+
   test("text normalize: output is canonical ASCII and idempotent") {
     val rows = run("q_text_normalize").collect()
     assert(rows.length === Tables.documents(spark, sfDir).count())
