@@ -218,6 +218,13 @@ object Graft {
   def datasetBuild(docs: DataFrame): DataFrame =
     ops.PipelineOps.datasetBuild(docs)
 
+  /** Market-basket co-occurrence pairs with support counts and
+    * integer-exact lift (permille): pairs join within the basket key
+    * only — volume Σ k(k−1)/2 over basket sizes, never items². */
+  def copurchasePairs(baskets: DataFrame, basketCol: String,
+                      itemCol: String, minSupport: Long = 2L): DataFrame =
+    ops.Advanced.copurchasePairs(baskets, basketCol, itemCol, minSupport)
+
   // ---- CDC / incremental refresh -------------------------------------
 
   /** Classify every `key` across two snapshots (each carrying `key`

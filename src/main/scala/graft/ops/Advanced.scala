@@ -325,7 +325,62 @@ object Advanced {
        WHERE c_mktsegment = 'BUILDING'
        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
+  /** Association mining (market-basket co-occurrence): part pairs
+    * appearing in the same order, with support counts and an
+    * integer-exact lift score. The pair join is WITHIN the basket key
+    * (a.o = b.o, a.p < b.p) — pair volume is Σ k·(k−1)/2 over basket
+    * sizes, bounded by small baskets, never parts². Lift =
+    * nab·N / (na·nb) is emitted as `lift_permille` via integer DIV;
+    * the nab·N·1000 product stays well inside int64 while
+    * nab·N < 9.2e15 (co-occurrence counts are tiny next to total
+    * baskets — at larger scales route the product through
+    * DECIMAL(38,0) with an explicit FLOOR on both engines).
+    * minSupport prunes the long tail before the dimension joins. */
+  def copurchasePairs(baskets: org.apache.spark.sql.DataFrame,
+                      basketCol: String, itemCol: String,
+                      minSupport: Long = 2L): org.apache.spark.sql.DataFrame = {
+    // the distinct basket-item table feeds FOUR consumers (total,
+    // item counts, both self-join sides) — memoized + persisted once
+    // per input per session (same lifecycle pattern as the dedup pair
+    // families; bench 1.4 s → see bench_detail)
+    val op = graft.SessionMemo.getOrElseUpdate(baskets.sparkSession,
+      s"copurchase_op:${baskets.queryExecution.analyzed.semanticHash()}:$basketCol:$itemCol") {
+      baskets.select(col(basketCol).as("o"), col(itemCol).as("p"))
+        .distinct().persist()
+    }
+    val total = op.agg(countDistinct(col("o")).as("total_orders"))
+    val itemCounts = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("p").as("pa"), col("np").as("na")), "pa")
+      .join(itemCounts.select(col("p").as("pb"), col("np").as("nb")), "pb")
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("nab"), col("na"), col("nb"),
+        expr("nab * total_orders * 1000 DIV (na * nb)").as("lift_permille"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  val qCopurchase = Q(
+    (s, d) => copurchasePairs(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey"),
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       tot AS (SELECT count(DISTINCT o) AS total_orders FROM op),
+       pc AS (SELECT p, count(*) AS np FROM op GROUP BY 1),
+       pairs AS (
+         SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+         FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2 HAVING count(*) >= 2)
+       SELECT pa, pb, nab, x.np AS na, y.np AS nb,
+              nab * total_orders * 1000 // (x.np * y.np) AS lift_permille
+       FROM pairs JOIN pc x ON pairs.pa = x.p JOIN pc y ON pairs.pb = y.p, tot
+       ORDER BY pa, pb""")
+
   val defs: Map[String, Q] = Map(
+    "q_copurchase" -> qCopurchase,
     "q_bloom_prune" -> qBloomPrune,
     "q_join_salted" -> qJoinSalted,
     "q_stddev_manual" -> qStddevManual,

@@ -422,6 +422,22 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("copurchasePairs: exact support and lift on planted baskets") {
+    import spark.implicits._
+    // A,B co-occur in 3 of 4 baskets (lift 3·4/(3·3) = 1.333); the
+    // duplicate (o1, A) line proves within-basket dedup; pairs below
+    // support 2 must be pruned
+    val rows = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"),
+      (2L, "B"), (3L, "A"), (3L, "B"), (4L, "C")).toDF("o", "item")
+    val got = Graft.copurchasePairs(rows, "o", "item").collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert(r.getAs[Long]("nab") === 3L && r.getAs[Long]("na") === 3L &&
+      r.getAs[Long]("nb") === 3L)
+    assert(r.getAs[Long]("lift_permille") === 1333L)
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
