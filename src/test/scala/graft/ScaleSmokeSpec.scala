@@ -173,4 +173,63 @@ class ScaleSmokeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1500))
     assert(pairs.count() === 2L * 5000000L - 3L * 4096L)
   }
+
+  test("interval overlap counts on 2M adjacent unit intervals, no quadratic join") {
+    // intervals [i, i+1] share an endpoint with each neighbor, so
+    // closed-interval semantics give every interior interval exactly
+    // 2 overlaps and the two ends exactly 1 — a fully predictable
+    // answer over 2M rows that a missed tie rule would break.
+    val iv = spark.range(0L, 2000000L, 1L, 16)
+      .select(col("id"), col("id").as("s"), (col("id") + 1L).as("e"))
+    val out = ops.EventsOps.intervalOverlapCounts(iv, Seq("id"), "s", "e",
+      binWidth = 4096L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    val byN = out.groupBy("n_overlapping").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byN === Map(2L -> 1999998L, 1L -> 2L))
+  }
+
+  test("substring hotness on 200k docs: planted twins flagged, uniques zero") {
+    // even ids share one of 1000 twin texts; odd ids are unique. All
+    // shuffles keyed by the shingle — the explode is ~1.4M rows.
+    val docs = spark.range(0L, 200000L, 1L, 16)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2)) === 0,
+          concat(lit("twin body shared text block number "),
+            pmod(col("id"), lit(1000)).cast("string"),
+            lit(" end of the shared body")))
+          // every token carries the id, so no 3-gram of an odd doc
+          // can appear anywhere else
+          .otherwise(concat(
+            lit("a"), col("id").cast("string"),
+            lit(" b"), col("id").cast("string"),
+            lit(" c"), col("id").cast("string"),
+            lit(" d"), col("id").cast("string"),
+            lit(" e"), col("id").cast("string"))).as("text"))
+    val out = ops.TextOps.substringHotness(docs, k = 3)
+    val agg = out.groupBy("flagged").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(agg(true) === 100000L, "every twin-text doc is fully duplicated")
+    assert(agg(false) === 100000L, "unique docs never flag")
+  }
+
+  test("copurchase pair volume stays sum-of-basket-squares on 1M lines") {
+    // 250k baskets × 4 distinct items each → exactly 6 pairs per
+    // basket; items drawn from a 1000-id universe so pair supports
+    // are high — the within-basket join must still be linear in
+    // baskets, never items².
+    // basket o holds ids o, o+250k, o+500k, o+750k (line index j =
+    // id DIV 250k); p = (37o + 13j) mod 1000 gives 4 DISTINCT items
+    // per basket → exactly C(4,2) = 6 pairs each
+    def lines = spark.range(0L, 1000000L, 1L, 16)
+      .select((col("id") % 250000L).as("o"),
+        ((col("id") % 250000L * 37L + expr("id DIV 250000") * 13L) % 1000L).as("p"))
+    val got = ops.Advanced.copurchasePairs(lines, "o", "p", minSupport = 1L)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val totalPairs = got.agg(sum("nab")).head().getLong(0)
+    assert(totalPairs === 6L * 250000L)
+  }
 }
