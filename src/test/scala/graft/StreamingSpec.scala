@@ -410,6 +410,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch gates each micro-batch with the constraint suite") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // streaming data-quality monitoring: checkConstraints runs
+    // unmodified on each micro-batch frame, so a sink can quarantine
+    // a batch the moment a constraint fails instead of discovering
+    // corruption downstream
+    val verdicts = new scala.collection.concurrent.TrieMap[Long, Map[String, Boolean]]()
+    val input = MemoryStream[Doc]
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val df = batch.toDF()
+        val out = Graft.checkConstraints(Seq(
+          ops.QualityOps.Check("doc_id_unique",
+            df.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("v"))),
+          ops.QualityOps.Check("text_nonempty",
+            df.filter(length(col("text")) === 0).agg(count(lit(1)).as("v")))))
+          .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+        verdicts.put(id, out)
+        ()
+      }.start()
+    try {
+      input.addData(Doc(1L, "clean doc"), Doc(2L, "another"))
+      q.processAllAvailable()
+      input.addData(Doc(3L, "dup id"), Doc(3L, "dup id again"), Doc(4L, ""))
+      q.processAllAvailable()
+      assert(verdicts(0L) === Map("doc_id_unique" -> true, "text_nonempty" -> true))
+      assert(verdicts(1L) === Map("doc_id_unique" -> false, "text_nonempty" -> false),
+        "the dirty micro-batch must fail both checks")
+    } finally q.stop()
+  }
+
   test("foreachBatch runs the batch near-dup screen per micro-batch against a static corpus") {
     val s = spark
     import s.implicits._
