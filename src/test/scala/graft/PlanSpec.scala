@@ -390,6 +390,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_profile_table: every union branch scans exactly one column") {
+    // the profiler's whole point vs the multi-distinct Expand plan:
+    // each branch must column-prune its parquet scan to the single
+    // profiled column (6 branches → 6 single-column ReadSchemas)
+    val plan = planOf("q_profile_table")
+    assert(!plan.contains("Expand"), "multi-distinct Expand crept back in")
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size === 6, s"expected 6 pruned scans, got ${schemas.size}")
+    schemas.foreach { rs =>
+      // a one-column struct has no comma in its ReadSchema
+      assert(!rs.substring(rs.indexOf("ReadSchema")).contains(","),
+        s"branch reads more than one column: $rs")
+    }
+  }
+
+  test("q_copurchase and q_graph_triangles: pair joins are equi, never cartesian") {
+    for (q <- Seq("q_copurchase", "q_graph_triangles")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1200)}")
+      // the only nested-loop shape allowed is the 1-row scalar-total
+      // broadcast (crossJoin(broadcast(agg))); it may appear several
+      // times in the TEXT because self-join branches re-print the
+      // shared subtree, so pin the shape, not the count
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+        assert(l.contains("BuildRight") && l.contains("Cross"),
+          s"$q has a non-scalar nested loop: $l")
+      }
+    }
+  }
+
+  test("q_substring_hotness: scan pruned to doc_id + text; shingle agg is partial") {
+    val plan = planOf("q_substring_hotness")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"column pruning failed: $readSchema")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "frequency aggregation must be hash-based")
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)
