@@ -9,20 +9,70 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    runs) — one broadcast/cache per session instead of one per call;
   *  - hold sessions weakly, so a stopped SparkSession and everything
   *    memoized under it become garbage-collectable instead of being
-  *    pinned by a static map for the life of the JVM. */
+  *    pinned by a static map for the life of the JVM.
+  *
+  * Every build is timed and the per-key seconds are queryable via
+  * [[buildTimes]] — Bench reports them as the `memo_builds` block so
+  * one-time shared-stage construction is attributed to itself, not to
+  * whichever consumer query happens to run first (round-7 verdict:
+  * the name-sorted bench order silently re-attributed family builds
+  * across rounds as the registry grew). */
 object SessionMemo {
   private val maps = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private val times = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Double]]()
 
-  def getOrElseUpdate(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val inner = maps.synchronized {
-      var m = maps.get(s)
+  private def forSession[V](store: java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, V]], s: SparkSession) =
+    store.synchronized {
+      var m = store.get(s)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        maps.put(s, m)
+        m = scala.collection.concurrent.TrieMap.empty[String, V]
+        store.put(s, m)
       }
       m
     }
-    inner.getOrElseUpdate(key, build)
+
+  def getOrElseUpdate(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    forSession(maps, s).getOrElseUpdate(key, {
+      val t0 = System.nanoTime()
+      val df = build
+      forSession(times, s).put(key, (System.nanoTime() - t0) / 1e9)
+      df
+    })
+
+  /** Like [[getOrElseUpdate]], but forces materialization (count) of
+    * the built frame inside the timed build, so the one-time cost of
+    * filling a persisted shared stage lands on the memo entry rather
+    * than on the first consumer action. Use ONLY for builds whose
+    * returned frame (or an upstream persist inside it) is cached —
+    * eagerly counting an unpersisted plan would be pure waste. */
+  def materialized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    forSession(maps, s).getOrElseUpdate(key, {
+      val t0 = System.nanoTime()
+      val df = build
+      df.count()
+      forSession(times, s).put(key, (System.nanoTime() - t0) / 1e9)
+      df
+    })
+
+  /** Seconds spent building each memo entry of this session so far
+    * (closure time; plus materialization for [[materialized]] entries). */
+  def buildTimes(s: SparkSession): Map[String, Double] =
+    forSession(times, s).toMap
+
+  /** Collision-safe memo key for a caller-supplied frame: the 32-bit
+    * `semanticHash` alone can collide across two distinct inputs in
+    * one session and would then silently return the wrong persisted
+    * frame, so the key also carries 64 bits of MD5 over the
+    * canonicalized plan string — the same normal form `sameResult`
+    * compares, so semantically-equal plans still share one entry. */
+  def planKey(df: DataFrame): String = {
+    val p = df.queryExecution.analyzed
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.canonicalized.toString.getBytes("UTF-8"))
+    p.semanticHash().toString + ":" +
+      digest.take(8).map("%02x".format(_)).mkString
   }
 }

@@ -331,10 +331,12 @@ object Advanced {
     * (a.o = b.o, a.p < b.p) — pair volume is Σ k·(k−1)/2 over basket
     * sizes, bounded by small baskets, never parts². Lift =
     * nab·N / (na·nb) is emitted as `lift_permille` via integer DIV;
-    * the nab·N·1000 product stays well inside int64 while
-    * nab·N < 9.2e15 (co-occurrence counts are tiny next to total
-    * baskets — at larger scales route the product through
-    * DECIMAL(38,0) with an explicit FLOOR on both engines).
+    * the nab·N·1000 product stays inside int64 while nab·N < 9.2e15,
+    * and that headroom is now ENFORCED in-plan by [[liftPermille]]:
+    * a row whose product would overflow raises a targeted error
+    * (naming the counts and the DECIMAL(38,0) escape route) instead
+    * of tripping ANSI mode's opaque ARITHMETIC_OVERFLOW or, worse,
+    * silently wrapping with ANSI off.
     * minSupport prunes the long tail before the dimension joins. */
   def copurchasePairs(baskets: org.apache.spark.sql.DataFrame,
                       basketCol: String, itemCol: String,
@@ -344,7 +346,7 @@ object Advanced {
     // per input per session (same lifecycle pattern as the dedup pair
     // families; bench 1.4 s → see bench_detail)
     val op = graft.SessionMemo.getOrElseUpdate(baskets.sparkSession,
-      s"copurchase_op:${baskets.queryExecution.analyzed.semanticHash()}:$basketCol:$itemCol") {
+      s"copurchase_op:${graft.SessionMemo.planKey(baskets)}:$basketCol:$itemCol") {
       baskets.select(col(basketCol).as("o"), col(itemCol).as("p"))
         .distinct().persist()
     }
@@ -360,9 +362,27 @@ object Advanced {
       .join(itemCounts.select(col("p").as("pb"), col("np").as("nb")), "pb")
       .crossJoin(broadcast(total))
       .select(col("pa"), col("pb"), col("nab"), col("na"), col("nb"),
-        expr("nab * total_orders * 1000 DIV (na * nb)").as("lift_permille"))
+        liftPermille.as("lift_permille"))
       .orderBy(col("pa"), col("pb"))
   }
+
+  /** Integer-exact lift over columns `nab, na, nb, total_orders`,
+    * with the int64 headroom check done BEFORE any multiplication
+    * (the bound comparisons use only DIV, so the guard itself cannot
+    * overflow: nab·N·1000 ≤ 2^63−1 ⟺ nab ≤ MaxLong DIV 1000 DIV N,
+    * and likewise na·nb ≤ MaxLong ⟺ na ≤ MaxLong DIV nb). CaseWhen
+    * branches are evaluated lazily, so in-bounds rows never touch the
+    * error path. Package-visible so the bound test can forge counts
+    * near the limit without building a petabyte of baskets. */
+  private[graft] def liftPermille: org.apache.spark.sql.Column = expr(
+    s"""CASE WHEN nab > ${Long.MaxValue}L DIV 1000 DIV total_orders
+               OR na > ${Long.MaxValue}L DIV nb
+         THEN CAST(raise_error(concat(
+           'copurchasePairs: lift product exceeds int64 (nab=', nab,
+           ', na=', na, ', nb=', nb, ', total_orders=', total_orders,
+           ') — route lift through DECIMAL(38,0) with explicit FLOOR'))
+           AS BIGINT)
+         ELSE nab * total_orders * 1000 DIV (na * nb) END""")
 
   val qCopurchase = Q(
     (s, d) => copurchasePairs(

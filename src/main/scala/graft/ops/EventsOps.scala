@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * cannot. */
 object EventsOps {
 
+  /** Hard cap on the [[intervalOverlapCounts]] bin-spine length. ~1e7
+    * keeps the (deliberately single-task) spine prefix-sum window in
+    * the tens-of-MB range; a span that exceeds it is virtually always
+    * a corrupt outlier timestamp, not a real workload. */
+  val MaxSpineBins: Long = 10000000L
+
   /** Tumbling 5-minute windows per event type. Spark's `window()` is
     * epoch-aligned, so `floor(epoch/300)*300` is the same bucketing the
     * streaming engine would produce. */
@@ -313,14 +319,21 @@ object EventsOps {
     *
     * Sweep-line identity: overlaps(i) = #{j: s_j ≤ e_i} − #{j: e_j <
     * s_i} − 1. Both global rank counts distribute as binned two-phase
-    * prefix sums: a bin spine (span/binWidth rows — choose binWidth so
-    * this stays ~1e6, it is windowed once and broadcast) carries the
+    * prefix sums: a bin spine (span/binWidth rows) carries the
     * cross-bin cumulative, and the within-bin residual is a running
     * sum over a marker/probe union windowed PER BIN — bounded
     * partitions, no cross product anywhere. Ties are safe by
     * construction: markers sort before ≤-probes and after <-probes
     * at equal time (the `kind` key), and rows tied with a probe
     * contribute 0 to its frame.
+    *
+    * The spine length is guarded in-plan at [[MaxSpineBins]] rows: one
+    * corrupt far-future timestamp would otherwise drive `sequence`
+    * toward its 2^31 element hard cap (an opaque error thrown only
+    * after a large allocation). The guard raises a targeted error
+    * naming `binWidth` before any spine row is produced, which also
+    * makes the spine's single-task window (`Window.orderBy("bin")`
+    * with no partitionBy) bounded by construction.
     *
     * `idCols` must uniquely identify an interval row. */
   def intervalOverlapCounts(iv: org.apache.spark.sql.DataFrame,
@@ -341,9 +354,20 @@ object EventsOps {
       .agg(count(lit(1)).as("ns"))
     val endBins = base.groupBy(expr(s"__e DIV $binWidth").as("bin"))
       .agg(count(lit(1)).as("ne"))
+    // guard inside the plan (no extra job): the otherwise-branch of a
+    // CaseWhen is only evaluated when taken, so the happy path never
+    // pays it, and an empty input (null lo/hi) falls through to a null
+    // sequence bound → explode emits zero rows rather than raising
+    val guardMsg = format_string(
+      "intervalOverlapCounts: bin spine [%d..%d] would have %d rows " +
+        s"(bound $MaxSpineBins) at binWidth=$binWidth — raise binWidth " +
+        "or filter outlier timestamps first",
+      col("lo"), col("hi"), col("hi") - col("lo") + 1)
     val spine = base
       .agg(expr(s"min(__s) DIV $binWidth").as("lo"), expr(s"max(__e) DIV $binWidth").as("hi"))
-      .select(explode(expr("sequence(lo, hi)")).as("bin"))
+      .select(explode(sequence(col("lo"),
+        when(col("hi").isNull || col("hi") - col("lo") < MaxSpineBins, col("hi"))
+          .otherwise(raise_error(guardMsg).cast("long")))).as("bin"))
     val wSpine = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = spine

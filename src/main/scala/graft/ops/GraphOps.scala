@@ -137,6 +137,54 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Degree-ordered triangle counting — the hub-skew-proof form and
+    * the facade default. Each canonical edge is oriented from its
+    * lower-degree endpoint to its higher-degree endpoint (node order
+    * breaks degree ties), wedges pair the out-neighbors of each apex,
+    * and the closing join runs against the canonical undirected edge
+    * set. Every out-degree in the oriented graph is O(√m), so wedge
+    * volume is bounded by O(m^1.5) REGARDLESS of hubs — the
+    * lexicographic [[triangleCounts]] can generate deg(hub)² wedges
+    * from one celebrity node, which at 100 TB is the difference
+    * between a bounded shuffle and an exploding one. Each triangle is
+    * counted exactly once: it has a unique degree-minimal apex whose
+    * two edges both point outward. Identical output to
+    * [[triangleCounts]] (pinned in NorthStarSpec and ScaleSmokeSpec);
+    * kept out of the graded query only because replaying the degree
+    * orientation in the oracle buys no extra correctness signal. */
+  def triangleCountsDegreeOrdered(edgeList: DataFrame, nodes: DataFrame): DataFrame = {
+    val und = edgeList.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b); a < b already, so a
+    // degree tie keeps the canonical direction
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e2.u") === col("e1.u") && col("e1.v") < col("e2.v"))
+      // the wedge tips are in node order by construction, so the
+      // closing probe hits the canonical (a, b) form directly
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.v") && col("e3.b") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val corners = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(corners, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("node")
+  }
+
   /** Graded exhibit: triangles of the above-average-weight trade
     * graph. The threshold is cross-multiplied (w · n_edges > Σw) so
     * "above average" never leaves integers — adaptive per SF, exact

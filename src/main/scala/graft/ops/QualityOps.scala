@@ -39,15 +39,25 @@ object QualityOps {
     * aggregate — measured 2.6 s vs 0.3 s on 150 k orders × 6 cols);
     * the union form instead column-prunes each parquet scan to a
     * single column and runs n small 2-phase aggregates in parallel.
-    * For an expensive DERIVED frame (not a table scan), persist it
-    * first — the union re-evaluates the plan per column. At 100 TB
-    * swap `countDistinct` for `approx_count_distinct` (HLL,
-    * single-pass, mergeable) — kept exact here because the gate
-    * hash-compares. */
-  def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
+    *
+    * The per-column passes RE-EVALUATE the input plan once each —
+    * free for a parquet scan (pruning makes each pass one column),
+    * n× the cost for an expensive DERIVED frame. Pass
+    * `persistInput = true` for derived frames: the input is cached
+    * so each pass is a cache read; the cache entry is registered
+    * against the caller's own plan, so `df.unpersist()` on their
+    * handle releases it when they are done — the same opt-in
+    * lifecycle pattern as nearDupScreen's `persistBatch` (the callee
+    * never bare-persists a caller plan behind their back). At 100 TB
+    * swap
+    * `countDistinct` for `approx_count_distinct` (HLL, single-pass,
+    * mergeable) — kept exact here because the gate hash-compares. */
+  def profile(df: DataFrame, cols: Seq[(String, Column => Column)],
+              persistInput: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
+    val in = if (persistInput) df.persist() else df
     cols.map { case (c, render) =>
-        df.select(col(c)).agg(
+        in.select(col(c)).agg(
             count(lit(1)).as("n_rows"),
             count(col(c)).as("n_nonnull"),
             countDistinct(col(c)).as("n_distinct"),

@@ -286,7 +286,7 @@ object TextOps {
   def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val s = docs.sparkSession
     SessionMemo.getOrElseUpdate(s,
-      s"minhash_pairs:${docs.queryExecution.analyzed.semanticHash()}:$threshold") {
+      s"minhash_pairs:${SessionMemo.planKey(docs)}:$threshold") {
       // persisted: consumed three times (signatures + both confirm
       // sides); without it the tokenize→shingle pipeline runs thrice.
       // The memo bounds this to one persist + one broadcast per
@@ -302,13 +302,21 @@ object TextOps {
         .select(col("doc_a"), col("doc_b")).distinct()
       val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a"))
       val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b"))
-      cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
+      val pairs = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+        .persist() // pair-count-sized; every re-consumption is a cache read
+      // materialize inside the timed memo build so the one-time cost is
+      // attributed to the build (Bench `memo_builds`), then drop the
+      // shingle table — it is dead once the pair set is cached, and
+      // leaving it pinned just grows session cache pressure
+      pairs.count()
+      sh.unpersist()
+      pairs
     }
   }
 
@@ -372,7 +380,7 @@ object TextOps {
     // micro-batch against the same corpus holds ONE cached copy for
     // the stream's lifetime.
     val shC = SessionMemo.getOrElseUpdate(corpus.sparkSession,
-      s"screen_shingles:${corpus.queryExecution.analyzed.semanticHash()}") {
+      s"screen_shingles:${SessionMemo.planKey(corpus)}") {
       withShingles(corpus)
         .select(col("doc_id").as("corpus_id"), col("shingles").as("sh_c"),
           size(col("shingles")).as("sz_c"))
@@ -479,21 +487,44 @@ object TextOps {
         .localCheckpoint()
       var converged = false
       var iter = 0
-      while (!converged && iter < 15) {
+      val maxIters = 25
+      while (!converged && iter < maxIters) {
         // carry the previous label through the checkpoint so the
         // convergence check shares the materialization (one action
         // per round, not two)
-        val next = edges
+        val prop = edges
           .join(lbls.select(col("node").as("v"), col("lbl").as("vlbl")), Seq("v"))
           .groupBy(col("u").as("node")).agg(min(col("vlbl")).as("nbl"))
           .join(lbls, Seq("node"))
           .select(col("node"), least(col("lbl"), col("nbl")).as("lbl"),
             col("lbl").as("prev"))
+        // pointer-jump (pointer-doubling à la large-star/small-star):
+        // every label IS a node id with its own (smaller-or-equal)
+        // label, so adopting lbl(lbl(v)) roughly halves the remaining
+        // distance to the component minimum — convergence in
+        // O(log diameter) rounds, where plain propagation needs
+        // O(diameter) and silently truncated long chains at the old
+        // 15-round cap (the leakage ADVICE flagged: a split component
+        // lets near-dup twins straddle train/test)
+        val next = prop.as("a")
+          .join(prop.select(col("node").as("jn"), col("lbl").as("jl")).as("j"),
+            col("a.lbl") === col("jn"), "left")
+          .select(col("a.node").as("node"),
+            least(col("a.lbl"), coalesce(col("jl"), col("a.lbl"))).as("lbl"),
+            col("a.prev").as("prev"))
           .localCheckpoint()
         converged = next.filter(col("lbl") =!= col("prev")).isEmpty
         lbls = next.drop("prev")
         iter += 1
       }
+      // 2^25 ≫ any real component diameter, so hitting the cap means
+      // something is deeply wrong — fail loudly instead of returning
+      // split components (which would leak near-dup twins across
+      // leakageSafeSplit's train/test boundary)
+      if (!converged) throw new IllegalStateException(
+        s"componentLabels: min-label propagation with pointer-jumping did not " +
+          s"converge in $maxIters rounds — the label frame is not a valid " +
+          "component labeling; investigate the edge list before using it")
       lbls
     }
   }
@@ -1047,7 +1078,7 @@ object TextOps {
                               maxLev: Int = 16): DataFrame = {
     val s = docs.sparkSession
     SessionMemo.getOrElseUpdate(s,
-      s"sorted_pairs:${docs.queryExecution.analyzed.semanticHash()}:$window:$maxLev") {
+      s"sorted_pairs:${SessionMemo.planKey(docs)}:$window:$maxLev") {
       // persisted: both join sides read the ranked frame, and without
       // it the normalize+window pipeline executes twice
       val normed = docs.select(col("doc_id"),
@@ -1061,13 +1092,19 @@ object TextOps {
         .withColumn("off", explode(sequence(lit(1), lit(window))))
       val b = normed.select(col("blk"), col("rk").as("rk_b"),
         col("doc_id").as("id_b"), col("k").as("kb"))
-      a.join(b, a("blk") === b("blk") && (a("rk") + a("off")) === b("rk_b"))
+      val pairs = a.join(b, a("blk") === b("blk") && (a("rk") + a("off")) === b("rk_b"))
         .withColumn("lev",
           levenshtein(substring(col("ka"), 1, 80), substring(col("kb"), 1, 80)))
         .filter(col("lev") <= maxLev)
         .select(least(col("id_a"), col("id_b")).as("doc_a"),
           greatest(col("id_a"), col("id_b")).as("doc_b"), col("lev"))
         .orderBy(col("doc_a"), col("doc_b"))
+        .persist() // pair-count-sized; every re-consumption is a cache read
+      // same build-attribution + intermediate-release pattern as
+      // minhashNearDupPairs: pay the build once, inside the memo
+      pairs.count()
+      normed.unpersist()
+      pairs
     }
   }
 
@@ -1118,7 +1155,7 @@ object TextOps {
     * distinct input per session. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 4): DataFrame = {
     val s = docs.sparkSession
-    val sem = docs.queryExecution.analyzed.semanticHash()
+    val sem = SessionMemo.planKey(docs)
     // the WHOLE pair frame is memoized (like its sibling families), so
     // the ensemble's reuse really is a cheap union — re-running just
     // the band join per consumer measurably doubled the ensemble
@@ -1137,12 +1174,14 @@ object TextOps {
         .select(col("doc_a"), col("doc_b")).distinct()
       val sa = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
       val sb = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      val pairs = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
         .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
         .filter(col("hamming") <= maxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
         .persist() // pair-count-sized; makes each re-consumption a cache read
+      pairs.count() // build cost lands on the memo, not the first consumer
+      pairs
     }
   }
 
@@ -1188,17 +1227,24 @@ object TextOps {
     * forms, so graded queries and facade callers share the same
     * per-session builds. */
   def ensembleNearDupPairs(docs: DataFrame): DataFrame = {
-    val mh = minhashNearDupPairs(docs).select(col("doc_a"), col("doc_b"),
-      lit(1).as("by_minhash"), lit(0).as("by_sorted"), lit(0).as("by_simhash"))
-    val so = sortedNeighborhoodPairs(docs).select(col("doc_a"), col("doc_b"),
-      lit(0).as("by_minhash"), lit(1).as("by_sorted"), lit(0).as("by_simhash"))
-    val sh = simhashPairs(docs).select(col("doc_a"), col("doc_b"),
-      lit(0).as("by_minhash"), lit(0).as("by_sorted"), lit(1).as("by_simhash"))
-    mh.unionByName(so).unionByName(sh)
+    // four families, one provenance flag each: the symmetric-overlap
+    // trio plus containment, which alone catches subset quotations
+    // (a chunk of A pasted inside a much larger B scores low Jaccard
+    // but containment ≈ 1) — the reason a user reaching for "find my
+    // near-dups" must not have to know to call containmentPairs too
+    val flags = Seq("by_minhash", "by_sorted", "by_simhash", "by_containment")
+    def tagged(pairs: DataFrame, hot: String): DataFrame =
+      pairs.select(col("doc_a") +: col("doc_b") +:
+        flags.map(f => lit(if (f == hot) 1 else 0).as(f)): _*)
+    tagged(minhashNearDupPairs(docs), "by_minhash")
+      .unionByName(tagged(sortedNeighborhoodPairs(docs), "by_sorted"))
+      .unionByName(tagged(simhashPairs(docs), "by_simhash"))
+      .unionByName(tagged(containmentPairs(docs), "by_containment"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("by_minhash")).as("by_minhash"),
         max(col("by_sorted")).as("by_sorted"),
-        max(col("by_simhash")).as("by_simhash"))
+        max(col("by_simhash")).as("by_simhash"),
+        max(col("by_containment")).as("by_containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1254,22 +1300,34 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val qDedupEnsemble = Q(
+  // lazy: composes the containment oracle, which is declared further
+  // down the object — a strict val here would read it as null during
+  // object init
+  lazy val qDedupEnsemble = Q(
     (s, d) => ensembleNearDupPairs(Tables.documents(s, d)),
     s"""WITH mh_pairs AS (${qDedupMinhash.oracle.get}),
        so_pairs AS (${qDedupSorted.oracle.get}),
        sh_pairs AS (${qDedupSimhashPairs.oracle.get}),
+       ct_pairs AS (${qDedupContainment.oracle.get}),
        u AS (
-         SELECT doc_a, doc_b, 1 AS by_minhash, 0 AS by_sorted, 0 AS by_simhash
+         SELECT doc_a, doc_b, 1 AS by_minhash, 0 AS by_sorted,
+                0 AS by_simhash, 0 AS by_containment
          FROM mh_pairs
          UNION ALL
-         SELECT doc_a, doc_b, 0 AS by_minhash, 1 AS by_sorted, 0 AS by_simhash
+         SELECT doc_a, doc_b, 0 AS by_minhash, 1 AS by_sorted,
+                0 AS by_simhash, 0 AS by_containment
          FROM so_pairs
          UNION ALL
-         SELECT doc_a, doc_b, 0 AS by_minhash, 0 AS by_sorted, 1 AS by_simhash
-         FROM sh_pairs)
+         SELECT doc_a, doc_b, 0 AS by_minhash, 0 AS by_sorted,
+                1 AS by_simhash, 0 AS by_containment
+         FROM sh_pairs
+         UNION ALL
+         SELECT doc_a, doc_b, 0 AS by_minhash, 0 AS by_sorted,
+                0 AS by_simhash, 1 AS by_containment
+         FROM ct_pairs)
        SELECT doc_a, doc_b, MAX(by_minhash) AS by_minhash,
-         MAX(by_sorted) AS by_sorted, MAX(by_simhash) AS by_simhash
+         MAX(by_sorted) AS by_sorted, MAX(by_simhash) AS by_simhash,
+         MAX(by_containment) AS by_containment
        FROM u GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""")
 
   /** PUBLIC composable survivor selection (exported via
@@ -1312,22 +1370,34 @@ object TextOps {
     *
     * Every position (stride 1) is counted, not the distinct set:
     * repeated boilerplate inside one doc is duplicated MASS, and mass
-    * is what the flag thresholds. Shuffle key is the k-gram string
-    * (needed verbatim by the oracle); at cluster scale hash it to 8
-    * bytes first (`xxhash64`) — collisions at 2^-64 are immaterial
-    * for a screening signal, and the shuffle shrinks ~6×. */
+    * is what the flag thresholds.
+    *
+    * `hashedKeys` selects the shuffle key: `true` (the facade default,
+    * and the 100 TB path) replaces each k-gram string with its 8-byte
+    * `xxhash64` BEFORE the frequency groupBy and the per-doc join, so
+    * the two shuffles move longs instead of ~50-byte strings (~6×
+    * smaller); a cross-gram hash collision (2^-64 per pair) could
+    * only nudge a screening permille, which is immaterial. `false`
+    * keeps the verbatim gram — the form the graded DuckDB oracle
+    * replays string-for-string. Both forms produce IDENTICAL output
+    * columns and (collisions aside) identical values — pinned equal
+    * in NorthStarSpec. */
   def substringHotness(docs: DataFrame, k: Int = 7,
-                       flagPermille: Int = 200): DataFrame = {
+                       flagPermille: Int = 200,
+                       hashedKeys: Boolean = false): DataFrame = {
     require(k >= 2, s"shingle size must be >= 2, got $k")
     val base = docs
       .withColumn("tokens", tokens(col("text")))
       .select(col("doc_id"),
         greatest(size(col("tokens")) - lit(k - 1), lit(0)).cast("long").as("n_shingles"),
         col("tokens"))
-    val sh = base.filter(col("n_shingles") > 0)
+    val shRaw = base.filter(col("n_shingles") > 0)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(tokens) - ${k - 1}),
               i -> array_join(slice(tokens, i, $k), ' '))""")).as("shingle"))
+    val sh = if (hashedKeys)
+      shRaw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    else shRaw
     val freq = sh.distinct().groupBy("shingle").agg(count(lit(1)).as("nd"))
     val perDoc = sh.join(freq, "shingle").filter(col("nd") >= 2)
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
@@ -1387,7 +1457,7 @@ object TextOps {
     // per session, same lifecycle pattern as the other pair families
     // (bench: 1.8 s → 0.6 s at sf0.1)
     val sets = SessionMemo.getOrElseUpdate(docs.sparkSession,
-      s"containment_sets:${docs.queryExecution.analyzed.semanticHash()}:$k") {
+      s"containment_sets:${SessionMemo.planKey(docs)}:$k") {
       docs
         .withColumn("tokens", tokens(col("text")))
         .filter(size(col("tokens")) >= k)
@@ -1402,25 +1472,34 @@ object TextOps {
     // join — memoized alongside sets (it is fanout-capped, so its
     // size is bounded by 64 × #dup-shingles, far below the corpus)
     val rare = SessionMemo.getOrElseUpdate(docs.sparkSession,
-      s"containment_rare:${docs.queryExecution.analyzed.semanticHash()}:$k") {
+      s"containment_rare:${SessionMemo.planKey(docs)}:$k") {
       val freq = sets.groupBy("shingle").agg(count(lit(1)).as("nd"))
       sets.join(freq.filter(col("nd").between(2, MaxShingleFanout)), "shingle")
         .select(col("doc_id"), col("shingle"))
         .persist()
     }
-    val pairs = rare.as("a").join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("containment_permille",
-        expr("n_shared * 1000 DIV least(sz_a, sz_b)"))
-      .filter(col("containment_permille") >= lit(minPermille.toLong))
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        col("containment_permille"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // the final pair set is memoized like its sibling families (the
+    // ensemble and the graded query both consume it), persisted and
+    // materialized inside the build so Bench attributes the one-time
+    // cost to `memo_builds` rather than to the first consumer
+    SessionMemo.getOrElseUpdate(docs.sparkSession,
+      s"containment_pairs:${SessionMemo.planKey(docs)}:$k:$minPermille") {
+      val pairs = rare.as("a").join(rare.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("containment_permille",
+          expr("n_shared * 1000 DIV least(sz_a, sz_b)"))
+        .filter(col("containment_permille") >= lit(minPermille.toLong))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("containment_permille"))
+        .orderBy(col("doc_a"), col("doc_b"))
+        .persist()
+      pairs.count()
+      pairs
+    }
   }
 
   val qDedupContainment = Q(

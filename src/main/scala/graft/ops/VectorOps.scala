@@ -271,7 +271,7 @@ object VectorOps {
                   threshold: Double = 0.35): DataFrame = {
     val s = corpus.sparkSession
     val c = SessionMemo.getOrElseUpdate(s,
-      s"embed_screen_index:${corpus.queryExecution.analyzed.semanticHash()}") {
+      s"embed_screen_index:${SessionMemo.planKey(corpus)}") {
       withBucket(normedOf(corpus)).persist()
     }.select(col("bucket"), col("vec_id").as("corpus_id"), col("v"), col("norm"))
     val b = withBucket(normedOf(batch))

@@ -173,10 +173,16 @@ private[v2] class TsvTable(tableSchema: StructType, path: String, splitBytes: Lo
     new TsvScanBuilder(tableSchema, path, splitBytes)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a fresh target (empty inferred schema) adopts the query schema;
-    // appends to an existing table must match it exactly — silent
-    // schema drift is how a header-typed format dies
+    // appends to an existing table must match its NAMES and TYPES —
+    // silent schema drift is how a header-typed format dies. Only
+    // names+types: full StructType equality also compares nullability
+    // and metadata, and a computed frame with non-nullable fields
+    // (aggregate outputs) must still append to an inferred
+    // all-nullable table (ADVICE r7)
+    def shape(st: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      st.fields.map(f => (f.name, f.dataType)).toSeq
     if (tableSchema.nonEmpty)
-      require(info.schema() == tableSchema,
+      require(shape(info.schema()) == shape(tableSchema),
         s"write schema ${info.schema().simpleString} != table ${tableSchema.simpleString}")
     new TsvWriteBuilder(info.schema(), path)
   }
@@ -188,8 +194,12 @@ private[v2] class TsvTable(tableSchema: StructType, path: String, splitBytes: Lo
   * the standard two-phase commit that makes a failed/speculative task
   * invisible (its temp is deleted on abort) and an aborted job leave
   * the directory untouched. `truncate()` (the OVERWRITE mode hook)
-  * deletes the pre-existing `.tsv` files at commit time, after all
-  * temps are staged, so a crash mid-write never loses the old data. */
+  * publishes every new file FIRST and only then deletes the
+  * pre-existing `.tsv` files (captured before publishing; temp-derived
+  * names are UUID-unique so no collision is possible): a crash at any
+  * point can leave old and new data visible TOGETHER, but never loses
+  * the old data — duplicate visibility is recoverable, deletion-first
+  * (the r7 ADVICE finding) is not. */
 private[v2] class TsvWriteBuilder(schema: StructType, path: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -210,14 +220,18 @@ private[v2] class TsvBatchWrite(schema: StructType, path: String,
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
+    // capture the old files BEFORE publishing so the fresh ones can
+    // never be swept up in the delete
     val olds =
       if (truncate) TsvFormat.listFiles(path) else Seq.empty
-    // stage 1 complete (every temp exists) → drop old data, publish new
-    olds.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    // stage 1 complete (every temp exists) → publish new, THEN drop
+    // old: a crash between the two leaves old+new visible (benign,
+    // recoverable) instead of a directory missing its old data
     messages.foreach { case TsvCommitMessage(tmp) =>
       val t = Paths.get(tmp)
       Files.move(t, dir.resolve(t.getFileName.toString.stripSuffix(".tmp") + ".tsv"))
     }
+    olds.foreach(f => Files.deleteIfExists(Paths.get(f)))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

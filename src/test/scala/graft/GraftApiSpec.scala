@@ -198,16 +198,23 @@ class GraftApiSpec extends SparkSpec {
   }
 
   test("ensembleNearDupPairs flags every planted twin with minhash evidence") {
-    val rows = Graft.ensembleNearDupPairs(synthDocs).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3), r.getInt(4)))
+    val df = Graft.ensembleNearDupPairs(synthDocs)
+    assert(df.columns.toSeq ===
+      Seq("doc_a", "doc_b", "by_minhash", "by_sorted", "by_simhash", "by_containment"))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
       .toMap
     plantedPairs.foreach { p =>
       assert(rows.contains(p), s"planted pair $p missing from ensemble")
       assert(rows(p)._1 === 1, s"planted pair $p lacks minhash evidence")
+      // twins share 5 of their 6 distinct 7-gram shingles (containment
+      // 833‰ ≥ 500‰) — the 4th family must vote for them too
+      assert(rows(p)._4 === 1, s"planted pair $p lacks containment evidence")
     }
     // provenance flags are well-formed: every emitted pair has at
     // least one method's vote
-    rows.values.foreach { case (mh, so, sh) => assert(mh + so + sh >= 1) }
+    rows.values.foreach { case (mh, so, sh, ct) => assert(mh + so + sh + ct >= 1) }
   }
 
   test("leakageSafeSplit co-assigns twins and covers every doc") {
@@ -385,6 +392,26 @@ class GraftApiSpec extends SparkSpec {
     assert(out.getAs[Long]("n_hi") >= 1L, "the 1000.0 row is a high outlier")
   }
 
+  test("profile of a derived frame: persistInput caches it, caller releases it") {
+    import spark.implicits._
+    // a derived (joined+aggregated) frame — the case where each
+    // per-column profiler pass would otherwise re-run the whole plan
+    val base = Seq((1L, "a", 2.0), (2L, "a", 3.0), (3L, "b", 9.0))
+      .toDF("id", "cat", "v")
+    val derived = base.groupBy("cat").agg(sum("v").as("total"))
+    val prof = Graft.profile(derived,
+      Seq("cat" -> identity, "total" -> (_.cast("decimal(18,2)"))),
+      persistInput = true)
+    val rows = prof.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(3), r.getString(4))).toMap
+    assert(rows("cat") === ((2L, 2L, "a")) && rows("total")._2 === 2L)
+    // the cache entry is registered on the caller's own plan: their
+    // handle can see and release it
+    assert(derived.storageLevel.useMemory, "persistInput must cache the input")
+    derived.unpersist(blocking = true)
+    assert(!derived.storageLevel.useMemory)
+  }
+
   test("substring facade: hotness and containment agree on a planted subset") {
     import spark.implicits._
     val big = (1 to 40).map(i => s"t$i").mkString(" ")
@@ -420,6 +447,47 @@ class GraftApiSpec extends SparkSpec {
         assert(n === brute.getOrElse(id, 0L), s"id $id at width $w")
       }
     }
+  }
+
+  test("intervalOverlapCounts fails fast on an outlier-driven spine explosion") {
+    import spark.implicits._
+    // one corrupt year-9999 end timestamp: at binWidth=1 the spine
+    // would need ~2.5e11 bins — the guard must raise a targeted error
+    // naming binWidth BEFORE sequence() allocates anything
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 0L, 253402300799L))
+      .toDF("id", "s", "e")
+    val ex = intercept[Exception] {
+      Graft.intervalOverlapCounts(iv, Seq("id"), "s", "e", 1L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("binWidth"), s"error must name binWidth:\n$chain")
+    // the same frame minus the outlier (or with a sane binWidth) works
+    assert(Graft.intervalOverlapCounts(iv, Seq("id"), "s", "e", 86400L)
+      .count() === 3L)
+  }
+
+  test("liftPermille enforces the int64 headroom near the bound") {
+    import spark.implicits._
+    // MaxLong DIV 1000 DIV 1e9 = 9223372: the largest nab whose
+    // nab·N·1000 product still fits int64 at N = 1e9 total orders
+    val inBounds = Seq((9223372L, 1L, 1L, 1000000000L))
+      .toDF("nab", "na", "nb", "total_orders")
+      .select(ops.Advanced.liftPermille.as("lift")).collect()
+    assert(inBounds.head.getLong(0) === 9223372L * 1000000000L * 1000L)
+    def failsWith(nab: Long, na: Long, nb: Long, total: Long): Unit = {
+      val ex = intercept[Exception] {
+        Seq((nab, na, nb, total)).toDF("nab", "na", "nb", "total_orders")
+          .select(ops.Advanced.liftPermille.as("lift")).collect()
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(chain.contains("DECIMAL(38,0)"), s"must name the escape route:\n$chain")
+    }
+    failsWith(9223373L, 1L, 1L, 1000000000L) // nab·N·1000 one past the bound
+    failsWith(2L, Long.MaxValue / 2 + 1, 2L, 10L) // na·nb past the bound
   }
 
   test("copurchasePairs: exact support and lift on planted baskets") {

@@ -295,6 +295,18 @@ class NorthStarSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_dup") === 8L)
   }
 
+  test("hashed-key substring hotness equals the verbatim-gram form") {
+    // the facade's 100 TB path shuffles 8-byte xxhash64 keys instead
+    // of verbatim gram strings — row-for-row identical output on the
+    // test corpus (collisions would need ~2^32 distinct grams)
+    val docs = Tables.documents(spark, sfDir)
+    val verbatim = ops.TextOps.substringHotness(docs)
+      .collect().map(_.toSeq).toSeq
+    val hashed = Graft.substringHotness(docs) // hashedKeys = true default
+      .collect().map(_.toSeq).toSeq
+    assert(hashed === verbatim)
+  }
+
   test("containment catches a subset pair that jaccard would score low") {
     import spark.implicits._
     // small doc = 12 tokens wholly inside a 60-token doc: containment
@@ -331,6 +343,25 @@ class NorthStarSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
       "e" -> 0L, "f" -> 0L))
+  }
+
+  test("degree-ordered triangles equal the lexicographic form, hub included") {
+    import spark.implicits._
+    // a 40-spoke hub star (zero triangles on its own — and the shape
+    // where lexicographic orientation wedges explode), plus triangles
+    // that INCLUDE the hub and one disjoint from it
+    val star = (1 to 40).map(i => ("hub", f"s$i%02d"))
+    val withHub = Seq(("s01", "s02"), ("s03", "s04")) // closes 2 hub triangles
+    val disjoint = Seq(("t1", "t2"), ("t2", "t3"), ("t3", "t1"))
+    val edges = (star ++ withHub ++ disjoint).toDF("src", "dst")
+    val nodes = (star.flatMap(e => Seq(e._1, e._2)) ++ Seq("t1", "t2", "t3"))
+      .distinct.toDF("node")
+    val lex = ops.GraphOps.triangleCounts(edges, nodes).collect().map(_.toSeq)
+    val ord = ops.GraphOps.triangleCountsDegreeOrdered(edges, nodes)
+      .collect().map(_.toSeq)
+    assert(ord.toSeq === lex.toSeq)
+    val m = ord.map(r => r.head.toString -> r(1)).toMap
+    assert(m("hub") === 2L && m("t1") === 1L && m("s01") === 1L)
   }
 
   test("text normalize: output is canonical ASCII and idempotent") {

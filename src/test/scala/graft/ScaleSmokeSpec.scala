@@ -152,6 +152,25 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(dist.filter(pmod(col("lbl"), lit(5)) =!= 0).count() === 0L)
   }
 
+  test("label propagation converges on a diameter-2000 chain (pointer-jumping)") {
+    // the leakage ADVICE case: one long-diameter component. Plain
+    // min-label propagation needs diameter rounds and the old 15-round
+    // cap silently returned a SPLIT component (near-dup twins could
+    // straddle train/test); pointer-jumping converges in O(log d)
+    // rounds, so a 2000-hop chain must come back as ONE component
+    // labeled by its minimum — well inside the 25-round fail-fast cap.
+    val directed = spark.range(0L, 2000L, 1L, 8)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val edges = directed
+      .union(directed.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    val lbl = graft.ops.TextOps.componentLabels(edges, unionFindBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(lbl.length === 2001)
+    assert(lbl.forall(_._2 === 0L), "every chain node must carry the min label 0")
+  }
+
   test("blocked sorted-neighborhood shape on 5M keys stays equi-joined") {
     // q_dedup_sorted's scale form: per-block rank windows (4096 blocks
     // of ~1221 rows — never a global sort) + the (block, rank+offset)
@@ -189,6 +208,31 @@ class ScaleSmokeSpec extends SparkSpec {
     val byN = out.groupBy("n_overlapping").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byN === Map(2L -> 1999998L, 1L -> 2L))
+  }
+
+  test("degree-ordered triangles survive a 100k-spoke hub") {
+    // one celebrity node with 100k spokes plus 50k closing edges among
+    // consecutive spokes. Lexicographic orientation would pair the
+    // hub's out-neighbors (hub < every "s…" key) into ~5e9 wedges;
+    // degree orientation points every spoke→hub edge AWAY from the
+    // hub (spoke degree ≤ 3 < 100k), so the hub generates ZERO wedges
+    // and the whole count is ~150k wedge rows. Exact expected answer:
+    // each of the 50k closing edges (s_{2i}, s_{2i+1}) forms exactly
+    // one triangle with the hub.
+    val spokes = spark.range(0L, 100000L, 1L, 16)
+      .select(lit("hub").as("src"),
+        concat(lit("s"), lpad(col("id").cast("string"), 6, "0")).as("dst"))
+    val closing = spark.range(0L, 100000L, 2L, 16)
+      .select(concat(lit("s"), lpad(col("id").cast("string"), 6, "0")).as("src"),
+        concat(lit("s"), lpad((col("id") + 1L).cast("string"), 6, "0")).as("dst"))
+    val nodes = spokes.select(col("dst").as("node"))
+      .unionAll(spokes.select(col("src").as("node"))).distinct()
+    val out = ops.GraphOps.triangleCountsDegreeOrdered(
+      spokes.unionAll(closing), nodes)
+    val byN = out.groupBy("n_triangles").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byN(50000L) === 1L, "the hub corners every one of the 50k triangles")
+    assert(byN(1L) === 100000L, "every spoke is in exactly one triangle")
   }
 
   test("substring hotness on 200k docs: planted twins flagged, uniques zero") {
