@@ -177,6 +177,38 @@ object StreamingDemo {
     writer.start()
   }
 
+  /** Streaming rate-spike monitoring through foreachBatch — the
+    * streaming form of the graded batch twin q_events_rate_spike.
+    * Each micro-batch is reduced to its (event_type, hour) PARTIAL
+    * counts (hourly counts are algebraic, so per-batch partials
+    * re-sum to the global counts no matter how events split across
+    * batches) and appended to a compact parquet ledger under its own
+    * `batch_id=<id>` partition (overwrite → idempotent on replay,
+    * same exactly-once recipe as [[startPartitionedBatchSink]]); the
+    * spike table is then recomputed from the MERGED ledger — a frame
+    * of hours-per-type size, not event size — and atomically
+    * overwritten. After the stream drains, `<outDir>/spikes` is
+    * row-identical to `EventsOps.rateSpikes` over all events
+    * (StreamingSpec pins it). */
+  def startRateSpikeSink(events: DataFrame, outDir: String,
+                         checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.EventsOps.hourlyCounts(batch.toDF())
+          .write.mode("overwrite")
+          .parquet(s"$outDir/hourly_parts/batch_id=$batchId")
+        val ledger = batch.sparkSession.read
+          .parquet(s"$outDir/hourly_parts")
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("n")).as("n"))
+        graft.ops.EventsOps.spikesFromHourly(ledger)
+          .write.mode("overwrite").parquet(s"$outDir/spikes")
+      }
+    checkpointDir.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
   /** Trigger.AvailableNow: incremental batch ingest — process
     * everything currently available (respecting source rate limits,
     * checkpointed like any stream), then stop. The modern replacement

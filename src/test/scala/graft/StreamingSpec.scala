@@ -267,6 +267,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch rate-spike sink equals the batch twin after draining") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("ratespike").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ratespike_ckpt").toString
+    // a quiet day then a burst hour, split MID-HOUR across micro-
+    // batches so the pin proves per-batch partial counts re-sum to
+    // the global hourly grain
+    def hr(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    val quiet = (0 until 10).map(h =>
+      Ev(h.toLong, hr(h, 5), 1L, "click", 1.0))
+    val burst = (0 until 12).map(i =>
+      Ev(100L + i, hr(10, i * 4), 1L, "click", 1.0))
+    val all = quiet ++ burst
+    val q = StreamingDemo.startRateSpikeSink(input.toDF(), out, Some(ckpt))
+    try {
+      input.addData(all.take(13): _*) // quiet hours + part of the burst
+      q.processAllAvailable()
+      input.addData(all.drop(13): _*) // the rest of the burst hour
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$out/spikes")
+        .collect().map(_.toSeq).toSet
+      val batch = ops.EventsOps.rateSpikes(spark.createDataFrame(all))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // and the burst hour really is the one flagged spike
+      val spikes = spark.read.parquet(s"$out/spikes")
+        .filter(col("spike")).collect()
+      assert(spikes.length === 1 && spikes.head.getAs[Long]("n") === 12L)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains what exists, then stops on its own") {
     val s = spark
     import s.implicits._
