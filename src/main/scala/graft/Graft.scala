@@ -216,6 +216,29 @@ object Graft {
                             binWidth: Long = 3600L): DataFrame =
     ops.EventsOps.intervalOverlapCounts(iv, idCols, sCol, eCol, binWidth)
 
+  /** Rolling `windowHours`-hour distinct users per hourly bucket plus
+    * the hourly/rolling "stickiness" permille — each event fans out
+    * to the buckets its timestamp feeds (events × windowHours rows),
+    * one distinct-count groupBy, future partial windows dropped.
+    * Returns (bucket_hr, n_users_1h, n_users_24h, stickiness_permille). */
+  def rollingUniques(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts", windowHours: Int = 24): DataFrame =
+    ops.EventsOps.rollingUniques(events, userCol, tsCol, windowHours)
+
+  /** Pairwise Jaccard (as integer permille) of the user sets behind
+    * each event type — audience-overlap analytics. Pair join keyed on
+    * the user, so volume is users × types², never users². */
+  def audienceOverlap(events: DataFrame, typeCol: String = "event_type",
+                      userCol: String = "user_id"): DataFrame =
+    ops.EventsOps.audienceOverlap(events, typeCol, userCol)
+
+  /** Rate-spike flags over any (typeCol, tsCol) event frame: hourly
+    * counts, then the trailing-24h ×2-average threshold evaluated in
+    * pure integer arithmetic. */
+  def rateSpikes(events: DataFrame, typeCol: String = "event_type",
+                 tsCol: String = "ts"): DataFrame =
+    ops.EventsOps.rateSpikes(events, typeCol, tsCol)
+
   // ---- pipelines -----------------------------------------------------
 
   /** Full dataset build over a (doc_id, text, n_chars) frame as ONE

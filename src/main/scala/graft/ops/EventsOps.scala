@@ -523,7 +523,110 @@ object EventsOps {
                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS spike
        FROM b ORDER BY event_type, hr""")
 
+  /** Rolling 24h unique users per hour (the DAU-over-rolling-window
+    * shape every product-analytics pipeline computes) plus the
+    * "stickiness" ratio hourly-uniques / rolling-uniques as an
+    * integer permille. COUNT(DISTINCT) over a trailing RANGE window
+    * is unsupported (and would be quadratic anyway), so each event
+    * CONTRIBUTES to the 24 hourly buckets its timestamp feeds —
+    * explode(sequence(hr, hr+23)) — and one groupBy counts distinct
+    * users per bucket: shuffle keyed by (bucket, user), volume
+    * events×24, the standard fan-out formulation. Buckets past the
+    * last observed hour are partial windows into the future and are
+    * dropped against the broadcast max. At 100 TB the countDistinct
+    * swaps for per-hour HLL sketch partials merged over the trailing
+    * 24 (mergeable, single pass — the q_approx_distinct precedent);
+    * the fan-out then shrinks from events×24 to hours×24. */
+  def rollingUniques(events: org.apache.spark.sql.DataFrame,
+                     userCol: String = "user_id",
+                     tsCol: String = "ts",
+                     windowHours: Int = 24): org.apache.spark.sql.DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1, got $windowHours")
+    val e = events.select(
+      expr(s"CAST($tsCol AS LONG) DIV 3600").as("hr"), col(userCol).as("u"))
+    val maxHr = e.agg(max(col("hr")).as("mh"))
+    val rolled = e
+      .select(explode(sequence(col("hr"), col("hr") + lit(windowHours - 1)))
+        .as("bucket_hr"), col("u"))
+      .crossJoin(broadcast(maxHr))
+      .filter(col("bucket_hr") <= col("mh"))
+      .groupBy("bucket_hr").agg(countDistinct(col("u")).as("n_users_24h"))
+    val hourly = e.groupBy(col("hr").as("bucket_hr"))
+      .agg(countDistinct(col("u")).as("n_users_1h"))
+    rolled.join(hourly, Seq("bucket_hr"), "left")
+      .select(col("bucket_hr"),
+        coalesce(col("n_users_1h"), lit(0L)).as("n_users_1h"),
+        col("n_users_24h"),
+        // a bucket only exists because some event fed it, so the
+        // rolling count is >= 1 — the DIV can never hit zero
+        expr("coalesce(n_users_1h, 0L) * 1000 DIV n_users_24h")
+          .as("stickiness_permille"))
+      .orderBy(col("bucket_hr"))
+  }
+
+  val qEventsRollingUniques = Q(
+    (s, d) => rollingUniques(Tables.events(s, d)),
+    """WITH e AS (
+         SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr, user_id FROM events),
+       mx AS (SELECT MAX(hr) AS mh FROM e),
+       x AS (SELECT UNNEST(RANGE(hr, hr + 24)) AS bucket_hr, user_id FROM e),
+       rolled AS (
+         SELECT bucket_hr, COUNT(DISTINCT user_id) AS n_users_24h
+         FROM x, mx WHERE bucket_hr <= mh GROUP BY 1),
+       hourly AS (
+         SELECT hr AS bucket_hr, COUNT(DISTINCT user_id) AS n_users_1h
+         FROM e GROUP BY 1)
+       SELECT r.bucket_hr, COALESCE(h.n_users_1h, 0) AS n_users_1h, r.n_users_24h,
+              COALESCE(h.n_users_1h, 0) * 1000 // r.n_users_24h AS stickiness_permille
+       FROM rolled r LEFT JOIN hourly h USING (bucket_hr)
+       ORDER BY bucket_hr""")
+
+  /** Audience overlap between event types — pairwise Jaccard of the
+    * user sets behind each type, over the high-value slice (the
+    * uniform synthetic data has EVERY user doing every type, so the
+    * unfiltered overlap is degenerately 1000‰; the value > 95 slice
+    * is what differentiates the sets — measured: permilles spread
+    * 533–933 at sf0.001, 700–798 at sf0.01). The pair join is keyed
+    * on the USER — per-user fanout is bounded by the type-set size,
+    * so volume is users × types², never users². All counts integer,
+    * jaccard emitted as permille DIV — bit-exact in both engines. */
+  def audienceOverlap(events: org.apache.spark.sql.DataFrame,
+                      typeCol: String = "event_type",
+                      userCol: String = "user_id"): org.apache.spark.sql.DataFrame = {
+    val tu = events.select(col(typeCol).as("t"), col(userCol).as("u")).distinct()
+    val tc = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val pairs = tu.as("a").join(tu.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(tc.select(col("t").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(tc.select(col("t").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 1000 DIV (n_a + n_b - n_both)").as("jaccard_permille"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val qAudienceOverlap = Q(
+    (s, d) => audienceOverlap(
+      Tables.events(s, d).filter(col("value") > 95)),
+    """WITH tu AS (
+         SELECT DISTINCT event_type, user_id FROM events WHERE value > 95),
+       tc AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+         FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT type_a, type_b, x.n AS n_a, y.n AS n_b, n_both,
+              n_both * 1000 // (x.n + y.n - n_both) AS jaccard_permille
+       FROM pairs
+       JOIN tc x ON type_a = x.event_type
+       JOIN tc y ON type_b = y.event_type
+       ORDER BY type_a, type_b""")
+
   val defs: Map[String, Q] = Map(
+    "q_events_rolling_uniques" -> qEventsRollingUniques,
+    "q_audience_overlap" -> qAudienceOverlap,
     "q_events_rate_spike" -> qEventsRateSpike,
     "q_interval_overlap" -> qIntervalOverlap,
     "q_events_running_totals" -> qEventsRunningTotals,

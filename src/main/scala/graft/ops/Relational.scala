@@ -1786,7 +1786,15 @@ object Relational {
     * the removed keys (left-anti), upsert added/changed rows with
     * latest-wins priority (union + one row_number window on the
     * key). One shuffle on the key; the anti join broadcasts while the
-    * delta is small and degrades to a co-partitioned SMJ at scale. */
+    * delta is small and degrades to a co-partitioned SMJ at scale.
+    *
+    * Duplicate keys WITHIN base or delta (anything other than exact
+    * [[snapshotDiff]] output) are resolved deterministically: the
+    * survivor window tiebreaks equal priorities by `valueCol`
+    * descending, so the result never depends on partitioning order
+    * (ADVICE r7 — previously the winner among same-priority
+    * duplicates was whichever row the shuffle happened to order
+    * first). */
   def mergeUpsert(base: DataFrame, delta: DataFrame,
                   key: String, valueCol: String): DataFrame = {
     val upserts = delta.filter(col("change_type") =!= "removed")
@@ -1794,7 +1802,8 @@ object Relational {
     val tombstones = delta.filter(col("change_type") === "removed")
       .select(col(key))
     val baseRows = base.select(col(key), col(valueCol), lit(0).as("__graft_pri"))
-    val w = Window.partitionBy(col(key)).orderBy(col("__graft_pri").desc)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__graft_pri").desc, col(valueCol).desc)
     baseRows.union(upserts)
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)

@@ -334,6 +334,22 @@ class GraftApiSpec extends SparkSpec {
       "merge(base, diff(base, next)) must equal next")
   }
 
+  test("mergeUpsert resolves duplicate same-priority keys deterministically") {
+    val s = spark
+    import s.implicits._
+    // base carries key 1 THREE times (not snapshotDiff output): the
+    // survivor must be the greatest value, independent of partitioning
+    val base = Seq((1L, "b"), (1L, "z"), (1L, "a"), (2L, "q"))
+      .toDF("k", "v").repartition(4)
+    val delta = Seq((3L, "added", Option.empty[String], Some("x")))
+      .toDF("k", "change_type", "v_old", "v_new")
+    (1 to 3).foreach { _ =>
+      val merged = Graft.mergeUpsert(base, delta, "k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(merged === Set((1L, "z"), (2L, "q"), (3L, "x")))
+    }
+  }
+
   test("datasetBuild on a non-testdata frame: gate, dedup, split, chunk counts") {
     // synthetic docs + one exact duplicate pair; every doc passes the
     // gate (12 letter-only tokens incl. 'the'), each doc yields one
@@ -488,6 +504,34 @@ class GraftApiSpec extends SparkSpec {
     }
     failsWith(9223373L, 1L, 1L, 1000000000L) // nab·N·1000 one past the bound
     failsWith(2L, Long.MaxValue / 2 + 1, 2L, 10L) // na·nb past the bound
+  }
+
+  test("rollingUniques fans out, drops future buckets, exact stickiness") {
+    import spark.implicits._
+    // hour 0: users 1,2; hour 1: user 1; hour 2: user 3 — at a 2-hour
+    // window the expected buckets are fully hand-checkable, and the
+    // hour-3 contribution of the last event must be dropped (partial
+    // future window)
+    val ev = Seq((0L, 1L), (0L, 2L), (1L, 1L), (2L, 3L))
+      .map { case (h, u) => (h * 3600L, u) }.toDF("ts", "user_id")
+    val got = Graft.rollingUniques(ev, windowHours = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      0L -> ((2L, 2L, 1000L)),
+      1L -> ((1L, 2L, 500L)),
+      2L -> ((1L, 2L, 500L))))
+  }
+
+  test("audienceOverlap: planted user sets, zero-overlap pairs absent") {
+    import spark.implicits._
+    val ev = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 3L), // dup proves distinct
+      ("B", 2L), ("B", 3L), ("C", 9L)).toDF("event_type", "user_id")
+    val rows = Graft.audienceOverlap(ev).collect()
+    assert(rows.length === 1, "only the A-B pair shares users")
+    val r = rows.head
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert(r.getAs[Long]("n_both") === 2L &&
+      r.getAs[Long]("jaccard_permille") === 666L)
   }
 
   test("copurchasePairs: exact support and lift on planted baskets") {

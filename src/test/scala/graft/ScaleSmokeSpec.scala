@@ -210,6 +210,39 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(byN === Map(2L -> 1999998L, 1L -> 2L))
   }
 
+  test("rolling uniques on 2M events: exact per-window distinct counts") {
+    // hours cycle 0..199, users cycle mod 1000: hour h contains the 5
+    // users ≡ h (mod 200), and 24 consecutive hours have pairwise
+    // DISJOINT user sets (residues differ mod 200) — so every full
+    // window holds exactly 120 uniques and partial head windows 5(b+1).
+    val ev = spark.range(0L, 2000000L, 1L, 16)
+      .select((pmod(col("id"), lit(200)) * 3600L).as("ts"),
+        pmod(col("id"), lit(1000)).as("user_id"))
+    val out = ops.EventsOps.rollingUniques(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.size === 200, "one bucket per observed hour, none future")
+    (0 until 200).foreach { b =>
+      val expect = if (b >= 23) 120L else 5L * (b + 1)
+      assert(out(b.toLong) === expect, s"bucket $b")
+    }
+  }
+
+  test("audience overlap on 1.2M rows: exact planted jaccard") {
+    // two 600k-user audiences overlapping in exactly 200k users —
+    // jaccard 200k/1000k = 200 permille; the pair join is keyed on
+    // the user (fanout ≤ types per user), never users²
+    val a = spark.range(0L, 600000L, 1L, 8)
+      .select(lit("A").as("event_type"), col("id").as("user_id"))
+    val b = spark.range(400000L, 1000000L, 1L, 8)
+      .select(lit("B").as("event_type"), col("id").as("user_id"))
+    val rows = ops.EventsOps.audienceOverlap(a.unionAll(b)).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_a") === 600000L && r.getAs[Long]("n_b") === 600000L)
+    assert(r.getAs[Long]("n_both") === 200000L &&
+      r.getAs[Long]("jaccard_permille") === 200L)
+  }
+
   test("degree-ordered triangles survive a 100k-spoke hub") {
     // one celebrity node with 100k spokes plus 50k closing edges among
     // consecutive spokes. Lexicographic orientation would pair the
