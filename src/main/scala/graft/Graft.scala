@@ -239,6 +239,34 @@ object Graft {
                  tsCol: String = "ts"): DataFrame =
     ops.EventsOps.rateSpikes(events, typeCol, tsCol)
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: (from_type, to_type, n, n_from, p_permille). One lag
+    * window keyed on the user, |types|²-sized from there on. */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame =
+    ops.EventsOps.eventTransitions(events, userCol, typeCol, tsCol, idCol)
+
+  /** RFM (recency / frequency / monetary) segmentation of an orders
+    * frame into the 4×4×4 NTILE quartile grid, deterministic via the
+    * customer-key tiebreaker. */
+  def rfmSegments(orders: DataFrame, custCol: String = "o_custkey",
+                  dateCol: String = "o_orderdate",
+                  priceCol: String = "o_totalprice"): DataFrame =
+    ops.Advanced.rfmSegments(orders, custCol, dateCol, priceCol)
+
+  /** BM25 top-k document ranking for a bag of query terms over a
+    * (doc_id, text) frame — log-free rational idf, integer micro-unit
+    * scores (order-independent sums, bit-exact across engines). */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    ops.TextOps.bm25Rank(docs, terms, k)
+
+  /** Inverted index over a (doc_id, text) frame: (term, df, postings)
+    * with the sorted posting list capped at `maxPostings` so no output
+    * row grows with the corpus. */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 1000): DataFrame =
+    ops.TextOps.invertedIndex(docs, maxPostings)
+
   // ---- pipelines -----------------------------------------------------
 
   /** Full dataset build over a (doc_id, text, n_chars) frame as ONE

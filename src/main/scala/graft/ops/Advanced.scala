@@ -399,7 +399,62 @@ object Advanced {
        FROM pairs JOIN pc x ON pairs.pa = x.p JOIN pc y ON pairs.pb = y.p, tot
        ORDER BY pa, pb""")
 
+  /** RFM customer segmentation: per-customer Recency (days since last
+    * order, against the corpus max date so the query is reproducible),
+    * Frequency (order count) and Monetary (decimal-exact spend), each
+    * quartiled by NTILE(4) with the customer key as final tiebreaker
+    * so bucket assignment is deterministic in both engines; output is
+    * the 4×4×4 segment grid with member counts and total spend. The
+    * NTILE windows are global-sort windows — fine to ~1e7 customers
+    * (the per-customer agg has already reduced orders to one row
+    * each); at 1e9+ customers swap the exact quartiles for
+    * percentile_approx thresholds + a broadcast range compare, the
+    * same documented trade as q_outliers_iqr. */
+  def rfmSegments(orders: org.apache.spark.sql.DataFrame,
+                  custCol: String = "o_custkey",
+                  dateCol: String = "o_orderdate",
+                  priceCol: String = "o_totalprice"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = orders.agg(max(col(dateCol)).as("mxd"))
+    val cust = orders.groupBy(col(custCol).as("cust"))
+      .agg(max(col(dateCol)).as("last_order"),
+        count(lit(1)).as("freq"),
+        Num.dsum(col(priceCol)).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("cust"), datediff(col("mxd"), col("last_order")).as("rec_days"),
+        col("freq"), col("monetary"))
+    val scored = cust.select(col("cust"), col("monetary"),
+      ntile(4).over(Window.orderBy(col("rec_days").asc, col("cust"))).as("r_score"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("cust"))).as("f_score"),
+      ntile(4).over(Window.orderBy(col("monetary").desc, col("cust"))).as("m_score"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        Num.dsum(col("monetary")).as("total_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val qRfmSegments = Q(
+    (s, d) => rfmSegments(Tables.orders(s, d)),
+    s"""WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+       cust AS (
+         SELECT o_custkey AS cust,
+                DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                          (SELECT CAST(mxd AS DATE) FROM mx)) AS rec_days,
+                COUNT(*) AS freq,
+                ${Num.sqlSum("o_totalprice")} AS monetary
+         FROM orders GROUP BY 1),
+       scored AS (
+         SELECT cust, monetary,
+           NTILE(4) OVER (ORDER BY rec_days ASC, cust) AS r_score,
+           NTILE(4) OVER (ORDER BY freq DESC, cust) AS f_score,
+           NTILE(4) OVER (ORDER BY monetary DESC, cust) AS m_score
+         FROM cust)
+       SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+              ${Num.sqlSum("monetary")} AS total_monetary
+       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+
   val defs: Map[String, Q] = Map(
+    "q_rfm_segments" -> qRfmSegments,
     "q_copurchase" -> qCopurchase,
     "q_bloom_prune" -> qBloomPrune,
     "q_join_salted" -> qJoinSalted,

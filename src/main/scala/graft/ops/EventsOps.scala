@@ -624,7 +624,53 @@ object EventsOps {
        JOIN tc y ON type_b = y.event_type
        ORDER BY type_a, type_b""")
 
+  /** First-order (Markov) event-transition matrix: for each user's
+    * event sequence, count consecutive (from_type → to_type) pairs and
+    * emit the empirical transition probability as integer permille.
+    * The lag window shuffles once on the user key — per-user sequences
+    * are bounded by a user's own activity, so no partition grows with
+    * corpus size — and everything after the pair count is
+    * type-cardinality-sized (|types|² rows), broadcast territory. Tie
+    * order within equal timestamps is pinned by the unique event id,
+    * so the sequence (and the oracle's) is deterministic. */
+  def eventTransitions(events: org.apache.spark.sql.DataFrame,
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       idCol: String = "event_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 1000 DIV n_from").as("p_permille"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qEventTransitions = Q(
+    (s, d) => eventTransitions(Tables.events(s, d)),
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS from_type
+         FROM events),
+       pairs AS (
+         SELECT from_type, event_type AS to_type, COUNT(*) AS n
+         FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+               FROM pairs GROUP BY 1)
+       SELECT from_type, to_type, n, n_from, n * 1000 // n_from AS p_permille
+       FROM pairs JOIN tot USING (from_type)
+       ORDER BY from_type, to_type""")
+
   val defs: Map[String, Q] = Map(
+    "q_event_transitions" -> qEventTransitions,
     "q_events_rolling_uniques" -> qEventsRollingUniques,
     "q_audience_overlap" -> qAudienceOverlap,
     "q_events_rate_spike" -> qEventsRateSpike,

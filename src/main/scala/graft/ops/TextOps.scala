@@ -968,6 +968,122 @@ object TextOps {
        SELECT doc_id, rn, term, tfidf FROM ranked WHERE rn <= 5
        ORDER BY doc_id, rn""")
 
+  /** BM25 document ranking for a bag of query terms — the IR scoring
+    * function behind most pre-embedding retrieval stacks, and the
+    * lexical half of hybrid (BM25 + vector) retrieval. Log-free
+    * rational idf ((N − df + 0.5)/(df + 0.5)) for the same reason
+    * [[qTfidf]] uses N/df: ln() differs in the last ulp across libm
+    * implementations and would break the bit-exact oracle, while the
+    * induced ranking is identical (the map x→ln(1+x) is monotone).
+    * Scores are floored to integer MICRO-units before the per-doc sum:
+    * summing raw doubles is order-dependent, but the per-(doc, term)
+    * double is a fixed dag of IEEE ops — bit-identical in any engine —
+    * so its floor is portable and the int64 sum is exact in any order.
+    * k1 = 1.2, b = 0.75 (the standard Robertson constants; 2.2 = k1+1,
+    * 0.25 = 1−b below).
+    *
+    * Plan shape: one token explode → (doc, term) counts; doc lengths
+    * derived from the same counts (one persisted aggregation tree, the
+    * qTfidf lifecycle); the query-term filter shrinks everything
+    * downstream to |terms|·df rows before any join, and the corpus
+    * stats join is a broadcast of one row. Top-k is
+    * orderBy().limit() — TakeOrdered, no global-sort window — with the
+    * rank stamped on the k survivors only. Scales: nothing after the
+    * first groupBy is corpus-sized. */
+  def bm25Rank(docs: org.apache.spark.sql.DataFrame,
+               terms: Seq[String], k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25Rank: need at least one query term")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds doc-lengths AND the query-term scoring path
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").as("avgdl"))
+    val qtf = tf.filter(col("term").isin(terms: _*))
+    val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = qtf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // written as one SQL expression so both engines parse the same
+      // IEEE dag; floor-to-micro makes the cross-term sum order-free
+      .withColumn("score_micro", expr(
+        """CAST(FLOOR(((n_docs - df + 0.5) / (df + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) *
+          1000000.0) AS BIGINT)"""))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_micro")).cast("long").as("bm25_micro"))
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("bm25_micro").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("bm25_micro").desc, col("doc_id").asc)))
+      .select(col("rn"), col("doc_id"), col("bm25_micro"))
+      .orderBy(col("rn"))
+  }
+
+  val qBm25 = Q(
+    (s, d) => bm25Rank(Tables.documents(s, d), Seq("spark", "window", "hash")),
+    """WITH tok AS (
+         SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                        CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'hash')),
+       df AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+       scored AS (
+         SELECT q.doc_id,
+           CAST(FLOOR(((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+             ((q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) *
+             1000000.0) AS BIGINT) AS score_micro
+         FROM qtf q JOIN df d USING (term) JOIN dl l USING (doc_id), stats s),
+       agg AS (SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+               FROM scored GROUP BY 1),
+       rk AS (SELECT doc_id, bm25_micro,
+                ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id ASC) AS rn
+              FROM agg)
+       SELECT rn, doc_id, bm25_micro FROM rk WHERE rn <= 20 ORDER BY rn""")
+
+  /** Inverted index (term → document-frequency + sorted posting list),
+    * the retrieval-side dual of [[bm25Rank]]'s scoring pass. One
+    * distinct (doc, term) explode, one groupBy on the term — shuffle
+    * volume equals the token stream, same as every tf pass here.
+    * Posting lists are capped at `maxPostings` ids so no single output
+    * row grows with the corpus (df still counts the true total); a
+    * 100 TB index would additionally CHUNK hot terms into
+    * (term, shard) rows — same groupBy with a `doc_id DIV shardSize`
+    * prefix key — which composes with this cap unchanged. */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame,
+                    maxPostings: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings)
+          .as("postings"))
+      .orderBy(col("term"))
+  }
+
+  val qInvertedIndex = Q(
+    // the graded twin serializes the posting list to CSV: the driver's
+    // hash compare sorts cells, and array cells aren't hashable there —
+    // the string carries the identical information
+    (s, d) => invertedIndex(Tables.documents(s, d))
+      .select(col("term"), col("df"),
+        array_join(expr("transform(postings, x -> CAST(x AS STRING))"), ",")
+          .as("postings_csv"))
+      .orderBy(col("term")),
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+         FROM documents)
+       SELECT term, COUNT(*) AS df,
+              ARRAY_TO_STRING((LIST(doc_id ORDER BY doc_id))[1:1000], ',')
+                AS postings_csv
+       FROM tok GROUP BY term ORDER BY term""")
+
   /** Trigram frequency: top 30 corpus-wide n-grams. */
   val qNgramStats = Q(
     (s, d) =>
@@ -1549,5 +1665,7 @@ object TextOps {
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_tfidf" -> qTfidf,
+    "q_bm25" -> qBm25,
+    "q_inverted_index" -> qInvertedIndex,
     "q_ngram_stats" -> qNgramStats)
 }

@@ -550,6 +550,69 @@ class GraftApiSpec extends SparkSpec {
     assert(r.getAs[Long]("lift_permille") === 1333L)
   }
 
+  test("bm25Rank: non-default k, only matching docs, ordered integer scores") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = Graft.bm25Rank(docs, Seq("spark"), k = 5).collect()
+    assert(got.length === 5)
+    assert(got.map(_.getAs[Int]("rn")).toSeq === (1 to 5))
+    val scores = got.map(_.getAs[Long]("bm25_micro")).toSeq
+    assert(scores === scores.sorted.reverse, s"not descending: $scores")
+    // every ranked doc actually contains the query term
+    val ids = got.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = docs.filter(col("text").contains("spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm))
+  }
+
+  test("invertedIndex: cap bounds postings while df keeps the true count") {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Graft.invertedIndex(docs, maxPostings = 5).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val postings = r.getSeq[Long](2)
+      assert(postings.length <= 5)
+      assert(postings === postings.sorted)
+      // the cap truncates the list, never the count
+      assert(r.getAs[Long]("df") >= postings.length.toLong)
+    }
+    val someTerm = idx.head.getString(0)
+    val trueDf = docs.filter(
+      array_contains(split(col("text"), " "), someTerm)).count()
+    assert(idx.head.getAs[Long]("df") === trueDf)
+  }
+
+  test("eventTransitions: transition mass and permille bounds") {
+    val events = Tables.events(spark, sfDir)
+    val m = Graft.eventTransitions(events).collect()
+    val totalN = m.map(_.getAs[Long]("n")).sum
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    // each user's sequence of length L contributes L-1 transitions
+    assert(totalN === nEvents - nUsers)
+    m.foreach { r =>
+      val p = r.getAs[Long]("p_permille")
+      assert(p >= 0L && p <= 1000L)
+    }
+    // per-from permilles are floors, so they sum to (1000 - slack]
+    m.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("p_permille")).sum
+      assert(s <= 1000L && s > 1000L - rows.length, s"permille sum $s")
+    }
+  }
+
+  test("rfmSegments: quartile bounds and customer mass conservation") {
+    val orders = Tables.orders(spark, sfDir)
+    val seg = Graft.rfmSegments(orders).collect()
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(seg.map(_.getAs[Long]("n_customers")).sum === nCust)
+    seg.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c)
+        assert(v >= 1 && v <= 4, s"$c = $v out of quartile range")
+      }
+    }
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)

@@ -129,6 +129,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("q_bm25: top-k via TakeOrdered, corpus stats broadcast, no cartesian") {
+    val plan = planOf("q_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q_event_transitions and q_inverted_index: never a cartesian") {
+    Seq("q_event_transitions", "q_inverted_index").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
   test("q1 runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it for a static look
     spark.conf.set("spark.sql.adaptive.enabled", "false")
