@@ -267,6 +267,12 @@ object Graft {
   def invertedIndex(docs: DataFrame, maxPostings: Int = 1000): DataFrame =
     ops.TextOps.invertedIndex(docs, maxPostings)
 
+  /** Heaps'-law vocabulary-growth curve: new + cumulative distinct
+    * bigrams per `bucketDocs`-document checkpoint in doc_id order — a
+    * flattening curve means new data re-treads old vocabulary. */
+  def vocabGrowth(docs: DataFrame, bucketDocs: Int = 50): DataFrame =
+    ops.TextOps.vocabGrowth(docs, bucketDocs)
+
   // ---- pipelines -----------------------------------------------------
 
   /** Full dataset build over a (doc_id, text, n_chars) frame as ONE
@@ -300,6 +306,18 @@ object Graft {
   def mergeUpsert(base: DataFrame, delta: DataFrame,
                   key: String, valueCol: String): DataFrame =
     ops.Relational.mergeUpsert(base, delta, key, valueCol)
+
+  /** Collapse an event stream into SCD Type-2 state regimes per user:
+    * (user_id, event_type, valid_from, valid_to) with valid_to = 0
+    * marking the open regime. One shuffle on the user key. */
+  def scd2History(events: DataFrame): DataFrame =
+    ops.EventsOps.scd2History(events)
+
+  /** Point-in-time reconstruction from an SCD2 history frame: the one
+    * regime per key covering instant `at` (epoch seconds). A pruned
+    * filter, not a join — the payoff of the SCD2 layout. */
+  def scd2SnapshotAt(history: DataFrame, at: Column): DataFrame =
+    ops.EventsOps.scd2SnapshotAt(history, at)
 
   // ---- graphs --------------------------------------------------------
 

@@ -133,22 +133,40 @@ object EventsOps {
     * rows where the tracked attribute actually changes, with
     * [valid_from, valid_to) from the change timestamps (open current
     * interval → sentinel 0). One window shuffle on the business key. */
+  /** SCD Type-2 history build: collapse each user's event stream into
+    * state regimes (runs of equal type) with [valid_from, valid_to)
+    * epoch-second ranges, valid_to = 0 marking the current regime.
+    * Two windows on the same (user, ts, id) key — one shuffle. */
+  def scd2History(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from", col("ts").cast("long"))
+      .withColumn("valid_to",
+        coalesce(lead(col("ts").cast("long"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)),
+          lit(0L)))
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+  }
+
+  /** Point-in-time reconstruction from an SCD2 history: the one
+    * regime per key whose [valid_from, valid_to) range covers `at`
+    * (valid_to = 0 = still open). A filter, not a join — time-travel
+    * over an SCD2 dimension costs one pruned scan, which is the
+    * reason to keep history in this layout at all. With the history
+    * parquet partitioned or sorted on valid_from, the `valid_from <=
+    * at` predicate prunes at the scan. */
+  def scd2SnapshotAt(history: org.apache.spark.sql.DataFrame,
+                     at: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to") === 0L || col("valid_to") > at))
+
   val qScd2History = Q(
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-      Tables.events(s, d)
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-        .withColumn("valid_from", col("ts").cast("long"))
-        .withColumn("valid_to",
-          coalesce(lead(col("ts").cast("long"), 1).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)),
-            lit(0L)))
-        .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
-        .orderBy(col("user_id"), col("valid_from"))
-    },
+    (s, d) => scd2History(Tables.events(s, d))
+      .orderBy(col("user_id"), col("valid_from")),
     """WITH changes AS (
          SELECT user_id, event_type, ts, event_id,
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -161,6 +179,37 @@ object EventsOps {
          FROM changes WHERE prev_type IS NULL OR prev_type <> event_type)
        SELECT user_id, event_type, valid_from, valid_to FROM scd
        ORDER BY user_id, valid_from""")
+
+  /** Time-travel: every user's state as of the corpus mid-point
+    * (derived (min+max) DIV 2 so the query is reproducible at any SF
+    * without a literal timestamp) — [[scd2History]] composed with
+    * [[scd2SnapshotAt]], the snapshot instant joined in as a 1-row
+    * broadcast. Exactly one row per user by construction: regimes
+    * partition each user's [first-event, ∞) timeline. */
+  val qScd2Asof = Q(
+    (s, d) => {
+      val events = Tables.events(s, d)
+      val at = events.agg(
+        expr("(MIN(CAST(ts AS LONG)) + MAX(CAST(ts AS LONG))) DIV 2").as("at"))
+      scd2SnapshotAt(scd2History(events).crossJoin(broadcast(at)), col("at"))
+        .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"))
+    },
+    """WITH changes AS (
+         SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       scd AS (
+         SELECT user_id, event_type,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS valid_from,
+           COALESCE(LEAD(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS valid_to
+         FROM changes WHERE prev_type IS NULL OR prev_type <> event_type),
+       t AS (SELECT (MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) +
+                     MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT))) // 2 AS at FROM events)
+       SELECT user_id, event_type, valid_from, valid_to
+       FROM scd, t WHERE valid_from <= at AND (valid_to = 0 OR valid_to > at)
+       ORDER BY user_id""")
 
   /** Funnel analysis: per user, first view → first click after that →
     * first purchase after that; output per-user stage timestamps
@@ -670,6 +719,7 @@ object EventsOps {
        ORDER BY from_type, to_type""")
 
   val defs: Map[String, Q] = Map(
+    "q_scd2_asof" -> qScd2Asof,
     "q_event_transitions" -> qEventTransitions,
     "q_events_rolling_uniques" -> qEventsRollingUniques,
     "q_audience_overlap" -> qAudienceOverlap,

@@ -1106,6 +1106,51 @@ object TextOps {
              WHERE LEN(toks) >= 3)
        GROUP BY trigram ORDER BY n DESC, trigram LIMIT 30""")
 
+  /** Vocabulary-growth (Heaps'-law) curve: new and cumulative distinct
+    * bigrams per `bucketDocs`-document checkpoint, in doc_id order.
+    * The corpus-measurement twin of dedup/quality — a flattening curve
+    * means new data is re-treading old vocabulary. Computed as
+    * first-occurrence doc per bigram (one groupBy(min) over the bigram
+    * explode — the only corpus-sized shuffle) then a bucket count and
+    * a cumulative sum over the checkpoint axis, which is bucket-count
+    * sized: the single-partition window is bounded by docs/bucketDocs
+    * rows, not the corpus. Unigrams saturate instantly on this
+    * corpus's 31-word vocabulary (measured: all 31 in the first
+    * bucket); bigrams give a real curve (851 → 916 across sf0.01). */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame,
+                  bucketDocs: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(bucketDocs >= 1, s"bucketDocs must be >= 1, got $bucketDocs")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("tokens", tokens(col("text")))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+             i -> concat(element_at(tokens, i + 1), ' ',
+                         element_at(tokens, i + 2)))""")).as("bigram"))
+      .groupBy(col("bigram")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr(s"fd DIV $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_bigrams"))
+      .withColumn("vocab",
+        sum(col("new_bigrams")).over(
+          Window.orderBy(col("bucket"))).cast("long"))
+      .orderBy(col("bucket"))
+  }
+
+  val qVocabGrowth = Q(
+    (s, d) => vocabGrowth(Tables.documents(s, d)),
+    """WITH bg AS (
+         SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bigram
+         FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+              UNNEST(RANGE(LEN(toks) - 1)) AS t(i)
+         WHERE LEN(toks) >= 2),
+       first AS (SELECT bigram, MIN(doc_id) AS fd FROM bg GROUP BY 1),
+       ck AS (SELECT fd // 50 AS bucket, COUNT(*) AS new_bigrams
+              FROM first GROUP BY 1)
+       SELECT bucket, new_bigrams,
+              CAST(SUM(new_bigrams) OVER (ORDER BY bucket) AS BIGINT) AS vocab
+       FROM ck ORDER BY bucket""")
+
   /** Canonical text normalization — the first stage of every text
     * pipeline: lowercase, fold every non-[a-z0-9] run to a single
     * space, trim. Kept to ASCII-class regexes because Spark (Java
@@ -1667,5 +1712,6 @@ object TextOps {
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
     "q_inverted_index" -> qInvertedIndex,
+    "q_vocab_growth" -> qVocabGrowth,
     "q_ngram_stats" -> qNgramStats)
 }

@@ -109,6 +109,42 @@ object StreamingDemo {
       .toDF()
   }
 
+  final case class LastEvent(es: Long, id: Long, tpe: String)
+  final case class TransitionPair(from_type: String, to_type: String)
+
+  /** Streaming twin of [[graft.ops.EventsOps.eventTransitions]]: emit
+    * one (from_type, to_type) row per consecutive event pair in each
+    * user's sequence, with the LAST event carried as keyed state so
+    * pairs straddling micro-batch boundaries are not lost — the part a
+    * stateless per-batch lag window would get wrong. Rows inside one
+    * micro-batch arrive unordered, so each group call sorts its
+    * (bounded, per-user-per-batch) buffer by (ts, event_id) before
+    * folding; the same tie rule as the batch twin. Aggregating the
+    * emitted pairs reproduces the batch matrix exactly
+    * (StreamingSpec pins it across a mid-sequence batch split). */
+  def transitionPairs(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS LONG) AS es", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionPair]
+          sorted.foreach { r =>
+            last.foreach(l => out += TransitionPair(l.tpe, r._4))
+            last = Some(LastEvent(r._2, r._3, r._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** Stream-stream interval join: click attributed to the impression
     * it follows within 10 minutes, both sides watermarked so the state
     * store can evict rows once the interval can no longer match — the

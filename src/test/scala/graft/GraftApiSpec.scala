@@ -613,6 +613,48 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("scd2History + scd2SnapshotAt reconstruct the planted regime at any instant") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(es: Long) = new Timestamp(es * 1000L)
+    // user 1: A@[100,300) B@[300,0); user 2: C@[200,0). The A-run has
+    // two events — scd2 must collapse the run, not emit per-event rows
+    val ev = Seq(
+      (1L, t(100), 1L, "A", 0.0), (2L, t(250), 1L, "A", 0.0),
+      (3L, t(300), 1L, "B", 0.0), (4L, t(200), 2L, "C", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hist = Graft.scd2History(ev)
+    assert(hist.count() === 3)
+    val at250 = Graft.scd2SnapshotAt(hist, lit(250L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at250 === Map(1L -> "A", 2L -> "C"))
+    val at301 = Graft.scd2SnapshotAt(hist, lit(301L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at301 === Map(1L -> "B", 2L -> "C"))
+    // before user 2 existed, only user 1 has a regime
+    val at150 = Graft.scd2SnapshotAt(hist, lit(150L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at150 === Map(1L -> "A"))
+  }
+
+  test("vocabGrowth: cumulative curve is monotone and totals the distinct bigrams") {
+    val docs = Tables.documents(spark, sfDir)
+    val curve = Graft.vocabGrowth(docs, bucketDocs = 10).collect()
+    assert(curve.nonEmpty)
+    val vocab = curve.map(_.getAs[Long]("vocab")).toSeq
+    assert(vocab === vocab.sorted, "cumulative vocab must be non-decreasing")
+    assert(curve.map(_.getAs[Long]("new_bigrams")).sum === vocab.last)
+    val trueDistinct = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+             i -> concat(element_at(toks, i + 1), ' ',
+                         element_at(toks, i + 2)))""")).as("bg"))
+      .distinct().count()
+    assert(vocab.last === trueDistinct)
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)

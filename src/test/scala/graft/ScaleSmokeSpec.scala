@@ -227,6 +227,25 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("event transitions on 5M events: exact cyclic matrix") {
+    // 1000 users × 5000-event sequences; types cycle t0→t1→t2→t0, so
+    // the only legal transitions are the three cyclic ones and every
+    // from-type routes to exactly one to-type (permille = 1000). Per
+    // user: 1667 + 1666 + 1666 = 4999 pairs — exact at 5M rows
+    val ev = spark.range(0L, 5000000L, 1L, 16).select(
+      pmod(col("id"), lit(1000)).as("user_id"),
+      expr("id DIV 1000").as("ts"),
+      col("id").as("event_id"),
+      expr("concat('t', (id DIV 1000) % 3)").as("event_type"))
+    val got = ops.EventsOps.eventTransitions(ev).collect()
+    assert(got.length === 3)
+    val m = got.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("n")).toMap
+    assert(m === Map(("t0", "t1") -> 1667000L, ("t1", "t2") -> 1666000L,
+      ("t2", "t0") -> 1666000L))
+    assert(got.forall(_.getAs[Long]("p_permille") === 1000L))
+  }
+
   test("audience overlap on 1.2M rows: exact planted jaccard") {
     // two 600k-user audiences overlapping in exactly 200k users —
     // jaccard 200k/1000k = 200 permille; the pair join is keyed on

@@ -580,4 +580,43 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(last.getAs[Double]("total") - 8.0) < 1e-9)
     } finally out.stop()
   }
+
+  test("streaming transitionPairs equals the batch matrix across a batch split") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    // user 7's A→B pair straddles the micro-batch boundary (carried
+    // state is what catches it); batch 1's rows for user 8 arrive
+    // out of ts order to prove the in-batch sort; users share types
+    // so the matrix aggregates across users
+    val b1 = Seq(
+      Ev(1L, ts("2024-01-01 00:01:00"), 7L, "view", 0.0),
+      Ev(3L, ts("2024-01-01 00:05:00"), 8L, "click", 0.0), // out of order
+      Ev(2L, ts("2024-01-01 00:02:00"), 8L, "view", 0.0))
+    val b2 = Seq(
+      Ev(4L, ts("2024-01-01 00:07:00"), 7L, "click", 0.0),
+      Ev(5L, ts("2024-01-01 00:09:00"), 7L, "purchase", 0.0),
+      Ev(6L, ts("2024-01-01 00:11:00"), 8L, "view", 0.0))
+    val out = StreamingDemo.transitionPairs(spark, input.toDF())
+      .writeStream.format("memory").queryName("transitions_test")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      out.processAllAvailable()
+      input.addData(b2: _*)
+      out.processAllAvailable()
+      val streamed = spark.table("transitions_test")
+        .groupBy("from_type", "to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = ops.EventsOps.eventTransitions(
+          spark.createDataFrame(b1 ++ b2))
+        .select("from_type", "to_type", "n")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      // the cross-batch pair specifically survived
+      assert(streamed.contains(("view", "click", 2L)))
+    } finally out.stop()
+  }
 }
