@@ -679,7 +679,11 @@ object EventsOps {
     * The lag window shuffles once on the user key — per-user sequences
     * are bounded by a user's own activity, so no partition grows with
     * corpus size — and everything after the pair count is
-    * type-cardinality-sized (|types|² rows), broadcast territory. Tie
+    * type-cardinality-sized (|types|² rows). The from-type totals come
+    * from a WINDOW over the pair counts, not a second aggregation of
+    * the input: a groupBy+join formulation re-runs the corpus-sized
+    * lag window twice (measured in the initial plan — no exchange
+    * reuse), while the window touches only the |types|² frame. Tie
     * order within equal timestamps is pinned by the unique event id,
     * so the sequence (and the oracle's) is deterministic. */
   def eventTransitions(events: org.apache.spark.sql.DataFrame,
@@ -689,14 +693,13 @@ object EventsOps {
                        idCol: String = "event_id"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    val pairs = events
+    events
       .withColumn("from_type", lag(col(typeCol), 1).over(w))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val fromTotals = pairs.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("n_from"))
-    pairs.join(broadcast(fromTotals), Seq("from_type"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         expr("n * 1000 DIV n_from").as("p_permille"))
       .orderBy(col("from_type"), col("to_type"))
@@ -712,10 +715,12 @@ object EventsOps {
        pairs AS (
          SELECT from_type, event_type AS to_type, COUNT(*) AS n
          FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
-       tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
-               FROM pairs GROUP BY 1)
+       tot AS (
+         SELECT from_type, to_type, n,
+           CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+         FROM pairs)
        SELECT from_type, to_type, n, n_from, n * 1000 // n_from AS p_permille
-       FROM pairs JOIN tot USING (from_type)
+       FROM tot
        ORDER BY from_type, to_type""")
 
   val defs: Map[String, Q] = Map(
