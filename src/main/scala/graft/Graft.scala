@@ -155,6 +155,21 @@ object Graft {
   def outliersIqr(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     ops.QualityOps.outliersIqr(df, groupCol, valueCol)
 
+  /** Top-`topK` heaviest values of a prospective shuffle key with
+    * share (permille) and skew factor vs the mean key (×1000) — the
+    * pre-shuffle diagnostic that decides between plain hashing,
+    * salting, and AQE skew-split. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame =
+    ops.QualityOps.keySkew(df, keyCol, topK)
+
+  /** Keep the top `keepPermille`‰ rows of each group by score
+    * (integer cross-multiplied rank test, `idCol` tiebreak) — the
+    * relative-rank quality pruning every curation recipe ends with. */
+  def pruneByRelativeRank(docs: DataFrame, groupCol: String,
+                          scoreCol: String, idCol: String,
+                          keepPermille: Int): DataFrame =
+    ops.PipelineOps.pruneByRelativeRank(docs, groupCol, scoreCol, idCol, keepPermille)
+
   // ---- vectors -------------------------------------------------------
 
   /** Int8 scalar quantization of (vec_id, embedding), exploded to

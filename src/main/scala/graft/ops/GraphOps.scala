@@ -24,20 +24,31 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** Directed nation-level trade graph: supplier-nation → customer-
-    * nation, weighted by shipped line items. */
+    * nation, weighted by shipped line items. The join cascade over the
+    * fact table is the only corpus-sized stage either graph query has,
+    * and BOTH consume the identical ≤ |nations|² result — so it is
+    * derived once per (session, dir), localCheckpoint'd (eager; the
+    * build cost lands on the memo entry, same attribution pattern as
+    * the dedup pair families), and every PageRank iteration / wedge
+    * join reads the materialized dimension-sized frame instead of
+    * replaying four fact joins (bench: 1.5 s + 0.5 s of per-query
+    * cascade collapsed into one shared build). */
   private def edges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, d))
-        .select(col("n_nationkey").as("snk"), col("n_name").as("src")),
-        col("s_nationkey") === col("snk"))
-      .join(broadcast(Tables.nation(s, d))
-        .select(col("n_nationkey").as("cnk"), col("n_name").as("dst")),
-        col("c_nationkey") === col("cnk"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
+    graft.SessionMemo.getOrElseUpdate(s, s"trade_edges:$d") {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d))
+          .select(col("n_nationkey").as("snk"), col("n_name").as("src")),
+          col("s_nationkey") === col("snk"))
+        .join(broadcast(Tables.nation(s, d))
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("dst")),
+          col("c_nationkey") === col("cnk"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+    }
 
   /** PUBLIC composable form (exported via [[graft.Graft]]):
     * fixed-point PageRank over any (src, dst, w) edge frame and
@@ -68,7 +79,7 @@ object GraphOps {
     * twin unrolls the identical three CTE rounds. */
   val qGraphPagerank = Q(
     (s, d) => {
-      val e = edges(s, d).localCheckpoint() // derive once, iterate on the result
+      val e = edges(s, d) // memoized + checkpointed; iterate on the result
       val nodes = Tables.nation(s, d).select(col("n_name").as("node"))
       pagerankFixedPoint(e, nodes, iterations = 3)
         .orderBy(col("r").desc, col("node"))

@@ -515,7 +515,66 @@ object PipelineOps {
          CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
        FROM chunks GROUP BY split, shard ORDER BY split, shard""")
 
+  /** Relative-rank quality pruning — keep the top `keepPermille`‰ of
+    * each group by score, the "train on the best 30 % per language"
+    * selection every curation recipe ends with. A FIXED score cutoff
+    * drifts as the corpus mix shifts; the relative form self-adapts
+    * per group. The keep test is `rank · 1000 ≤ keepPermille · n` in
+    * pure integer arithmetic (rank from a per-group window ordered by
+    * score desc, doc_id tiebreak so equal scores resolve identically
+    * in both engines) — no float ratio, no percent_rank (whose
+    * n−1 denominator and float compare are exactly the portability
+    * trap the cross-multiplied form avoids).
+    *
+    * Scale shape: one shuffle on the group key; per-group windows are
+    * bounded by group size, and groups here are languages —
+    * dozens-cardinality with corpus-sized groups, so at 100 TB the
+    * window becomes the bottleneck. The documented swap: compute the
+    * per-group score threshold from a mergeable quantile sketch
+    * (`percentile_approx(score, 1 − keep)`), broadcast it back, and
+    * prune with a map-side predicate — same result modulo sketch
+    * error, no giant window. Kept exact here because the gate
+    * hash-compares. */
+  def pruneByRelativeRank(docs: org.apache.spark.sql.DataFrame,
+                          groupCol: String, scoreCol: String, idCol: String,
+                          keepPermille: Int): org.apache.spark.sql.DataFrame = {
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      s"pruneByRelativeRank: keepPermille must be in [1, 1000], got $keepPermille")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("__graft_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("rk") * lit(1000) <= lit(keepPermille) * col("__graft_n"))
+      .drop("__graft_n")
+  }
+
+  /** Graded instantiation: top 30 % per language by vocabulary
+    * richness (distinct whitespace tokens — an integer quality proxy;
+    * the length/symbol-ratio axes are q_quality_rules' territory). */
+  val qQualityPrune = Q(
+    (s, d) =>
+      pruneByRelativeRank(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(array_distinct(split(col("text"), " "))).as("score")),
+        "lang", "score", "doc_id", keepPermille = 300)
+        .select(col("doc_id"), col("lang"), col("score"), col("rk"))
+        .orderBy(col("doc_id")),
+    """WITH sc AS (SELECT doc_id, lang,
+            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS score
+          FROM documents),
+       r AS (SELECT doc_id, lang, score,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+             FROM sc)
+       SELECT doc_id, lang, score, rk FROM r
+       WHERE rk * 1000 <= 300 * n ORDER BY doc_id""")
+
   val defs: Map[String, Q] = Map(
+    "q_quality_prune" -> qQualityPrune,
     "q_dataset_build" -> qDatasetBuild,
     "q_sample_weighted" -> qSampleWeighted,
     "q_chunk_documents" -> qChunkDocuments,

@@ -239,8 +239,60 @@ object QualityOps {
        GROUP BY 1, 2, 3, 4
        ORDER BY c_mktsegment""")
 
+  // ------------------------------------------------------------- key skew
+
+  /** Key-distribution skew profile — the diagnostic you run BEFORE
+    * choosing a shuffle strategy at scale: the top-`topK` heaviest
+    * keys of a prospective join/groupBy key, each with its row count,
+    * corpus share (permille), and skew factor versus the mean key
+    * (×1000). A skew factor ≫ 1000 on the head key is the signal to
+    * reach for salting (q_join_salted) or AQE skew-split; a flat head
+    * means plain hash partitioning is fine.
+    *
+    * Plan shape: one partial-aggregated groupBy on the key (the only
+    * corpus-sized stage), then windows and ranking over the
+    * key-cardinality frame. The global `sum/count OVER ()` and the
+    * top-K window are single-partition — bounded by key cardinality,
+    * not corpus size, and the contract is the same as the profiler's:
+    * this diagnoses keys you are about to shuffle on, which must have
+    * manageable cardinality to begin with. For billion-key frames cut
+    * the tail with a `HAVING count > threshold` before the window.
+    * All arithmetic is integer (`DIV`), bit-identical cross-engine;
+    * n·n_keys·1000 stays inside int64 while n_keys·n < 9.2e15 —
+    * beyond that, route the skew factor through DECIMAL(38,0) the way
+    * copurchasePairs documents. Ranking tiebreaks equal counts by key
+    * so the top-K set is total-ordered and portable. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"keySkew: topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("n_keys", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("key").asc)))
+      .filter(col("rk") <= topK)
+      .select(col("rk"), col("key"), col("n"),
+        expr("n * 1000 DIV total").as("share_permille"),
+        expr("n * n_keys * 1000 DIV total").as("skew_x1000"))
+      .orderBy(col("rk"))
+  }
+
+  val qKeySkew = Q(
+    (s, d) => keySkew(Tables.events(s, d), "user_id"),
+    """WITH k AS (SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1),
+       t AS (SELECT key, n,
+               CAST(SUM(n) OVER () AS BIGINT) AS total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_keys,
+               ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rk
+             FROM k)
+       SELECT rk, key, n, n * 1000 // total AS share_permille,
+              n * n_keys * 1000 // total AS skew_x1000
+       FROM t WHERE rk <= 10 ORDER BY rk""")
+
   val defs: Map[String, Q] = Map(
     "q_profile_table" -> qProfileTable,
     "q_constraints_check" -> qConstraintsCheck,
-    "q_outliers_iqr" -> qOutliersIqr)
+    "q_outliers_iqr" -> qOutliersIqr,
+    "q_key_skew" -> qKeySkew)
 }

@@ -655,6 +655,34 @@ class GraftApiSpec extends SparkSpec {
     assert(vocab.last === trueDistinct)
   }
 
+  test("keySkew ranks a planted hot key first with the right share and factor") {
+    import spark.implicits._
+    // key 7 carries 6 of 12 rows; 4 distinct keys → skew = 6/(12/4) = 2.0
+    val rows = Seq.fill(6)(7L) ++ Seq(1L, 1L, 2L, 2L, 3L, 3L)
+    val out = Graft.keySkew(rows.toDF("k"), "k", topK = 2).collect()
+    assert(out.length === 2)
+    assert(out.head.getLong(1) === 7L && out.head.getLong(2) === 6L)
+    assert(out.head.getAs[Long]("share_permille") === 500L)
+    assert(out.head.getAs[Long]("skew_x1000") === 2000L)
+    // rank-2 is the lowest-key count-2 key (deterministic tiebreak)
+    assert(out(1).getLong(1) === 1L && out(1).getAs[Long]("skew_x1000") === 666L)
+  }
+
+  test("pruneByRelativeRank keeps exactly the cross-multiplied top slice per group") {
+    import spark.implicits._
+    // group a: 10 rows → keep 3 of 10 at 300‰; group b: 4 rows → keep 1
+    val df = ((1 to 10).map(i => ("a", i.toLong, i)) ++
+      (1 to 4).map(i => ("b", 100L + i, i))).toDF("g", "id", "score")
+    val kept = Graft.pruneByRelativeRank(df, "g", "score", "id", keepPermille = 300)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept === Set(("a", 10L), ("a", 9L), ("a", 8L), ("b", 104L)))
+    // equal scores resolve by id: two score-ties at the cut keep the lower id
+    val ties = Seq(("c", 1L, 5), ("c", 2L, 5), ("c", 3L, 1)).toDF("g", "id", "score")
+    val keptTies = Graft.pruneByRelativeRank(ties, "g", "score", "id", 334)
+      .collect().map(_.getLong(1)).toSet
+    assert(keptTies === Set(1L))
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
