@@ -311,6 +311,34 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(agg(false) === 100000L, "unique docs never flag")
   }
 
+  test("keySkew on 5M rows ranks the planted hot key with exact integer stats") {
+    // 1M cold keys with 4 rows each, one hot key with 1M rows:
+    // total 5M, n_keys 1000001 — the groupBy is the only 5M-row
+    // stage; the windows run over the 1M-key frame.
+    val rows = spark.range(0L, 5000000L, 1L, 16)
+      .select(when(col("id") < 1000000L, lit(-1L))
+        .otherwise(pmod(col("id"), lit(1000000L))).as("k"))
+    val out = ops.QualityOps.keySkew(rows, "k", topK = 3).collect()
+    assert(out.head.getLong(1) === -1L && out.head.getLong(2) === 1000000L)
+    assert(out.head.getAs[Long]("share_permille") === 200L)
+    // skew = n·n_keys·1000 DIV total = 1e6 · 1000001 · 1000 DIV 5e6
+    assert(out.head.getAs[Long]("skew_x1000") === 200000200L)
+    assert(out(1).getLong(2) === 4L, "every cold key holds exactly 4 rows")
+  }
+
+  test("pruneByRelativeRank on 5M rows keeps the exact per-group slice") {
+    // 10 groups × 500k rows; keep 250‰ → exactly 125000 per group,
+    // and the kept set is exactly the top-score quarter (score = id
+    // DIV 10 is unique within each group, so no tie ambiguity).
+    val df = spark.range(0L, 5000000L, 1L, 16)
+      .select(col("id"), pmod(col("id"), lit(10)).as("g"),
+        expr("id DIV 10").as("score"))
+    val kept = ops.PipelineOps.pruneByRelativeRank(df, "g", "score", "id", 250)
+    assert(kept.count() === 1250000L)
+    assert(kept.agg(min("score")).head().getLong(0) === 375000L,
+      "kept scores start exactly at the 75th percentile boundary")
+  }
+
   test("copurchase pair volume stays sum-of-basket-squares on 1M lines") {
     // 250k baskets × 4 distinct items each → exactly 6 pairs per
     // basket; items drawn from a 1000-id universe so pair supports
