@@ -144,6 +144,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_key_skew: scan pruned to the key, count aggregated partially") {
+    val plan = planOf("q_key_skew")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("event_type") && !readSchema.contains("props"),
+      s"key-skew must scan only the key column: $readSchema")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "the per-key count must partial-aggregate before its exchange")
+  }
+
+  test("q_quality_prune: one exchange on the group key, scan pruned") {
+    val plan = planOf("q_quality_prune")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"prune must not read unused columns: $readSchema")
+    // both windows (rank, group count) share the lang partitioning —
+    // exactly one hash-partitioned exchange in the whole plan
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected one group-key exchange, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("q1 runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it for a static look
     spark.conf.set("spark.sql.adaptive.enabled", "false")
