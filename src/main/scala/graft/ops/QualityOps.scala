@@ -258,10 +258,12 @@ object QualityOps {
     * manageable cardinality to begin with. For billion-key frames cut
     * the tail with a `HAVING count > threshold` before the window.
     * All arithmetic is integer (`DIV`), bit-identical cross-engine;
-    * n·n_keys·1000 stays inside int64 while n_keys·n < 9.2e15 —
-    * beyond that, route the skew factor through DECIMAL(38,0) the way
-    * copurchasePairs documents. Ranking tiebreaks equal counts by key
-    * so the top-K set is total-ordered and portable. */
+    * the n·n_keys·1000 headroom is ENFORCED in-plan (same DIV-only
+    * bound-check pattern as copurchasePairs' liftPermille): a row
+    * whose product would leave int64 raises a targeted error naming
+    * the counts and the DECIMAL(38,0) escape route instead of
+    * silently wrapping. Ranking tiebreaks equal counts by key so the
+    * top-K set is total-ordered and portable. */
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
     require(topK >= 1, s"keySkew: topK must be >= 1, got $topK")
     val counts = df.groupBy(col(keyCol).as("key"))
@@ -274,9 +276,22 @@ object QualityOps {
       .filter(col("rk") <= topK)
       .select(col("rk"), col("key"), col("n"),
         expr("n * 1000 DIV total").as("share_permille"),
-        expr("n * n_keys * 1000 DIV total").as("skew_x1000"))
+        skewX1000.as("skew_x1000"))
       .orderBy(col("rk"))
   }
+
+  /** The skew factor with its int64 bound enforced — reads columns
+    * `n`, `n_keys`, `total`. DIV-only bound check (never multiplies
+    * before checking), raise_error inside the lazy CaseWhen branch so
+    * the optimizer cannot hoist it. */
+  private[graft] def skewX1000: Column = expr(
+    s"""CASE WHEN n > ${Long.MaxValue}L DIV 1000 DIV n_keys
+          THEN CAST(raise_error(concat(
+            'keySkew: skew product exceeds int64 (n=', n,
+            ', n_keys=', n_keys,
+            ') — route the factor through DECIMAL(38,0)'))
+            AS BIGINT)
+          ELSE n * n_keys * 1000 DIV total END""")
 
   val qKeySkew = Q(
     (s, d) => keySkew(Tables.events(s, d), "user_id"),

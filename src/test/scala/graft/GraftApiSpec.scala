@@ -506,6 +506,25 @@ class GraftApiSpec extends SparkSpec {
     failsWith(2L, Long.MaxValue / 2 + 1, 2L, 10L) // na·nb past the bound
   }
 
+  test("keySkew skew factor enforces the int64 headroom near the bound") {
+    import spark.implicits._
+    // MaxLong DIV 1000 DIV 1e6 = 9223372036: the largest n whose
+    // n·n_keys·1000 product still fits int64 at 1e6 keys
+    val in = Seq((9223372036L, 1000000L, 9223372036L))
+      .toDF("n", "n_keys", "total")
+      .select(ops.QualityOps.skewX1000.as("s")).collect()
+    assert(in.head.getLong(0) === 1000000L * 1000L) // n == total → skew = n_keys·1000
+    val ex = intercept[Exception] {
+      Seq((9223372037L, 1000000L, 9223372037L))
+        .toDF("n", "n_keys", "total")
+        .select(ops.QualityOps.skewX1000.as("s")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("DECIMAL(38,0)"), s"must name the escape route:\n$chain")
+  }
+
   test("rollingUniques fans out, drops future buckets, exact stickiness") {
     import spark.implicits._
     // hour 0: users 1,2; hour 1: user 1; hour 2: user 3 — at a 2-hour
