@@ -25,6 +25,34 @@ import org.apache.spark.sql.{Column, DataFrame}
   * physical operator) see [[graft.plans.GraftExtensions]]. */
 object Graft {
 
+  // ---- session wiring ------------------------------------------------
+
+  /** Wire the whole engine into a LIVE session in one call: registers
+    * the SQL functions (`parse_money` UDF + `exact_money_sum` UDAF,
+    * codegen'd `parse_money_native` and `dot_f` expressions), the
+    * optimizer rules (BinRangeJoin auto-binning, plan-time
+    * parse_money_native constant folding) and the TopKPerKey planner
+    * strategy — the runtime twin of setting
+    * `spark.sql.extensions=graft.plans.GraftExtensions` at session
+    * build (the cluster-deployment path, which remains preferred when
+    * you control the session: build-time extensions also cover
+    * sessions cloned with `newSession()`). Idempotent: safe to call
+    * from every notebook cell. */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
+    udf.Money.register(spark)
+    functions.ParseMoneyExpr.register(spark)
+    functions.DotProductExpr.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(plans.BinRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.BinRangeJoin
+    if (!spark.experimental.extraOptimizations.contains(plans.FoldParseMoney))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.FoldParseMoney
+    if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
+  }
+
   // ---- text ----------------------------------------------------------
 
   /** Canonical ASCII text normalization: lowercase, fold non-[a-z0-9]

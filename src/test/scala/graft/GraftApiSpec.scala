@@ -506,6 +506,30 @@ class GraftApiSpec extends SparkSpec {
     failsWith(2L, Long.MaxValue / 2 + 1, 2L, 10L) // na·nb past the bound
   }
 
+  test("Graft.enable wires functions, rules and strategy into a live session") {
+    Graft.enable(spark)
+    Graft.enable(spark) // idempotent — second call must not double-register
+    assert(spark.experimental.extraOptimizations
+      .count(_ == plans.BinRangeJoin) === 1)
+    assert(spark.experimental.extraOptimizations
+      .count(_ == plans.FoldParseMoney) === 1)
+    assert(spark.experimental.extraStrategies
+      .count(_ == plans.TopKPerKeyStrategy) === 1)
+    // SQL surface is live: UDF, UDAF, and both native expressions
+    val row = spark.sql(
+      """SELECT parse_money('R$ 1,234.56') AS m,
+                parse_money_native('$12.50') AS mn,
+                dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""").head()
+    assert(row.getDouble(0) === 1234.56 && row.getDouble(1) === 12.5)
+    assert(math.abs(row.getDouble(2) - 11.0) < 1e-6)
+    // the folding rule runs: a literal parse_money_native is gone from
+    // the optimized plan
+    val folded = spark.sql("SELECT parse_money_native('$3.50') AS v")
+      .queryExecution.optimizedPlan.toString
+    assert(!folded.contains("parse_money_native"), folded)
+  }
+
   test("keySkew skew factor enforces the int64 headroom near the bound") {
     import spark.implicits._
     // MaxLong DIV 1000 DIV 1e6 = 9223372036: the largest n whose
