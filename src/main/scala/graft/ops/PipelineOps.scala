@@ -540,6 +540,14 @@ object PipelineOps {
                           keepPermille: Int): org.apache.spark.sql.DataFrame = {
     require(keepPermille >= 1 && keepPermille <= 1000,
       s"pruneByRelativeRank: keepPermille must be in [1, 1000], got $keepPermille")
+    // the output carries the per-group rank as `rk`; refuse inputs
+    // that already use the name (or the internal counter) rather than
+    // silently overwriting them — same contract as asofJoin's
+    // reserved-column guard
+    val clash = docs.columns.filter(c => c == "rk" || c.startsWith("__graft_"))
+    require(clash.isEmpty,
+      s"pruneByRelativeRank input must not contain 'rk' or __graft_* " +
+        s"columns; found: ${clash.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)

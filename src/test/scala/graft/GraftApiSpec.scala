@@ -724,6 +724,12 @@ class GraftApiSpec extends SparkSpec {
     val keptTies = Graft.pruneByRelativeRank(ties, "g", "score", "id", 334)
       .collect().map(_.getLong(1)).toSet
     assert(keptTies === Set(1L))
+    // reserved output/internal names are refused, not overwritten
+    val clash = Seq(("a", 1L, 1, 9)).toDF("g", "id", "score", "rk")
+    val ex = intercept[IllegalArgumentException] {
+      Graft.pruneByRelativeRank(clash, "g", "score", "id", 500)
+    }
+    assert(ex.getMessage.contains("rk"))
   }
 
   test("bloomPruneJoin equals the plain join on non-default fpp") {
