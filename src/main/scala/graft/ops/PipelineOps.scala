@@ -452,30 +452,41 @@ object PipelineOps {
     * precomputed text length the gate's symbol-ratio rule reads
     * (`length(text)` if the caller has nothing better). */
   def datasetBuild(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val gated = docs
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("len_sum", length(regexp_replace(col("text"), " ", "")))
-        .withColumn("n_symbols",
-          size(expr("regexp_extract_all(text, '[^a-z ]', 0)")))
-        .filter(col("n_tokens").between(10, 100000) &&
-          (col("len_sum").cast("double") / col("n_tokens")).between(2.0, 12.0) &&
-          (col("n_symbols").cast("double") / col("n_chars") < 0.1) &&
-          array_contains(col("toks"), "the"))
-        .select(col("doc_id"), col("text"))
-        .persist() // consumed by the survivor agg AND the survivor join
+      // both shared stages (gate survivors, split-tagged survivors)
+      // feed two consumers each — memoized + persisted per (session,
+      // input plan), NOT bare-persisted: a bare persist on a
+      // caller-derived frame would leak one orphan cache entry per
+      // distinct input (the nearDupScreen/profile lifecycle rule)
+      val gated = graft.SessionMemo.getOrElseUpdate(docs.sparkSession,
+        s"dataset_gated:${graft.SessionMemo.planKey(docs)}") {
+        docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("len_sum", length(regexp_replace(col("text"), " ", "")))
+          .withColumn("n_symbols",
+            size(expr("regexp_extract_all(text, '[^a-z ]', 0)")))
+          .filter(col("n_tokens").between(10, 100000) &&
+            (col("len_sum").cast("double") / col("n_tokens")).between(2.0, 12.0) &&
+            (col("n_symbols").cast("double") / col("n_chars") < 0.1) &&
+            array_contains(col("toks"), "the"))
+          .select(col("doc_id"), col("text"))
+          .persist()
+      }
       val keep = gated
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       // 0.8 / 0.9 of the hash modulus 2147483629, as exact integers
-      val surv = gated.join(keep, Seq("doc_id"))
-        .withColumn("hh", expr(Num.hashExpr("doc_id")))
-        .withColumn("split",
-          when(col("hh") < 1717986903L, "train")
-            .when(col("hh") < 1932735266L, "val")
-            .otherwise("test"))
-        .persist() // consumed by the chunker AND the split join-back
+      val surv = graft.SessionMemo.getOrElseUpdate(docs.sparkSession,
+        s"dataset_surv:${graft.SessionMemo.planKey(docs)}") {
+        gated.join(keep, Seq("doc_id"))
+          .withColumn("hh", expr(Num.hashExpr("doc_id")))
+          .withColumn("split",
+            when(col("hh") < 1717986903L, "train")
+              .when(col("hh") < 1932735266L, "val")
+              .otherwise("test"))
+          .persist()
+      }
       chunkDocuments(surv.select(col("doc_id"), col("text")))
         .join(surv.select(col("doc_id"), col("split")), Seq("doc_id"))
         .groupBy(col("split"), col("shard"))

@@ -993,11 +993,19 @@ object TextOps {
   def bm25Rank(docs: org.apache.spark.sql.DataFrame,
                terms: Seq[String], k: Int = 20): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25Rank: need at least one query term")
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist() // feeds doc-lengths AND the query-term scoring path
+    // term-count table feeds doc-lengths AND the query-term scoring
+    // path — memoized + persisted per (session, input plan) like every
+    // other shared stage here, NOT bare-persisted: a bare persist on a
+    // caller-derived frame would add one orphan cache entry per
+    // distinct input with no owner to release it
+    val tf = SessionMemo.getOrElseUpdate(docs.sparkSession,
+      s"bm25_tf:${SessionMemo.planKey(docs)}") {
+      docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+    }
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").as("avgdl"))
