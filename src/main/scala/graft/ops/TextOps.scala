@@ -1696,7 +1696,182 @@ object TextOps {
        WHERE n_shared * 1000 // LEAST(sa.sz, sb.sz) >= 500
        ORDER BY doc_a, doc_b""")
 
+  /** Character q-gram blocking for fuzzy entity matching: grams
+    * appearing in more than this many distinct values are stop-grams
+    * (" bo" in every "... bolt") — they add candidate pairs
+    * quadratically and evidence of nothing, the same cap rationale as
+    * [[MaxShingleFanout]], sized larger because entity-name tables
+    * legitimately share substrings more than documents share
+    * 7-gram shingles. */
+  val MaxGramFanout: Int = 1000
+
+  /** Record-linkage fuzzy matching: every pair of DISTINCT values of
+    * `nameCol` within edit distance `maxDist`, as (name_a, name_b,
+    * dist) with name_a < name_b.
+    *
+    * Candidates come from an equi-join on shared character q-grams —
+    * two strings within edit distance d share at least
+    * max(|a|,|b|) − q+1 − d·q grams, so for the default (q=3, d=2)
+    * any true match shares several — never from an all-pairs cross
+    * join. Stop-grams (> [[MaxGramFanout]] distinct values) are
+    * dropped from BLOCKING only, symmetrically in the oracle; a
+    * length pre-filter (|len(a)−len(b)| ≤ maxDist, a necessary
+    * condition for edit distance ≤ maxDist) prunes candidates before
+    * any DP runs; the confirm uses Spark's banded
+    * `levenshtein(l, r, threshold)` (O(maxDist·len) per pair instead
+    * of O(len²), returns −1 above the band).
+    *
+    * Scale: the only corpus-sized stages are the distinct + gram
+    * explode (narrow after the distinct's shuffle); candidate volume
+    * is Σ per-gram-count² over rare grams, bounded by the fanout cap
+    * — the standard blocked record-linkage shape (Fellegi-Sunter
+    * era; same candidates-then-confirm discipline as the LSH
+    * families). Values shorter than q characters cannot be blocked
+    * and are excluded (document: pad or lower q for short codes).
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]]). */
+  def fuzzyMatchPairs(names: DataFrame, nameCol: String, maxDist: Int = 2,
+                      q: Int = 3, hotGramCap: Int = MaxGramFanout): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"gram size must be >= 2, got $q")
+    // the rare-gram occurrence table feeds both sides of the
+    // candidate self-join — memoized + persisted once per (input,
+    // col, q, cap) per session, the same lifecycle as the dedup pair
+    // families (and the build cost lands in Bench's memo_builds)
+    val rare = SessionMemo.getOrElseUpdate(names.sparkSession,
+      s"fuzzy_grams:${SessionMemo.planKey(names)}:$nameCol:$q:$hotGramCap") {
+      val distinctNames = names
+        .select(col(nameCol).cast("string").as("name"))
+        .filter(col("name").isNotNull && length(col("name")) >= q)
+        .distinct()
+      val grams = distinctNames.select(col("name"), explode(expr(
+        s"""array_distinct(transform(sequence(1, length(name) - ${q - 1}),
+              i -> substring(name, i, $q)))""")).as("gram"))
+      val freq = grams.groupBy("gram").agg(count(lit(1)).as("nd"))
+      grams.join(freq.filter(col("nd").between(2, hotGramCap)), "gram")
+        .select(col("name"), col("gram"))
+        .persist()
+    }
+    rare.as("a").join(rare.as("b"),
+        col("a.gram") === col("b.gram") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Entity resolution — the full record-linkage decision:
+    * [[fuzzyMatchPairs]] finds the evidence, connected components
+    * over the match graph assign every distinct value of `nameCol`
+    * to an entity, labeled by the component's minimum `idCol`
+    * (min-of-`idCol` per name is the deterministic numeric node id;
+    * unmatched names form singleton entities under their own id).
+    * Returns (name, entity_id, n_members) — the "these 4 spellings
+    * are one product" table an MDM / catalog-cleanup pipeline joins
+    * back onto the fact table.
+    *
+    * Scale: pairs are gram-blocked (never all-pairs); the match
+    * graph is match-sized, orders of magnitude smaller than the
+    * corpus, and [[componentLabels]] switches from union-find to
+    * pointer-doubled distributed propagation past 1M edges. */
+  def entityResolve(names: DataFrame, nameCol: String, idCol: String,
+                    maxDist: Int = 2, gramSize: Int = 3): DataFrame = {
+    val s = names.sparkSession
+    val ids = names
+      .filter(col(nameCol).isNotNull && length(col(nameCol)) >= gramSize)
+      .groupBy(col(nameCol).cast("string").as("name"))
+      .agg(min(col(idCol)).as("nid"))
+    val pairs = fuzzyMatchPairs(names, nameCol, maxDist, gramSize)
+      .join(ids.select(col("name").as("name_a"), col("nid").as("u")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("nid").as("v")), "name_b")
+      .select(col("u"), col("v"))
+    val edges = pairs
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    val labels = componentLabels(edges)
+      .select(col("node").as("nid"), col("lbl"))
+    val resolved = ids.join(labels, Seq("nid"), "left")
+      .select(col("name"), coalesce(col("lbl"), col("nid")).as("entity_id"))
+    val sizes = resolved.groupBy(col("entity_id").as("eid"))
+      .agg(count(lit(1)).as("n_members"))
+    resolved
+      .join(sizes, col("entity_id") === col("eid"))
+      .select(col("name"), col("entity_id"), col("n_members"))
+      .orderBy(col("name"))
+  }
+
+  /** Graded exhibit: fuzzy matches among the 64 distinct part names
+    * (edit distance ≤ 2 catches the "cold/old", "new/red"
+    * adjective swaps). The oracle replays gram blocking + banded cap
+    * + the full levenshtein confirm. */
+  val qFuzzyMatch = Q(
+    (s, d) => fuzzyMatchPairs(Tables.part(s, d), "p_name"),
+    """WITH names AS (
+         SELECT DISTINCT p_name AS name FROM part WHERE length(p_name) >= 3),
+       grams AS (
+         SELECT DISTINCT name, substr(name, CAST(g AS INT), 3) AS gram
+         FROM names, UNNEST(range(1, length(name) - 1)) AS t(g)),
+       freq AS (SELECT gram, count(*) AS nd FROM grams GROUP BY 1),
+       rare AS (
+         SELECT g.name, g.gram FROM grams g JOIN freq USING (gram)
+         WHERE nd BETWEEN 2 AND 1000),
+       cand AS (
+         SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         FROM rare a JOIN rare b ON a.gram = b.gram AND a.name < b.name)
+       SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+       FROM cand
+       WHERE abs(length(name_a) - length(name_b)) <= 2
+         AND levenshtein(name_a, name_b) <= 2
+       ORDER BY name_a, name_b""")
+
+  /** Graded exhibit: the part catalog resolved to entities — every
+    * name gets an entity_id (min p_partkey over its fuzzy-match
+    * component) and the component size. The oracle replays the match
+    * plus a recursive-CTE reachability closure (the match graph is
+    * name-pool-sized, so the quadratic closure is safe THERE; the
+    * Spark side uses [[componentLabels]]). */
+  val qEntityResolution = Q(
+    (s, d) => entityResolve(Tables.part(s, d), "p_name", "p_partkey"),
+    """WITH RECURSIVE names AS (
+         SELECT p_name AS name, MIN(p_partkey) AS nid FROM part
+         WHERE length(p_name) >= 3 GROUP BY 1),
+       grams AS (
+         SELECT DISTINCT name, substr(name, CAST(g AS INT), 3) AS gram
+         FROM names, UNNEST(range(1, length(name) - 1)) AS t(g)),
+       freq AS (SELECT gram, count(*) AS nd FROM grams GROUP BY 1),
+       rare AS (
+         SELECT g.name, g.gram FROM grams g JOIN freq USING (gram)
+         WHERE nd BETWEEN 2 AND 1000),
+       cand AS (
+         SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         FROM rare a JOIN rare b ON a.gram = b.gram AND a.name < b.name),
+       pairs AS (
+         SELECT name_a, name_b FROM cand
+         WHERE abs(length(name_a) - length(name_b)) <= 2
+           AND levenshtein(name_a, name_b) <= 2),
+       pe AS (SELECT na.nid AS u, nb.nid AS v
+              FROM pairs
+              JOIN names na ON name_a = na.name
+              JOIN names nb ON name_b = nb.name),
+       edges AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+       reach(u, v) AS (SELECT u, v FROM edges
+                       UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       comp AS (SELECT u AS nid, LEAST(u, MIN(v)) AS lbl FROM reach GROUP BY u),
+       lab AS (SELECT n.name, COALESCE(c.lbl, n.nid) AS entity_id
+               FROM names n LEFT JOIN comp c USING (nid))
+       SELECT l.name, l.entity_id, s.n_members
+       FROM lab l
+       JOIN (SELECT entity_id, COUNT(*) AS n_members FROM lab GROUP BY 1) s
+         USING (entity_id)
+       ORDER BY name""")
+
   val defs: Map[String, Q] = Map(
+    "q_fuzzy_match" -> qFuzzyMatch,
+    "q_entity_resolution" -> qEntityResolution,
     "q_substring_hotness" -> qSubstringHotness,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_survivors" -> qDedupSurvivors,
