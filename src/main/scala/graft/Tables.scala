@@ -67,9 +67,10 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // events.ts is timestamp[ns] in the footer. Spark 4 rejects
-  // TIMESTAMP(NANOS) outright unless the legacy nanosAsLong conf is on,
-  // so the reader scans ts as raw Long nanos and rebuilds a µs
+  // events.ts has shipped as both timestamp[us] and timestamp[ns]
+  // across testdata generations, so the reader detects the physical
+  // unit from the footer instead of assuming one (see readEvents).
+  // The ns path scans ts as raw Long nanos and rebuilds a µs
   // TimestampType column (`ts DIV 1000` — integer division; a double
   // division would lose precision above 2^53 ns). The data is
   // µs-resolution, so the truncation is lossless.
@@ -112,20 +113,56 @@ object Tables {
   // stopped sessions (and their relations) can be collected.
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     SessionMemo.getOrElseUpdate(spark, s"table:$dir/$name") {
-      if (name == "events") {
-        // events.parquet is TIMESTAMP(NANOS); the session must be built
-        // with spark.sql.legacy.parquet.nanosAsLong=true (Bench/Verify/
-        // SparkSpec all set it) — asserted here rather than set, so the
-        // conf isn't a call-order-dependent side effect of this reader.
-        require(
-          spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-          "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events")
-        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      } else {
-        spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-      }
+      if (name == "events") readEvents(spark, s"$dir/events.parquet")
+      else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     }
+
+  /** Footer-unit-aware events reader.
+    *
+    * Explicit schemas protect column NAMES and logical types from
+    * inference drift, but not the physical timestamp unit: a
+    * timestamp[us] footer and a timestamp[ns] footer both satisfy a
+    * "ts is a timestamp" contract while needing different read plans
+    * (Spark 4 rejects TIMESTAMP(NANOS) unless
+    * spark.sql.legacy.parquet.nanosAsLong=true surfaces it as raw
+    * Long). So this reader inspects the footer — one cheap
+    * schema-inference pass over the file, memoized with the relation
+    * by [[read]] — and branches:
+    *
+    *   - inferred TimestampType  → µs footer: typed read, no rescale.
+    *   - inferred LongType       → ns footer surfaced via nanosAsLong
+    *     (or a raw-int64-nanos column): scan as Long, rebuild µs with
+    *     integer `DIV 1000`.
+    *
+    * A raw INT64 column holding MICROsecond ticks would be misbranched
+    * (indistinguishable from nanos in the footer) — the
+    * testdata-contract spec pins `year(ts) === 2024` against the real
+    * corpus so any such drift fails loudly instead of silently.
+    */
+  private[graft] def readEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val tsType =
+      try spark.read.parquet(path).schema("ts").dataType
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            s"$path stores ts as TIMESTAMP(NANOS); set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true on the session to read it", e)
+      }
+    tsType match {
+      // pyarrow writes tz-naive timestamp[us], which Spark infers as
+      // NTZ; the session runs in UTC so reading it through the typed
+      // LTZ schema is value-identical to the oracle's naive read.
+      case TimestampType | TimestampNTZType =>
+        spark.read.schema(eventsSchema).parquet(path)
+      case LongType =>
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case other =>
+        throw new IllegalStateException(
+          s"$path: unsupported physical type for ts: $other (expected timestamp[us] or int64 nanos)")
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
