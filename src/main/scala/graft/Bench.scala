@@ -32,6 +32,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only releases dead shuffles/broadcasts/RDD blocks
+      // after a JVM GC surfaces their weak refs; on a large heap GC may
+      // never run inside a bench window, so state from early queries
+      // taxes late ones (round-8: same registry, 38 s reversed vs 61 s
+      // forward). A periodic driver GC bounds that accumulation.
+      // Env-tunable for A/B diagnostics; "30min" ≈ Spark's default.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/session warmup so per-query numbers reflect
@@ -59,8 +67,14 @@ object Bench {
     // builds (band index, vec buckets) to whichever query now runs
     // first — sorted order keeps per-query numbers comparable across
     // rounds (order itself is perf-neutral per docs/SCALE.md)
+    // SPARK_GRAFT_ONLY=a,b,c — dev-only subset filter, mirroring
+    // Verify's third arg (the driver always runs the full registry)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = {
-      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      val qs = SparkEntry.queries.toSeq
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .sortBy(_._1)
       if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) qs.reverse else qs
     }
     // diagnostic-only: clearCache also drops SessionMemo's persisted

@@ -316,6 +316,24 @@ object Graft {
   def vocabGrowth(docs: DataFrame, bucketDocs: Int = 50): DataFrame =
     ops.TextOps.vocabGrowth(docs, bucketDocs)
 
+  /** Record-linkage fuzzy matching: (name_a, name_b, dist) pairs of
+    * distinct `nameCol` values within edit distance `maxDist`, found
+    * by q-gram + length-bucket blocking then banded levenshtein.
+    * Recall caveat: blocking is complete only for values of length
+    * ≥ q + maxDist·q — lower `q` (or pad) for short codes. `hotGramCap`
+    * drops grams shared by more values than the cap from blocking. */
+  def fuzzyMatchPairs(names: DataFrame, nameCol: String, maxDist: Int = 2,
+                      q: Int = 3,
+                      hotGramCap: Int = ops.TextOps.MaxGramFanout): DataFrame =
+    ops.TextOps.fuzzyMatchPairs(names, nameCol, maxDist, q, hotGramCap)
+
+  /** Entity resolution over a (name, id) frame: fuzzy-match pairs →
+    * connected components → (name, entity_id, n_members), entity_id =
+    * the component's minimum Long-cast `idCol`. */
+  def entityResolve(names: DataFrame, nameCol: String, idCol: String,
+                    maxDist: Int = 2, gramSize: Int = 3): DataFrame =
+    ops.TextOps.entityResolve(names, nameCol, idCol, maxDist, gramSize)
+
   // ---- pipelines -----------------------------------------------------
 
   /** Full dataset build over a (doc_id, text, n_chars) frame as ONE

@@ -433,6 +433,62 @@ object Advanced {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Threshold-based scale twin of [[rfmSegments]] — the documented
+    * 1e9-customer swap, landed: the three global-sort NTILE windows
+    * are replaced by one `percentile_approx` pass that extracts the
+    * 25/50/75 quartile thresholds per metric (a single reduce to one
+    * row) broadcast back for a range compare, so nothing ever
+    * single-partition-sorts the customer table. Scores follow the
+    * percentile_approx boundary convention (smallest value whose
+    * ≤-rank reaches p·n): a value equal to a threshold lands on the
+    * small-value side in either orientation. On all-distinct metrics with customer count
+    * divisible by 4 this reproduces NTILE(4) assignment exactly
+    * (spec-pinned); under heavy ties the bucket POPULATIONS differ
+    * from NTILE's forced-equal split — that is inherent to
+    * value-thresholding, not an implementation defect. */
+  def rfmSegmentsApprox(orders: org.apache.spark.sql.DataFrame,
+                        custCol: String = "o_custkey",
+                        dateCol: String = "o_orderdate",
+                        priceCol: String = "o_totalprice",
+                        accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val mx = orders.agg(max(col(dateCol)).as("mxd"))
+    val cust = orders.groupBy(col(custCol).as("cust"))
+      .agg(max(col(dateCol)).as("last_order"),
+        count(lit(1)).as("freq"),
+        Num.dsum(col(priceCol)).as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("cust"), datediff(col("mxd"), col("last_order")).as("rec_days"),
+        col("freq"), col("monetary"))
+    val qs = cust.agg(
+      percentile_approx(col("rec_days"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(accuracy)).as("rq"),
+      percentile_approx(col("freq"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(accuracy)).as("fq"),
+      percentile_approx(col("monetary"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(accuracy)).as("mq"))
+    // percentile_approx returns the smallest value whose ≤-rank
+    // reaches p·n, i.e. the LAST element of the lower bucket — so a
+    // value equal to a threshold sits on the small-value side in both
+    // orientations: strict > for the ascending metric (recency:
+    // small = good = score 1), ≤ for the descending ones
+    // (freq/monetary: large = good = score 1).
+    def asc(v: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(1) + (v > t(0)).cast("int") + (v > t(1)).cast("int") +
+        (v > t(2)).cast("int")
+    def desc(v: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(1) + (v <= t(2)).cast("int") + (v <= t(1)).cast("int") +
+        (v <= t(0)).cast("int")
+    cust.crossJoin(broadcast(qs))
+      .select(col("cust"), col("monetary"),
+        asc(col("rec_days"), col("rq")).as("r_score"),
+        desc(col("freq"), col("fq")).as("f_score"),
+        desc(col("monetary"), col("mq")).as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        Num.dsum(col("monetary")).as("total_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val qRfmSegments = Q(
     (s, d) => rfmSegments(Tables.orders(s, d)),
     s"""WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),

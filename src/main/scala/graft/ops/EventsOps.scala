@@ -613,6 +613,40 @@ object EventsOps {
       .orderBy(col("bucket_hr"))
   }
 
+  /** Sketch-based scale twin of [[rollingUniques]] — the documented
+    * 100 TB swap, landed: per-hour HLL sketch partials
+    * (`hll_sketch_agg`, DataSketches HLL, mergeable) replace per-event
+    * rows, and the trailing-window union (`hll_union_agg`) runs over
+    * the HOURLY table, so the fan-out shrinks from events×window to
+    * hours×window — at 100 TB that is the difference between
+    * re-shuffling the corpus 24× and re-shuffling a few thousand
+    * sketch rows. Estimates carry the usual HLL error
+    * (~1.6% rel. std. at the default lgConfigK=12);
+    * ScaleSmokeSpec pins them within tolerance of the exact fan-out
+    * counts at millions of rows. Not oracle-graded (DuckDB cannot
+    * replay DataSketches bit-for-bit) — same contract-allowed status
+    * as q_approx_distinct. */
+  def rollingUniquesHll(events: org.apache.spark.sql.DataFrame,
+                        userCol: String = "user_id",
+                        tsCol: String = "ts",
+                        windowHours: Int = 24,
+                        lgConfigK: Int = 12): org.apache.spark.sql.DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1, got $windowHours")
+    val e = events.select(
+      expr(s"CAST($tsCol AS LONG) DIV 3600").as("hr"), col(userCol).as("u"))
+    val hourly = e.groupBy(col("hr"))
+      .agg(hll_sketch_agg(col("u"), lit(lgConfigK)).as("sk"))
+    val maxHr = hourly.agg(max(col("hr")).as("mh"))
+    hourly
+      .select(explode(sequence(col("hr"), col("hr") + lit(windowHours - 1)))
+        .as("bucket_hr"), col("sk"))
+      .crossJoin(broadcast(maxHr))
+      .filter(col("bucket_hr") <= col("mh"))
+      .groupBy("bucket_hr")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_24h_est"))
+      .orderBy(col("bucket_hr"))
+  }
+
   val qEventsRollingUniques = Q(
     (s, d) => rollingUniques(Tables.events(s, d)),
     """WITH e AS (

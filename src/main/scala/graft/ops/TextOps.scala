@@ -448,6 +448,18 @@ object TextOps {
                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)"""
 
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * frame. `Dataset.unpersist` only uncaches CacheManager entries
+    * (`.persist()`), not the RDD-level storage a local checkpoint
+    * creates — those blocks otherwise live until a JVM GC lets the
+    * ContextCleaner find them, which on a large-heap long-lived
+    * session is effectively never. Safe on any frame: non-checkpoint
+    * plans contain no LogicalRDD and nothing happens. */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Size-adaptive connected components over a bidirectional edge list
     * `(u, v)` → per-node min-label frame `(node, lbl)`. The near-dup
     * pair graph is orders of magnitude smaller than the corpus (it IS
@@ -514,6 +526,12 @@ object TextOps {
             col("a.prev").as("prev"))
           .localCheckpoint()
         converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+        // the previous round's checkpointed blocks are dead the moment
+        // `next` is materialized — release them now instead of leaving
+        // up to maxIters frames pinned in the block manager until a GC
+        // happens to run (long-lived sessions accumulate them across
+        // every caller otherwise)
+        freeLocalCheckpoint(lbls)
         lbls = next.drop("prev")
         iter += 1
       }
@@ -1705,29 +1723,36 @@ object TextOps {
     * 7-gram shingles. */
   val MaxGramFanout: Int = 1000
 
-  /** Record-linkage fuzzy matching: every pair of DISTINCT values of
+  /** Record-linkage fuzzy matching: pairs of DISTINCT values of
     * `nameCol` within edit distance `maxDist`, as (name_a, name_b,
-    * dist) with name_a < name_b.
+    * dist) with name_a < name_b — complete for every pair whose
+    * q-gram blocking guarantee holds (see recall caveat below).
     *
     * Candidates come from an equi-join on shared character q-grams —
     * two strings within edit distance d share at least
-    * max(|a|,|b|) − q+1 − d·q grams, so for the default (q=3, d=2)
-    * any true match shares several — never from an all-pairs cross
+    * max(|a|,|b|) − q+1 − d·q grams — never from an all-pairs cross
     * join. Stop-grams (> [[MaxGramFanout]] distinct values) are
     * dropped from BLOCKING only, symmetrically in the oracle; a
-    * length pre-filter (|len(a)−len(b)| ≤ maxDist, a necessary
-    * condition for edit distance ≤ maxDist) prunes candidates before
-    * any DP runs; the confirm uses Spark's banded
-    * `levenshtein(l, r, threshold)` (O(maxDist·len) per pair instead
-    * of O(len²), returns −1 above the band).
+    * length-bucket join key prunes |len(a)−len(b)| > maxDist
+    * candidates before the self-join (exact filter re-applied after);
+    * the confirm uses Spark's banded `levenshtein(l, r, threshold)`
+    * (O(maxDist·len) per pair instead of O(len²), returns −1 above
+    * the band).
+    *
+    * RECALL CAVEAT: the shared-gram guarantee
+    * (max(|a|,|b|) − q+1 − d·q ≥ 1) holds only for strings of length
+    * ≥ q + maxDist·q (9 chars at the defaults q=3, maxDist=2).
+    * Shorter values — even above the hard length ≥ q cutoff — can sit
+    * within maxDist yet share zero q-grams ("abc" vs "abd") and are
+    * silently unblocked: lower q (or pad) for short codes/names.
+    * Values shorter than q characters are excluded outright.
     *
     * Scale: the only corpus-sized stages are the distinct + gram
     * explode (narrow after the distinct's shuffle); candidate volume
-    * is Σ per-gram-count² over rare grams, bounded by the fanout cap
-    * — the standard blocked record-linkage shape (Fellegi-Sunter
-    * era; same candidates-then-confirm discipline as the LSH
-    * families). Values shorter than q characters cannot be blocked
-    * and are excluded (document: pad or lower q for short codes).
+    * is Σ per-(gram, length-bucket) products over rare grams, bounded
+    * by the fanout cap — the standard blocked record-linkage shape
+    * (Fellegi-Sunter era; same candidates-then-confirm discipline as
+    * the LSH families).
     *
     * PUBLIC composable form (exported via [[graft.Graft]]). */
   def fuzzyMatchPairs(names: DataFrame, nameCol: String, maxDist: Int = 2,
@@ -1752,11 +1777,26 @@ object TextOps {
         .select(col("name"), col("gram"))
         .persist()
     }
-    rare.as("a").join(rare.as("b"),
-        col("a.gram") === col("b.gram") && col("a.name") < col("b.name"))
+    // Length-bucketed blocking: |len(a)−len(b)| ≤ maxDist implies the
+    // two length buckets (len DIV (maxDist+1)) differ by at most 1, so
+    // joining on (gram, bucket) with the probe side exploded to its
+    // three neighboring buckets is a strict superset of the exact
+    // length filter (still applied below) — results are unchanged,
+    // but a hot gram's self-join volume falls from nd² to
+    // Σ per-(gram,bucket) products, pruning BEFORE the join instead
+    // of after the candidate distinct (round-8 exhibit: 11.7 s → the
+    // length spread of the corpus divides the dominant term).
+    val bucket = maxDist + 1
+    val build = rare.withColumn("lb",
+      expr(s"CAST(length(name) DIV $bucket AS INT)"))
+    val probe = build.withColumn("lb",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    build.as("a").join(probe.as("b"),
+        col("a.gram") === col("b.gram") && col("a.lb") === col("b.lb") &&
+          col("a.name") < col("b.name"))
+      .filter(abs(length(col("a.name")) - length(col("b.name"))) <= maxDist)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0)
@@ -1776,14 +1816,23 @@ object TextOps {
     * Scale: pairs are gram-blocked (never all-pairs); the match
     * graph is match-sized, orders of magnitude smaller than the
     * corpus, and [[componentLabels]] switches from union-find to
-    * pointer-doubled distributed propagation past 1M edges. */
+    * pointer-doubled distributed propagation past 1M edges.
+    *
+    * `idCol` must be Long-castable (numeric or numeric strings):
+    * node ids feed the Long-typed component propagation, and min()
+    * over a non-numeric id would change label semantics anyway. The
+    * cast is applied eagerly so a bad column fails the analysis
+    * clearly instead of deep inside the component loop.
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]]). */
   def entityResolve(names: DataFrame, nameCol: String, idCol: String,
                     maxDist: Int = 2, gramSize: Int = 3): DataFrame = {
-    val s = names.sparkSession
     val ids = names
-      .filter(col(nameCol).isNotNull && length(col(nameCol)) >= gramSize)
-      .groupBy(col(nameCol).cast("string").as("name"))
-      .agg(min(col(idCol)).as("nid"))
+      .select(col(nameCol).cast("string").as("name"),
+        col(idCol).cast("long").as("id"))
+      .filter(col("name").isNotNull && length(col("name")) >= gramSize)
+      .groupBy(col("name"))
+      .agg(min(col("id")).as("nid"))
     val pairs = fuzzyMatchPairs(names, nameCol, maxDist, gramSize)
       .join(ids.select(col("name").as("name_a"), col("nid").as("u")), "name_a")
       .join(ids.select(col("name").as("name_b"), col("nid").as("v")), "name_b")
@@ -1792,8 +1841,14 @@ object TextOps {
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .toDF("u", "v")
       .localCheckpoint()
-    val labels = componentLabels(edges)
-      .select(col("node").as("nid"), col("lbl"))
+    // componentLabels consumes edges eagerly in both branches (count +
+    // collect, or the materialized propagation loop), so the
+    // checkpoint's blocks are releasable as soon as it returns —
+    // repeated calls in one session would otherwise pin one dead edge
+    // frame each until a GC runs
+    val labels =
+      try componentLabels(edges).select(col("node").as("nid"), col("lbl"))
+      finally freeLocalCheckpoint(edges)
     val resolved = ids.join(labels, Seq("nid"), "left")
       .select(col("name"), coalesce(col("lbl"), col("nid")).as("entity_id"))
     val sizes = resolved.groupBy(col("entity_id").as("eid"))

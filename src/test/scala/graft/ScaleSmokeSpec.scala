@@ -356,4 +356,51 @@ class ScaleSmokeSpec extends SparkSpec {
     val totalPairs = got.agg(sum("nab")).head().getLong(0)
     assert(totalPairs === 6L * 250000L)
   }
+
+  test("rolling-uniques HLL twin tracks the exact fan-out within sketch tolerance on 5M events") {
+    // 120 hours × ~41.7k events/hour; per-hour user pool rotates so
+    // trailing-24h uniques vary by bucket (user = id mod 60k drawn
+    // from a window shifted by hour). The HLL twin must agree with
+    // the exact fan-out within HLL error (lgK=12 → ~1.6% rel. std.;
+    // assert 5% with zero misses allowed).
+    val ev = spark.range(0L, 5000000L, 1L, 16)
+      .select((col("id") % 120L * 3600L).as("ts"),
+        ((col("id") * 2654435761L) % 60000L + col("id") % 120L * 997L).as("user_id"))
+    val exact = ops.EventsOps.rollingUniques(ev)
+      .select(col("bucket_hr"), col("n_users_24h"))
+    val est = ops.EventsOps.rollingUniquesHll(ev)
+    val joined = exact.join(est, Seq("bucket_hr"))
+      .select(col("bucket_hr"), col("n_users_24h"),
+        col("n_users_24h_est"),
+        (abs(col("n_users_24h_est") - col("n_users_24h")) /
+          col("n_users_24h")).as("rel_err"))
+    assert(joined.count() === 120L, "one row per observed bucket in both forms")
+    val worst = joined.agg(max("rel_err")).head().getDouble(0)
+    assert(worst < 0.05, s"worst relative error $worst exceeds HLL tolerance")
+  }
+
+  test("RFM approx-threshold twin reproduces NTILE grid assignment on a tie-free fixture") {
+    import spark.implicits._
+    def date(d: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 2, 1).plusDays(d.toLong))
+    // 64 customers (divisible by 4); every metric all-distinct so the
+    // percentile_approx boundary convention and NTILE(4) agree
+    // exactly (see rfmSegmentsApprox doc): recency = distinct last
+    // dates (i·37 mod 64 is a permutation), freq = i+1, monetary =
+    // 10k-spaced prices plus at most 3.2k of extras so no two
+    // customers collide. Extra orders predate every last-order date
+    // (Jan vs Feb+) so they contribute to freq/monetary only, and the
+    // decorrelated permutations spread the grid across many cells.
+    val main = (0 until 64).map { i =>
+      (i.toLong, date((i * 37) % 64), 100000.0 + ((i * 23) % 64) * 10000.0)
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val extra = (0 until 64).flatMap { i =>
+      Seq.fill(i)((i.toLong, java.sql.Date.valueOf("2024-01-01"), 50.0))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val all = main.union(extra)
+    val exact = ops.Advanced.rfmSegments(all).collect()
+    val approx = ops.Advanced.rfmSegmentsApprox(all).collect()
+    assert(approx.nonEmpty)
+    assert(exact.map(_.toString).sorted.toSeq === approx.map(_.toString).sorted.toSeq)
+  }
 }
