@@ -489,6 +489,19 @@ object Advanced {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Graded rows-only: the threshold-based RFM twin on the graded
+    * corpus. Measured why no oracle: the GK sketch behind
+    * percentile_approx is rank-exact only while n ≤ accuracy — a
+    * DuckDB replay of the exact-rank convention hash-matches at
+    * sf0.001/sf0.01 (n ≤ 1.5k) and drifts at sf0.1 (n = 15k, rank
+    * error ±eps·n ≈ 1.5), so a hash oracle would be a
+    * scale-sensitivity trap by construction. ScaleSmokeSpec pins
+    * NTILE-grid equality on a tie-free fixture instead — the same
+    * contract-allowed status as q_approx_quantiles. */
+  val qRfmApprox = Q(
+    (s, d) => rfmSegmentsApprox(Tables.orders(s, d)),
+    None)
+
   val qRfmSegments = Q(
     (s, d) => rfmSegments(Tables.orders(s, d)),
     s"""WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
@@ -511,6 +524,7 @@ object Advanced {
 
   val defs: Map[String, Q] = Map(
     "q_rfm_segments" -> qRfmSegments,
+    "q_rfm_approx" -> qRfmApprox,
     "q_copurchase" -> qCopurchase,
     "q_bloom_prune" -> qBloomPrune,
     "q_join_salted" -> qJoinSalted,

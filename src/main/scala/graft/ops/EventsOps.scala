@@ -647,6 +647,14 @@ object EventsOps {
       .orderBy(col("bucket_hr"))
   }
 
+  /** Graded rows-only: the HLL twin on the graded corpus. DataSketches
+    * estimates are engine-specific by design → no oracle, same
+    * contract-allowed status as q_approx_distinct; ScaleSmokeSpec
+    * carries the accuracy pin against the exact fan-out. */
+  val qEventsRollingUniquesHll = Q(
+    (s, d) => rollingUniquesHll(Tables.events(s, d)),
+    None)
+
   val qEventsRollingUniques = Q(
     (s, d) => rollingUniques(Tables.events(s, d)),
     """WITH e AS (
@@ -761,6 +769,7 @@ object EventsOps {
     "q_scd2_asof" -> qScd2Asof,
     "q_event_transitions" -> qEventTransitions,
     "q_events_rolling_uniques" -> qEventsRollingUniques,
+    "q_events_rolling_uniques_hll" -> qEventsRollingUniquesHll,
     "q_audience_overlap" -> qAudienceOverlap,
     "q_events_rate_spike" -> qEventsRateSpike,
     "q_interval_overlap" -> qIntervalOverlap,
