@@ -316,6 +316,13 @@ object Graft {
   def vocabGrowth(docs: DataFrame, bucketDocs: Int = 50): DataFrame =
     ops.TextOps.vocabGrowth(docs, bucketDocs)
 
+  /** Bigram-LM fluency score over a (doc_id, text) frame: integer
+    * permille of mean p(w2|w1) under the corpus's own bigram model —
+    * the KenLM-style perplexity-proxy quality filter. Docs with < 2
+    * tokens carry no bigram evidence and are excluded. */
+  def fluencyScore(docs: DataFrame): DataFrame =
+    ops.TextOps.fluencyScore(docs)
+
   /** Record-linkage fuzzy matching: (name_a, name_b, dist) pairs of
     * distinct `nameCol` values within edit distance `maxDist`, found
     * by q-gram + length-bucket blocking then banded levenshtein.

@@ -1110,6 +1110,69 @@ object TextOps {
                 AS postings_csv
        FROM tok GROUP BY term ORDER BY term""")
 
+  /** Bigram-LM fluency score — the perplexity-proxy quality filter
+    * (CCNet/KenLM-style) a curation pipeline runs to drop gibberish
+    * and shuffled boilerplate: score each document by how expected
+    * its token bigrams are under the corpus's own bigram model.
+    * Per sequential bigram (w1 w2) the conditional evidence is
+    * c(w1 w2)·1000 DIV c(w1 as bigram head) — an integer permille of
+    * p(w2|w1) — and the document score is the integer mean over its
+    * bigrams. Low = improbable word sequences. All-integer arithmetic
+    * → bit-exact in any engine (no log-space floats; ranking is
+    * preserved because DIV is monotone).
+    *
+    * Scale: the bigram explode is the token stream (the same volume
+    * every *gram op here pays); the model tables are
+    * observed-bigram/vocab-sized aggregates; both enrich joins are
+    * equi on the gram/head — AQE handles hot-bigram skew, and a
+    * small-vocab model side broadcasts. Docs with fewer than 2 tokens
+    * have no bigram evidence and are excluded (score them by a
+    * unigram fallback upstream if needed).
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]]): expects
+    * (doc_id, text). */
+  def fluencyScore(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .withColumn("tokens", tokens(col("text")))
+      .filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+             i -> struct(element_at(tokens, i + 1) AS w1,
+                         concat(element_at(tokens, i + 1), ' ',
+                                element_at(tokens, i + 2)) AS bg))""")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val bgCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("nbg"))
+    val w1Counts = bi.groupBy(col("w1")).agg(count(lit(1)).as("nw1"))
+    bi.join(bgCounts, Seq("bg")).join(w1Counts, Seq("w1"))
+      .withColumn("cond_permille", expr("nbg * 1000 DIV nw1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(cond_permille) DIV count(1) AS BIGINT)")
+          .as("fluency_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Graded exhibit: every document scored against the corpus bigram
+    * model. The oracle replays the zip-free struct explode and the
+    * integer permille arithmetic exactly. */
+  val qFluencyScore = Q(
+    (s, d) => fluencyScore(Tables.documents(s, d)),
+    """WITH tok AS (
+         SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+         WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+       bi AS (
+         SELECT doc_id, (u).w1 AS w1, (u).bg AS bg FROM (
+           SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(LEN(toks) - 1),
+             i -> struct_pack(w1 := toks[i + 1],
+                              bg := toks[i + 1] || ' ' || toks[i + 2]))) AS u
+           FROM tok)),
+       bgc AS (SELECT bg, COUNT(*) AS nbg FROM bi GROUP BY 1),
+       w1c AS (SELECT w1, COUNT(*) AS nw1 FROM bi GROUP BY 1)
+       SELECT doc_id, COUNT(*) AS n_bigrams,
+              CAST(SUM(nbg * 1000 // nw1) // COUNT(*) AS BIGINT) AS fluency_permille
+       FROM bi JOIN bgc USING (bg) JOIN w1c USING (w1)
+       GROUP BY doc_id ORDER BY doc_id""")
+
   /** Trigram frequency: top 30 corpus-wide n-grams. */
   val qNgramStats = Q(
     (s, d) =>
@@ -1951,5 +2014,6 @@ object TextOps {
     "q_bm25" -> qBm25,
     "q_inverted_index" -> qInvertedIndex,
     "q_vocab_growth" -> qVocabGrowth,
-    "q_ngram_stats" -> qNgramStats)
+    "q_ngram_stats" -> qNgramStats,
+    "q_fluency_score" -> qFluencyScore)
 }

@@ -732,6 +732,27 @@ class GraftApiSpec extends SparkSpec {
     assert(ex.getMessage.contains("rk"))
   }
 
+  test("fluencyScore: predictable word sequences outscore a shuffled one") {
+    import spark.implicits._
+    // 8 docs repeat the same sentence (every bigram seen 8× with the
+    // same head) → near-1000‰ conditional evidence per bigram; the
+    // 9th reuses the SAME vocabulary in scrambled orders whose
+    // bigrams appear once each → low evidence. The model is trained
+    // on the corpus itself, so the scores are fully deterministic.
+    val fluent = (1 to 8).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val garbled = Seq((9L, "dog the over quick lazy fox brown jumps the"))
+    val scored = Graft.fluencyScore((fluent ++ garbled).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scored.size === 9)
+    val fluentMin = (1L to 8L).map(scored).min
+    assert(fluentMin > scored(9L),
+      s"repeated-sentence docs ($fluentMin) must outscore the shuffled doc (${scored(9L)})")
+    assert(scored(9L) >= 0 && fluentMin <= 1000, "permille bounds")
+    // docs without bigrams are excluded, not scored 0
+    val one = Graft.fluencyScore(Seq((1L, "single")).toDF("doc_id", "text"))
+    assert(one.count() === 0)
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)

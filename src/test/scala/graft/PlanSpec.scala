@@ -456,6 +456,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_fuzzy_match / q_entity_resolution: candidate join is equi on (gram, length-bucket)") {
+    for (q <- Seq("q_fuzzy_match", "q_entity_resolution")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1200)}")
+      // the levenshtein confirm must run on the deduped candidate
+      // pairs, NEVER inside the self-join condition (which would
+      // force a nested loop over the gram groups)
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+        assert(l.contains("BuildRight") && l.contains("Cross"),
+          s"$q has a non-scalar nested loop: $l")
+      }
+      // entity_resolution consumes the pairs eagerly inside the
+      // union-find branch, so only the pair query's own plan carries
+      // the confirm expression
+      if (q == "q_fuzzy_match")
+        assert(plan.contains("levenshtein"), s"$q: banded confirm missing")
+    }
+  }
+
+  test("q_events_rolling_uniques_hll: window fan-out explodes HOURLY sketches, not events") {
+    val plan = planOf("q_events_rolling_uniques_hll")
+    // the explode (Generate) must sit ABOVE the per-hour sketch
+    // aggregate: scanning downward from the top, the first Generate
+    // appears before (i.e. higher than) any aggregate that reads the
+    // raw user column — if the explode ran on raw events the fan-out
+    // would be events×24 again and the twin loses its scale point
+    val lines = plan.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val sketchIdx = lines.indexWhere(_.contains("hll_sketch_agg"))
+    assert(genIdx >= 0, "explode missing from the plan")
+    assert(sketchIdx > genIdx,
+      s"per-hour hll_sketch_agg (line $sketchIdx) must be BELOW the explode (line $genIdx) — fan-out must be hours×window")
+    assert(plan.contains("hll_union_agg"), "trailing-window merge must be a sketch union")
+  }
+
   test("q_substring_hotness: scan pruned to doc_id + text; shingle agg is partial") {
     val plan = planOf("q_substring_hotness")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -51,6 +51,19 @@ class TestdataContractSpec extends SparkSpec {
     assert(l.getInt(0) === 1995 && l.getInt(1) === 2001, s"l_shipdate years $l")
   }
 
+  test("embeddings/documents structural contract: vector dim, label range, text presence") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val r = emb.agg(
+      min(size(col("embedding"))).as("dmin"), max(size(col("embedding"))).as("dmax"),
+      min(col("label")), max(col("label"))).head()
+    assert(r.getInt(0) === 64 && r.getInt(1) === 64,
+      "every embedding is 64-dim — the vector ops assume a uniform dim")
+    assert(r.getInt(2) >= 0 && r.getInt(3) <= 9, s"label range $r")
+    val docs = Tables.documents(spark, sfDir)
+    assert(docs.filter(col("text").isNull || length(col("text")) === 0).count() === 0L,
+      "documents.text is non-null non-empty — the text ops assume it")
+  }
+
   test("readEvents branches: µs footer reads direct, int64-nanos footer rescales") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_tsunit").toString
