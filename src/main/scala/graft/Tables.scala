@@ -10,9 +10,19 @@ import org.apache.spark.sql.types._
   * which drifts from its own hand-written DDL (SURVEY.md §1.4). The
   * engine instead declares one `StructType` per table — matching the
   * reference's fixed-DDL intent (`:111-128`) — and passes it to
-  * `spark.read.schema(...)` so inference can never drift and the scan
-  * skips footer merging. At 100 TB an explicit schema also guarantees
-  * column pruning works against a stable `ReadSchema`.
+  * `spark.read.schema(...)` so column names and LOGICAL types can
+  * never drift and the scan skips footer merging. At 100 TB an
+  * explicit schema also guarantees column pruning works against a
+  * stable `ReadSchema`.
+  *
+  * What an explicit schema does NOT protect: the PHYSICAL encoding a
+  * writer chose — proven by the events corpus shipping first as
+  * timestamp[ns], later as timestamp[us], silently breaking a reader
+  * that assumed one of them (round-8 postmortem). Physical-unit
+  * handling therefore lives in [[readEvents]] (footer detection +
+  * branch), and the decoded VALUES are pinned against the real
+  * corpus by TestdataContractSpec — the schema fixes the contract's
+  * shape, the contract spec fixes its meaning.
   */
 object Tables {
 

@@ -171,6 +171,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzzyMatchPairs recall law: every planted ≤2-edit variant of a long name is found (Spark, 12 pools)") {
+    import spark.implicits._
+    // The documented guarantee: for names of length ≥ q + maxDist·q
+    // (9 at defaults) every true pair shares a rare gram and MUST
+    // survive blocking — including the length-bucket join, whose
+    // neighbor-explode must cover every |Δlen| ≤ 2 pair. Each case
+    // plants one base name (length ≥ 11 so deletions stay ≥ 9), a
+    // substitution, a deletion, and an insertion variant, plus decoy
+    // names far away; all three (base, variant) pairs must appear.
+    val alpha = Gen.oneOf('a' to 'j')
+    val baseGen = Gen.zip(
+      Gen.chooseNum(11, 16).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString)),
+      Gen.chooseNum(0, 9))
+    forAllN(baseGen, 12) { case (base, salt) =>
+      val sub = base.updated(salt % base.length, ('k' + salt % 6).toChar)
+      val del = base.take(salt % base.length) + base.drop(salt % base.length + 1)
+      val ins = base.take(salt % base.length) + ('q' + salt % 5).toChar +
+        base.drop(salt % base.length)
+      val decoys = (0 until 6).map(i => s"zz${i}decoy${salt}xx$i")
+      val names = (Seq(base, sub, del, ins) ++ decoys).distinct
+        .toDF("name")
+      val found = ops.TextOps.fuzzyMatchPairs(names, "name", maxDist = 2)
+        .select("name_a", "name_b").as[(String, String)].collect()
+        .map { case (a, b) => Set(a, b) }.toSet
+      for (v <- Seq(sub, del, ins) if v != base)
+        assert(found.contains(Set(base, v)),
+          s"missed pair (base=$base, variant=$v); found=$found")
+    }
+  }
+
   test("FoldParseMoney rule folds literal money strings at plan time") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.FoldParseMoney
