@@ -782,6 +782,38 @@ object Relational {
        ORDER BY numwait DESC, s_name
        LIMIT 20""")
 
+  /** Recursive CTE (landed in Spark 4 — SQL:1999 `WITH RECURSIVE`):
+    * each part key walks its halving chain key → key DIV 2 → … → 1,
+    * an acyclic synthetic hierarchy over real keys, and the query
+    * returns the chain depth (= ⌊log₂ key⌋) plus the chain's key sum.
+    * UNION ALL recursion with a monotonically shrinking frontier, so
+    * both engines iterate the same ≤ ⌈log₂ max_key⌉ rounds —
+    * deterministic, integer-only, oracle-exact. The engine-surface
+    * point: iterative reachability can be expressed IN SQL and planned
+    * by Catalyst, not just via the DataFrame fixed-point loops
+    * (PageRank, componentLabels). */
+  val qSqlRecursive = Q(
+    (s, d) => {
+      sqlViews(s, d)
+      s.sql(
+        """WITH RECURSIVE chain (p_partkey, node, depth) AS (
+             SELECT p_partkey, p_partkey, 0 FROM sql_part
+             UNION ALL
+             SELECT p_partkey, node DIV 2, depth + 1 FROM chain WHERE node > 1)
+           SELECT p_partkey, MAX(depth) AS depth_to_root,
+                  SUM(node) AS chain_key_sum
+           FROM chain GROUP BY p_partkey
+           ORDER BY p_partkey""")
+    },
+    """WITH RECURSIVE chain (p_partkey, node, depth) AS (
+         SELECT p_partkey, p_partkey, 0 FROM part
+         UNION ALL
+         SELECT p_partkey, node // 2, depth + 1 FROM chain WHERE node > 1)
+       SELECT p_partkey, MAX(depth) AS depth_to_root,
+              CAST(SUM(node) AS BIGINT) AS chain_key_sum
+       FROM chain GROUP BY p_partkey
+       ORDER BY p_partkey""")
+
   /** Registers every star-schema table as a `sql_*` temp view so the
     * SQL-text entry path can name them; idempotent per session. */
   private def sqlViews(s: SparkSession, d: String): Unit =
@@ -1869,6 +1901,7 @@ object Relational {
     "q_sql_q12" -> qSqlQ12,
     "q_join_bucketed" -> qJoinBucketed,
     "q_sql_lateral" -> qSqlLateral,
+    "q_sql_recursive" -> qSqlRecursive,
     "q_sql_q11" -> qSqlQ11,
     "q_sql_q20" -> qSqlQ20,
     "q_set_intersect" -> qSetIntersect,

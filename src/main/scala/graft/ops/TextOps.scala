@@ -1132,19 +1132,30 @@ object TextOps {
     * PUBLIC composable form (exported via [[graft.Graft]]): expects
     * (doc_id, text). */
   def fluencyScore(docs: DataFrame): DataFrame = {
+    // token stream → sequential bigrams (with multiplicity — this is
+    // evidence counting, not shingle dedup)
     val bi = docs
       .withColumn("tokens", tokens(col("text")))
       .filter(size(col("tokens")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(tokens) - 2),
-             i -> struct(element_at(tokens, i + 1) AS w1,
-                         concat(element_at(tokens, i + 1), ' ',
-                                element_at(tokens, i + 2)) AS bg))""")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+             i -> concat(element_at(tokens, i + 1), ' ',
+                         element_at(tokens, i + 2)))""")).as("bg"))
+    // Head counts are derivable FROM the bigram counts (c(w1 as head)
+    // = Σ c(w1 ·)), so the head aggregation and the head join both run
+    // at MODEL grain, not token-stream grain, and the per-bigram
+    // permille lands in the model before the one stream-sized
+    // enrichment join — 3 corpus-sized exchanges total (bigram agg,
+    // model join, doc agg) instead of 5 in the naive two-join form
+    // (measured 0.90 → see SCALE.md).
     val bgCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("nbg"))
-    val w1Counts = bi.groupBy(col("w1")).agg(count(lit(1)).as("nw1"))
-    bi.join(bgCounts, Seq("bg")).join(w1Counts, Seq("w1"))
-      .withColumn("cond_permille", expr("nbg * 1000 DIV nw1"))
+    val w1Counts = bgCounts
+      .groupBy(expr("split(bg, ' ')[0]").as("w1")).agg(sum(col("nbg")).as("nw1"))
+    val model = bgCounts
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .join(w1Counts, Seq("w1"))
+      .select(col("bg"), expr("nbg * 1000 DIV nw1").as("cond_permille"))
+    bi.join(model, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("CAST(sum(cond_permille) DIV count(1) AS BIGINT)")
