@@ -1127,7 +1127,12 @@ object TextOps {
     * equi on the gram/head — AQE handles hot-bigram skew, and a
     * small-vocab model side broadcasts. Docs with fewer than 2 tokens
     * have no bigram evidence and are excluded (score them by a
-    * unigram fallback upstream if needed).
+    * unigram fallback upstream if needed). On an open-vocabulary
+    * 100 TB corpus the observed-bigram model is itself corpus-scale:
+    * the standard trims are a count floor (drop hapax bigrams from
+    * the model and score misses as 0‰ — they contribute ~1000/c(w1)
+    * anyway) and xxhash64 gram keys to shrink the shuffle payload,
+    * both the same moves the shingle families already document.
     *
     * PUBLIC composable form (exported via [[graft.Graft]]): expects
     * (doc_id, text). */
