@@ -30,6 +30,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Verify/DumpPlans/SparkSpec: the events NTZ reader branch
+      // relies on a UTC session to make the typed LTZ read
+      // value-identical, so a non-UTC host must not shift the rows a
+      // time-window predicate scans during a bench
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // ContextCleaner only releases dead shuffles/broadcasts/RDD blocks
@@ -98,6 +103,19 @@ object Bench {
     // times and the per-key build times are reported in the detail
     // JSON (`first_run` / `memo_builds`); the warm-up total goes on
     // the final stdout line as `warmup_sec` so no work is hidden.
+    // Co-load self-identification (round-9 protocol rule made
+    // tooling): a graded bench is only valid on an otherwise-idle
+    // machine — machine co-load inflates every query near-uniformly
+    // (round-8's "order-dependence" post-mortem). Sampling
+    // /proc/loadavg at start and end stamps the artifact itself, so
+    // a co-loaded run is identifiable from the JSON alone instead of
+    // relying on protocol discipline. Best-effort: absent /proc
+    // (non-Linux) stamps -1.
+    def loadavg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadavg()
     val warmT0 = System.nanoTime()
     val firstRun = ordered.map { case (name, fn) =>
       name -> (try timeOnce(fn) catch { case _: Throwable => -1.0 })
@@ -144,8 +162,13 @@ object Bench {
     val memos = memoBuilds.toSeq.sortBy(-_._2).map { case (k, v) =>
       "\"" + k.replaceAll("[\"\\\\\\n\\r]", "_") + "\":" + r3(v)
     }.mkString("{", ",", "}")
+    // loadavg_start is the co-load signal (sampled before the bench
+    // ramps its own threads); loadavg_end mostly reflects the bench
+    // itself on a 32-thread session and is kept for the delta
+    val loadEnd = loadavg()
+    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)}"""
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench
     // (the driver may run this from a non-writable working directory,
     // and the final stdout line below is the graded artifact)
@@ -154,7 +177,7 @@ object Bench {
     // totals-only JSON as the ONLY stdout line — round 1's full
     // per-query line (~3.5 KB) overflowed the driver's capture window
     // and the round's bench never parsed; keep this short and flushed.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

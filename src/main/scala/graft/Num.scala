@@ -30,7 +30,13 @@ object Num {
     * division — identical in any engine. */
   def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
 
+  /** Exact sum kept IN decimal — for intermediates that are
+    * re-aggregated downstream (e.g. after a sink round-trip): sum
+    * again exactly, cast to double ONCE at the very end. */
+  def dsumDec(c: Column): Column = sum(c.cast(D))
+
   /** DuckDB twins, so Spark-side and oracle-side stay in lockstep. */
+  def sqlSumDec(e: String): String = s"SUM(CAST($e AS DECIMAL(18,6)))"
   def sqlSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
   def sqlAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
 

@@ -22,6 +22,8 @@ object SessionMemo {
     scala.collection.concurrent.TrieMap[String, DataFrame]]()
   private val times = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, Double]]()
+  private val flags = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Unit]]()
 
   private def forSession[V](store: java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, V]], s: SparkSession) =
@@ -41,6 +43,16 @@ object SessionMemo {
       forSession(times, s).put(key, (System.nanoTime() - t0) / 1e9)
       df
     })
+
+  /** Run `action` at most once per (session, key). For idempotent
+    * session wiring — UDF/UDAF/expression registration — that is
+    * correct to repeat but noisy: every re-register logs a
+    * `SimpleFunctionRegistry … replaced a previously registered
+    * function` warning, which at 175 graded queries pads every bench
+    * log. Sessions are held weakly, so a stopped session's flags are
+    * collectable like the frame memos. */
+  def oncePerSession(s: SparkSession, key: String)(action: => Unit): Unit =
+    forSession(flags, s).getOrElseUpdate(key, action)
 
   /** Like [[getOrElseUpdate]], but forces materialization (count) of
     * the built frame inside the timed build, so the one-time cost of

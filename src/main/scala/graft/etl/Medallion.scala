@@ -160,6 +160,53 @@ object Medallion {
        l_extendedprice AS sales
        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
 
+  /** S5 under the driver's hash gate (round-10 ask #5): the star gold
+    * mart is WRITTEN as a year-partitioned parquet sink (the
+    * reference's silver→MinIO parquet step,
+    * `dags/silver/dag_silver_financial_sample.py:141,151`, in the
+    * layout the gold layer intended), RE-READ through the partitioned
+    * directory tree with a partition filter — read-back planning must
+    * prune to 3 of the ~7 year directories — and re-aggregated.
+    * Revenue stays DECIMAL across the sink so write → read → re-sum
+    * is exact end-to-end (one double cast at the very end); the
+    * oracle recomputes the same numbers straight from the source
+    * tables, so the hash matches iff the partitioned round-trip loses
+    * no rows and no value precision. The sink lands under
+    * java.io.tmpdir keyed by the SF dir, so suites running different
+    * SFs in one JVM never collide; overwrite mode keeps repeat runs
+    * idempotent. */
+  val qGoldRoundtrip = Q(
+    (s, d) => {
+      val dest = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_gold_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          year(col("o_orderdate")).as("year"))
+        .agg(
+          Num.dsumDec(col("o_totalprice")).as("revenue_dec"),
+          count(lit(1)).as("n_orders"))
+        .write.mode("overwrite").partitionBy("year").parquet(dest)
+      s.read.parquet(dest)
+        .filter(col("year").between(1994, 1996))
+        .groupBy(col("segment"))
+        .agg(
+          sum(col("revenue_dec")).cast("double").as("revenue"),
+          sum(col("n_orders")).as("n_orders"))
+        .orderBy(col("segment"))
+    },
+    s"""WITH mart AS (
+         SELECT c_mktsegment AS segment, YEAR(o_orderdate) AS year,
+                ${Num.sqlSumDec("o_totalprice")} AS revenue_dec,
+                COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2)
+       SELECT segment, CAST(SUM(revenue_dec) AS DOUBLE) AS revenue,
+              CAST(SUM(n_orders) AS BIGINT) AS n_orders
+       FROM mart WHERE year BETWEEN 1994 AND 1996
+       GROUP BY segment ORDER BY segment""")
+
   /** O1 retry semantics. The reference retries each Airflow task once
     * (`default_args retries=1`,
     * `dags/bronze/dag_bronze_financial_sample.py:193`,
@@ -192,6 +239,7 @@ object Medallion {
     "q_financial_silver" -> qFinancialSilver,
     "q_financial_gold" -> qFinancialGold,
     "q_gold_mart" -> qGoldMart,
+    "q_gold_roundtrip" -> qGoldRoundtrip,
     "q_udaf_money_sum" -> qUdafMoneySum,
     "q_udf_parse_money" -> qUdfParseMoney,
     "q_parse_money_native" -> qParseMoneyNative)

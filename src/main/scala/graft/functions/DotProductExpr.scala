@@ -101,15 +101,19 @@ object DotProductExpr {
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register to the SQL function registry as `dot_f`. */
+  /** Register to the SQL function registry as `dot_f`. Once per
+    * session — repeat registration is harmless but logs a
+    * registry-replacement warning per call. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", { exprs =>
-        // a clear arity error instead of exprs(1)'s IndexOutOfBounds
-        // (the registry wraps whatever is thrown here)
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"dot_f requires exactly 2 arguments, got ${exprs.length}")
-        DotProductExpr(exprs.head, exprs(1))
-      }, "scala_udf")
+    graft.SessionMemo.oncePerSession(spark, "register:dot_f") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_f", { exprs =>
+          // a clear arity error instead of exprs(1)'s IndexOutOfBounds
+          // (the registry wraps whatever is thrown here)
+          if (exprs.length != 2)
+            throw new IllegalArgumentException(
+              s"dot_f requires exactly 2 arguments, got ${exprs.length}")
+          DotProductExpr(exprs.head, exprs(1))
+        }, "scala_udf")
+    }
 }

@@ -86,8 +86,12 @@ object ParseMoneyExpr {
   def parseMoneyNative(c: Column): Column =
     Bridge.column(ParseMoneyExpr(Bridge.expression(c)))
 
-  /** Register to the SQL function registry as `parse_money_native`. */
+  /** Register to the SQL function registry as `parse_money_native`.
+    * Once per session — repeat registration is harmless but logs a
+    * registry-replacement warning per call. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "parse_money_native", exprs => ParseMoneyExpr(exprs.head), "scala_udf")
+    graft.SessionMemo.oncePerSession(spark, "register:parse_money_native") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "parse_money_native", exprs => ParseMoneyExpr(exprs.head), "scala_udf")
+    }
 }

@@ -236,7 +236,67 @@ object GraphOps {
        FROM nation n LEFT JOIN cnt c ON n.n_name = c.node
        ORDER BY node""")
 
+  /** Recursive CTE #2 — recursion over a REAL edge set with
+    * data-dependent frontiers (the round-9 q_sql_recursive exhibit
+    * synthesizes a halving chain whose frontier shrinks by
+    * construction; here the frontier is whatever the data makes it).
+    * Bounded-depth all-pairs reachability over the STRONG trade
+    * graph — the above-average-weight edges, the same integer
+    * cross-multiplied filter as q_graph_triangles, kept DIRECTED here
+    * — anchored at every nation at once: every ≤3-hop path
+    * contributes a row, so the grade checks both hop distances (MIN)
+    * and exact bounded-path counts (COUNT — sensitive to every
+    * surviving edge). The `hops < 3` cap bounds both engines at 4
+    * rounds regardless of corpus; recursion runs on the
+    * ≤ |nations|² strong-edge frame, so total path volume is
+    * ≤ |nations| · degree³ — dimension-sized at any SF. Anchor
+    * columns are aliased (the round-9 lesson: an unaliased anchor
+    * materializes per-round LogicalRDDs with duplicate attribute
+    * names). */
+  val qTradeReach = Q(
+    (s, d) => {
+      val e = edges(s, d)
+      val tot = e.agg(count(lit(1)).as("ne"), sum(col("w")).as("tw"))
+      e.crossJoin(broadcast(tot))
+        .filter(col("w") * col("ne") > col("tw"))
+        .select(col("src"), col("dst"))
+        .createOrReplaceTempView("strong_e")
+      Tables.nation(s, d).select(col("n_name").as("node"))
+        .createOrReplaceTempView("trade_nodes")
+      s.sql(
+        """WITH RECURSIVE reach (root, node, hops) AS (
+             SELECT node AS root, node, 0 AS hops FROM trade_nodes
+             UNION ALL
+             SELECT r.root, e.dst AS node, r.hops + 1 AS hops
+             FROM reach r JOIN strong_e e ON r.node = e.src
+             WHERE r.hops < 3)
+           SELECT root, node, MIN(hops) AS min_hops, COUNT(*) AS n_paths
+           FROM reach GROUP BY root, node ORDER BY root, node""")
+    },
+    """WITH RECURSIVE e AS (
+         SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS w
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         GROUP BY 1, 2),
+       tot AS (SELECT count(*) AS ne, sum(w) AS tw FROM e),
+       strong_e AS (
+         SELECT src, dst FROM e, tot WHERE w * ne > tw),
+       reach(root, node, hops) AS (
+         SELECT n_name AS root, n_name AS node, 0 AS hops FROM nation
+         UNION ALL
+         SELECT r.root, e.dst, r.hops + 1
+         FROM reach r JOIN strong_e e ON r.node = e.src
+         WHERE r.hops < 3)
+       SELECT root, node, MIN(hops) AS min_hops,
+              CAST(COUNT(*) AS BIGINT) AS n_paths
+       FROM reach GROUP BY root, node ORDER BY root, node""")
+
   val defs: Map[String, Q] = Map(
     "q_graph_pagerank" -> qGraphPagerank,
-    "q_graph_triangles" -> qGraphTriangles)
+    "q_graph_triangles" -> qGraphTriangles,
+    "q_trade_reach" -> qTradeReach)
 }

@@ -797,7 +797,7 @@ object Relational {
       sqlViews(s, d)
       s.sql(
         """WITH RECURSIVE chain (p_partkey, node, depth) AS (
-             SELECT p_partkey, p_partkey, 0 FROM sql_part
+             SELECT p_partkey, p_partkey AS node, 0 AS depth FROM sql_part
              UNION ALL
              SELECT p_partkey, node DIV 2, depth + 1 FROM chain WHERE node > 1)
            SELECT p_partkey, MAX(depth) AS depth_to_root,
@@ -806,7 +806,7 @@ object Relational {
            ORDER BY p_partkey""")
     },
     """WITH RECURSIVE chain (p_partkey, node, depth) AS (
-         SELECT p_partkey, p_partkey, 0 FROM part
+         SELECT p_partkey, p_partkey AS node, 0 AS depth FROM part
          UNION ALL
          SELECT p_partkey, node // 2, depth + 1 FROM chain WHERE node > 1)
        SELECT p_partkey, MAX(depth) AS depth_to_root,

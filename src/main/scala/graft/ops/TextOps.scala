@@ -453,8 +453,13 @@ object TextOps {
     * (`.persist()`), not the RDD-level storage a local checkpoint
     * creates — those blocks otherwise live until a JVM GC lets the
     * ContextCleaner find them, which on a large-heap long-lived
-    * session is effectively never. Safe on any frame: non-checkpoint
-    * plans contain no LogicalRDD and nothing happens. */
+    * session is effectively never. Precondition: only call on frames
+    * you OWN whose checkpointed blocks are provably dead (every
+    * consumer already ran). A `LogicalRDD` is not proof of a local
+    * checkpoint — any RDD-built Dataset (`spark.createDataFrame(rdd)`,
+    * `rdd.toDF`) contains one too, and unpersisting a still-live
+    * checkpoint RDD permanently loses data: checkpoint blocks are not
+    * recomputable. */
   private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -1818,13 +1823,24 @@ object TextOps {
     * (O(maxDist·len) per pair instead of O(len²), returns −1 above
     * the band).
     *
-    * RECALL CAVEAT: the shared-gram guarantee
-    * (max(|a|,|b|) − q+1 − d·q ≥ 1) holds only for strings of length
-    * ≥ q + maxDist·q (9 chars at the defaults q=3, maxDist=2).
-    * Shorter values — even above the hard length ≥ q cutoff — can sit
-    * within maxDist yet share zero q-grams ("abc" vs "abd") and are
-    * silently unblocked: lower q (or pad) for short codes/names.
-    * Values shorter than q characters are excluded outright.
+    * RECALL: the shared-gram guarantee (max(|a|,|b|) − q+1 − d·q ≥ 1)
+    * holds for pairs whose LONGER string has length ≥ q·(maxDist+1)
+    * (9 chars at the defaults q=3, maxDist=2). Pairs where BOTH
+    * strings are shorter ("abc" vs "abd") could sit within maxDist
+    * yet share zero q-grams, so those lengths get a supplementary
+    * SHORT TIER: unigram blocking — two strings within distance d
+    * share at least max(|a|,|b|) − d ≥ 1 characters whenever
+    * max(|a|,|b|) > d, true for every admitted length (≥ q) when
+    * q > maxDist. In the degenerate q ≤ maxDist configuration even
+    * single characters prove nothing (disjoint-alphabet pairs like
+    * "abc"/"xyz" at d=3 share NO content), so the short tier falls
+    * back to all-pairs within the stratum. Either way the recall law
+    * now covers every admitted length; values shorter than q
+    * characters are excluded outright. The short stratum is
+    * vocabulary-bounded (strings under q·(maxDist+1) chars are short
+    * codes, not documents), so the uncapped unigram tier stays
+    * match-graph-sized; the hot-gram fanout cap applies to the main
+    * tier only, symmetrically in the oracle.
     *
     * Scale: the only corpus-sized stages are the distinct + gram
     * explode (narrow after the distinct's shuffle); candidate volume
@@ -1870,11 +1886,37 @@ object TextOps {
       expr(s"CAST(length(name) DIV $bucket AS INT)"))
     val probe = build.withColumn("lb",
       explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
-    build.as("a").join(probe.as("b"),
+    val gramCand = build.as("a").join(probe.as("b"),
         col("a.gram") === col("b.gram") && col("a.lb") === col("b.lb") &&
           col("a.name") < col("b.name"))
-      .filter(abs(length(col("a.name")) - length(col("b.name"))) <= maxDist)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // Short tier (see RECALL above): pairs where BOTH strings are
+    // under q·(maxDist+1) chars have no q-gram guarantee — block them
+    // on shared unigrams (uncapped; the stratum is vocabulary-bounded
+    // short codes), or on nothing at all when q ≤ maxDist, where even
+    // a shared character is not guaranteed. Candidates are a SUPERSET
+    // either way; the exact length filter + banded confirm below make
+    // any candidate superset converge to the same true-pair set.
+    val shortMax = q * (maxDist + 1)
+    val shortNames = names
+      .select(col(nameCol).cast("string").as("name"))
+      .filter(col("name").isNotNull &&
+        length(col("name")).between(q, shortMax - 1))
+      .distinct()
+    val shortCand =
+      if (q > maxDist) {
+        val uni = shortNames.select(col("name"), explode(expr(
+          """array_distinct(transform(sequence(1, length(name)),
+                i -> substring(name, i, 1)))""")).as("g"))
+        uni.as("a").join(uni.as("b"),
+            col("a.g") === col("b.g") && col("a.name") < col("b.name"))
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      } else
+        shortNames.as("a")
+          .join(shortNames.as("b"), col("a.name") < col("b.name"))
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    gramCand.union(shortCand)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist))
@@ -1897,15 +1939,22 @@ object TextOps {
     * corpus, and [[componentLabels]] switches from union-find to
     * pointer-doubled distributed propagation past 1M edges.
     *
-    * `idCol` must be Long-castable (numeric or numeric strings):
-    * node ids feed the Long-typed component propagation, and min()
-    * over a non-numeric id would change label semantics anyway. The
-    * cast is applied eagerly so a bad column fails the analysis
-    * clearly instead of deep inside the component loop.
+    * `idCol` must be a NUMERIC column: node ids feed the Long-typed
+    * component propagation, and min() over a non-numeric id would
+    * change label semantics anyway. The type is checked on the
+    * resolved schema up front — a string id column would NOT fail a
+    * string→long cast at analysis (it fails at runtime under ANSI
+    * mode, and with ANSI off it silently nulls, flowing unmatched
+    * names into the null-nid left-join path) — so the guard below is
+    * the genuinely early, clear error.
     *
     * PUBLIC composable form (exported via [[graft.Graft]]). */
   def entityResolve(names: DataFrame, nameCol: String, idCol: String,
                     maxDist: Int = 2, gramSize: Int = 3): DataFrame = {
+    val idType = names.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"entityResolve: idCol '$idCol' must be numeric, got $idType — " +
+        "cast or derive a numeric surrogate id before calling")
     val ids = names
       .select(col(nameCol).cast("string").as("name"),
         col(idCol).cast("long").as("id"))
@@ -1955,7 +2004,16 @@ object TextOps {
          WHERE nd BETWEEN 2 AND 1000),
        cand AS (
          SELECT DISTINCT a.name AS name_a, b.name AS name_b
-         FROM rare a JOIN rare b ON a.gram = b.gram AND a.name < b.name)
+         FROM rare a JOIN rare b ON a.gram = b.gram AND a.name < b.name
+         UNION
+         -- short tier: both names under q·(maxDist+1)=9 chars have no
+         -- q-gram guarantee; the engine blocks them on shared
+         -- unigrams, replayed here as all-pairs-within-the-stratum (a
+         -- candidate superset — the confirm below converges both to
+         -- the same true-pair set)
+         SELECT a.name, b.name FROM names a JOIN names b
+         ON a.name < b.name
+         WHERE length(a.name) < 9 AND length(b.name) < 9)
        SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
        FROM cand
        WHERE abs(length(name_a) - length(name_b)) <= 2
@@ -1982,7 +2040,13 @@ object TextOps {
          WHERE nd BETWEEN 2 AND 1000),
        cand AS (
          SELECT DISTINCT a.name AS name_a, b.name AS name_b
-         FROM rare a JOIN rare b ON a.gram = b.gram AND a.name < b.name),
+         FROM rare a JOIN rare b ON a.gram = b.gram AND a.name < b.name
+         UNION
+         -- short tier, as in q_fuzzy_match: all-pairs within the
+         -- sub-9-char stratum replays the engine's unigram blocks
+         SELECT a.name, b.name FROM names a JOIN names b
+         ON a.name < b.name
+         WHERE length(a.name) < 9 AND length(b.name) < 9),
        pairs AS (
          SELECT name_a, name_b FROM cand
          WHERE abs(length(name_a) - length(name_b)) <= 2

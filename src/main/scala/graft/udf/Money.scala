@@ -41,10 +41,15 @@ object Money {
     override def outputEncoder: Encoder[java.math.BigDecimal] = Encoders.DECIMAL
   }
 
-  /** Register both to the SQL function registry. */
-  def register(spark: SparkSession): Unit = {
-    spark.udf.register("parse_money",
-      (s: String) => parseMoney(s).map(java.lang.Double.valueOf).orNull)
-    spark.udf.register("exact_money_sum", udaf(ExactMoneySum))
-  }
+  /** Register both to the SQL function registry. Guarded to run once
+    * per session: `spark.udf.register` replaces on every call and logs
+    * a registry-replacement warning each time, so per-query-build
+    * callers (Medallion's UDF exhibits, Graft.enable) would otherwise
+    * pad every graded log with noise. */
+  def register(spark: SparkSession): Unit =
+    graft.SessionMemo.oncePerSession(spark, "register:money") {
+      spark.udf.register("parse_money",
+        (s: String) => parseMoney(s).map(java.lang.Double.valueOf).orNull)
+      spark.udf.register("exact_money_sum", udaf(ExactMoneySum))
+    }
 }

@@ -201,6 +201,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzzyMatchPairs short-name recall: codes below q·(maxDist+1) chars still pair") {
+    import spark.implicits._
+    // Round-10 closure of the short-string recall hole: "abc" vs
+    // "abd" sit within dist 1 yet share zero 3-grams — the unigram
+    // short tier must block them anyway. Short codes across lengths
+    // 3..8 at maxDist 1 and 2, plus one main-tier boundary pair
+    // (max length exactly q·(maxDist+1)) and long decoys to show the
+    // tiers don't depend on each other.
+    val cases = Seq(
+      ("abc", "abd", 1), ("abc", "abcd", 1), ("code", "mode", 1),
+      ("ab1", "ab2", 1), ("shrtcd", "shrtcx", 1), ("hello", "heXlo", 1),
+      ("abc", "aXY", 2), ("pqrs", "pqXY", 2),
+      ("abcdefgh", "abcdefghi", 1)) // lengths 8/9: longer side is main-tier
+    for ((a, b, d) <- cases) {
+      val names = (Seq(a, b) ++
+        Seq("longdecoyname1", "anotherdecoyxx")).toDF("name")
+      val found = ops.TextOps.fuzzyMatchPairs(names, "name", maxDist = d)
+        .select("name_a", "name_b").as[(String, String)].collect()
+        .map { case (x, y) => Set(x, y) }.toSet
+      assert(found.contains(Set(a, b)),
+        s"missed short pair ($a, $b) at maxDist=$d; found=$found")
+    }
+    // degenerate q ≤ maxDist configuration: a disjoint-alphabet pair
+    // shares NO content at all — only the all-pairs fallback can
+    // block it
+    val djFound = ops.TextOps
+      .fuzzyMatchPairs(Seq("abc", "xyz", "longdecoyname1").toDF("name"),
+        "name", maxDist = 3)
+      .select("name_a", "name_b").as[(String, String)].collect()
+      .map { case (x, y) => Set(x, y) }.toSet
+    assert(djFound.contains(Set("abc", "xyz")),
+      s"missed disjoint-alphabet pair at maxDist=3; found=$djFound")
+  }
+
   test("FoldParseMoney rule folds literal money strings at plan time") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.FoldParseMoney
