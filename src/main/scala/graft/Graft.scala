@@ -152,6 +152,14 @@ object Graft {
                        hashedKeys: Boolean = true): DataFrame =
     ops.TextOps.substringHotness(docs, k, flagPermille, hashedKeys)
 
+  /** APPLY side of [[substringHotness]]: remove every token position
+    * covered by a k-gram occurring in ≥ minDocs distinct docs and
+    * reassemble the survivors in order — (doc_id, clean_text, n_kept,
+    * n_removed), one row per input doc (fully-boilerplate docs keep
+    * their key with an empty clean_text). */
+  def spanScrub(docs: DataFrame, k: Int = 7, minDocs: Int = 2): DataFrame =
+    ops.TextOps.spanScrub(docs, k, minDocs)
+
   /** Asymmetric containment pairs |A ∩ B| / min(|A|, |B|) over
     * distinct k-gram sets — catches a doc quoted inside a much larger
     * one, which jaccard under-scores. Pairs via shared-shingle

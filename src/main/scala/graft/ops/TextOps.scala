@@ -1709,6 +1709,92 @@ object TextOps {
        FROM b2 b LEFT JOIN perdoc p USING (doc_id)
        ORDER BY doc_id""")
 
+  /** Span-level scrub — the APPLY side of [[substringHotness]]'s
+    * detect: every token position covered by a k-gram that occurs in
+    * ≥ `minDocs` DISTINCT documents is removed, and the surviving
+    * tokens are reassembled in order (Lee et al. 2022 remove the
+    * duplicated spans themselves, not whole documents — scoring tells
+    * you which docs are damaged, scrubbing repairs them). Returns one
+    * row per input doc: (doc_id, clean_text, n_kept, n_removed); a
+    * fully-boilerplate doc survives as an empty clean_text rather
+    * than vanishing, so downstream joins never lose keys.
+    *
+    * Scale shape: positions and shingles are narrow map+explode; the
+    * only corpus-sized exchanges are the gram-frequency groupBy, the
+    * gram join back, and the per-doc reassembly groupBy. The covered-
+    * position fan-out is hot-occurrences × k — proportional to the
+    * duplicated mass, not the corpus — and reassembly sorts WITHIN
+    * one doc's collected struct array (sort_array over ≤ doc-length
+    * elements), never a global sort. At 100 TB the gram key would ride
+    * the same xxhash64 swap as substringHotness's facade form; kept
+    * verbatim here so the DuckDB oracle replays string-for-string. */
+  def spanScrub(docs: DataFrame, k: Int = 7, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"shingle size must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs
+      .withColumn("tokens", tokens(col("text")))
+      .select(col("doc_id"), col("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+    val toks = base.select(col("doc_id"),
+        posexplode(col("tokens")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val sh = base.filter(size(col("tokens")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(tokens) - ${k - 1}),
+              i -> struct(i AS spos,
+                          array_join(slice(tokens, i, $k), ' ') AS gram))"""))
+        .as("s"))
+      .select(col("doc_id"), col("s.spos").as("spos"), col("s.gram").as("gram"))
+    val hot = sh.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gram"))
+    val covered = sh.join(hot, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSpanScrub = Q(
+    (s, d) => spanScrub(Tables.documents(s, d)),
+    """WITH b AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+       t AS (SELECT doc_id, i AS pos, toks[i] AS tok
+             FROM b, UNNEST(RANGE(1, LEN(toks) + 1)) AS r(i)),
+       sh AS (SELECT doc_id, i AS spos,
+                     ARRAY_TO_STRING(toks[i:i+6], ' ') AS gram
+              FROM b, UNNEST(RANGE(1, LEN(toks) - 5)) AS r(i)),
+       freq AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY 1),
+       cov AS (SELECT DISTINCT s.doc_id, p AS pos
+               FROM sh s JOIN freq f USING (gram),
+                    UNNEST(RANGE(s.spos, s.spos + 7)) AS u(p)
+               WHERE f.nd >= 2),
+       surv AS (SELECT t.doc_id, t.pos, t.tok
+                FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+                WHERE c.pos IS NULL),
+       reb AS (SELECT doc_id,
+                      ARRAY_TO_STRING(LIST(tok ORDER BY pos), ' ') AS clean_text,
+                      COUNT(*) AS n_kept
+               FROM surv GROUP BY 1)
+       SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+              CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(LEN(b.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+       FROM b LEFT JOIN reb r USING (doc_id)
+       ORDER BY b.doc_id""")
+
   /** Asymmetric containment screen — |A ∩ B| / min(|A|, |B|) over
     * distinct k-gram sets. Jaccard misses subset relations (a chunk
     * quoted inside a much larger doc scores low); containment is the
@@ -2071,6 +2157,7 @@ object TextOps {
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_resolution" -> qEntityResolution,
     "q_substring_hotness" -> qSubstringHotness,
+    "q_span_scrub" -> qSpanScrub,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_survivors" -> qDedupSurvivors,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs,

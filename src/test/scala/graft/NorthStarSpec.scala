@@ -307,6 +307,35 @@ class NorthStarSpec extends SparkSpec {
     assert(hashed === verbatim)
   }
 
+  test("spanScrub removes exactly the cross-doc duplicated span and keeps the rest") {
+    import spark.implicits._
+    // same fixture as the hotness pin: doc 2 opens with doc 1's first
+    // 10 tokens. Hot 3-grams cover positions 1..10 in BOTH docs, so
+    // the scrub must drop exactly that span from each and leave the
+    // unique halves (and the unrelated doc 3) byte-identical.
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"x$i")).mkString(" ")
+    val c = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = ops.TextOps.spanScrub(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[String]("clean_text") ===
+      (11 to 20).map(i => s"w$i").mkString(" "))
+    assert(out(1).getAs[Long]("n_removed") === 10L)
+    assert(out(2).getAs[String]("clean_text") ===
+      (1 to 10).map(i => s"x$i").mkString(" "))
+    assert(out(2).getAs[Long]("n_removed") === 10L)
+    assert(out(3).getAs[String]("clean_text") === c)
+    assert(out(3).getAs[Long]("n_removed") === 0L)
+    // a doc that is ALL boilerplate keeps its key with empty text —
+    // downstream joins must never lose rows to the scrub
+    val twins = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val scrubbed = Graft.spanScrub(twins, k = 3).collect() // facade delegate
+    assert(scrubbed.length === 2)
+    assert(scrubbed.forall(_.getAs[String]("clean_text") === ""))
+    assert(scrubbed.forall(_.getAs[Long]("n_kept") === 0L))
+  }
+
   test("containment catches a subset pair that jaccard would score low") {
     import spark.implicits._
     // small doc = 12 tokens wholly inside a 60-token doc: containment
