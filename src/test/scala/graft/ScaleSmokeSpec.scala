@@ -311,6 +311,34 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(agg(false) === 100000L, "unique docs never flag")
   }
 
+  test("spanScrub on 200k docs: twins scrubbed to empty, uniques byte-identical") {
+    // same fixture as the hotness smoke: even ids share one of 1000
+    // twin texts (every 3-gram hot → fully covered), odd ids are
+    // unique (no hot gram → untouched). All assertions are aggregate
+    // counts — no driver-side collect of the corpus.
+    val docs = spark.range(0L, 200000L, 1L, 16)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2)) === 0,
+          concat(lit("twin body shared text block number "),
+            pmod(col("id"), lit(1000)).cast("string"),
+            lit(" end of the shared body")))
+          .otherwise(concat(
+            lit("a"), col("id").cast("string"),
+            lit(" b"), col("id").cast("string"),
+            lit(" c"), col("id").cast("string"),
+            lit(" d"), col("id").cast("string"),
+            lit(" e"), col("id").cast("string"))).as("text"))
+    val out = ops.TextOps.spanScrub(docs, k = 3)
+      .join(docs, "doc_id")
+    val evens = out.filter(pmod(col("doc_id"), lit(2)) === 0)
+    assert(evens.filter(col("n_kept") === 0 && col("clean_text") === "")
+      .count() === 100000L, "every twin doc is fully scrubbed")
+    val odds = out.filter(pmod(col("doc_id"), lit(2)) === 1)
+    assert(odds.filter(col("n_removed") === 0 &&
+        col("clean_text") === col("text"))
+      .count() === 100000L, "unique docs pass through byte-identical")
+  }
+
   test("keySkew on 5M rows ranks the planted hot key with exact integer stats") {
     // 1M cold keys with 4 rows each, one hot key with 1M rows:
     // total 5M, n_keys 1000001 — the groupBy is the only 5M-row
