@@ -71,6 +71,12 @@ object Graft {
                      stride: Int = 56, shards: Int = 8): DataFrame =
     ops.PipelineOps.chunkDocuments(docs, chunkSize, stride, shards)
 
+  /** Deterministic epoch ordering: (doc_id, shard, rank_in_shard) —
+    * epoch E's pseudorandom permutation, recomputable from (docs, E)
+    * alone; per-shard sort only, never global. */
+  def epochOrder(docs: DataFrame, epoch: Int, shards: Int = 8): DataFrame =
+    ops.PipelineOps.epochOrder(docs, epoch, shards)
+
   // ---- dedup ---------------------------------------------------------
 
   /** Screen an incoming batch against an existing corpus via

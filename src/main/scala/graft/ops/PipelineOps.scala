@@ -592,7 +592,49 @@ object PipelineOps {
        SELECT doc_id, lang, score, rk FROM r
        WHERE rk * 1000 <= 300 * n ORDER BY doc_id""")
 
+  /** Deterministic epoch ordering + shard assignment — the
+    * reproducible-dataloader step: epoch E's global example order is
+    * a pseudorandom permutation any worker can recompute from (docs,
+    * E) alone — no stored shuffle files, no RNG state to checkpoint,
+    * and a preempted job resumes mid-epoch by recomputing the same
+    * assignment. The portable two-round hash of an epoch-offset
+    * doc_id picks the shard (h mod shards) and orders WITHIN the
+    * shard (row_number over (h, doc_id) — doc_id breaks residual
+    * hash collisions, so the permutation is total and deterministic).
+    * The only sort is per-shard: one exchange on the shard key, then
+    * a shard-local sort — shards are sized so one shard is one
+    * dataloader file that fits an executor, and no global sort exists
+    * at any corpus size. Different epochs permute differently;
+    * re-running an epoch reproduces the order bit-for-bit (spec-pinned).
+    *
+    * PUBLIC composable form (exported via [[graft.Graft]]). */
+  def epochOrder(docs: org.apache.spark.sql.DataFrame, epoch: Int,
+                 shards: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("h",
+        expr(Num.hashExpr(s"(doc_id + ${epoch.toLong * 1000003L})")))
+      .withColumn("shard", expr(s"h % $shards"))
+      .withColumn("rank_in_shard", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("rank_in_shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qEpochOrder = Q(
+    (s, d) => epochOrder(Tables.documents(s, d), epoch = 1),
+    s"""SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+              CAST(ROW_NUMBER() OVER
+                (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT)
+                AS rank_in_shard
+       FROM (SELECT doc_id, ${Num.sqlHash("(doc_id + 1000003)")} AS h
+             FROM documents)
+       ORDER BY doc_id""")
+
   val defs: Map[String, Q] = Map(
+    "q_epoch_order" -> qEpochOrder,
     "q_quality_prune" -> qQualityPrune,
     "q_dataset_build" -> qDatasetBuild,
     "q_sample_weighted" -> qSampleWeighted,

@@ -83,6 +83,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.getDouble(0) >= 0.0 && out.getDouble(1) <= 1.0)
   }
 
+  test("epochOrder: reproducible per epoch, divergent across epochs, ranks contiguous") {
+    val docs = Tables.documents(spark, sfDir)
+    val e1a = Graft.epochOrder(docs, epoch = 1).collect().map(_.toSeq)
+    val e1b = Graft.epochOrder(docs, epoch = 1).collect().map(_.toSeq)
+    assert(e1a.toSeq === e1b.toSeq, "same epoch must reproduce bit-for-bit")
+    // a different epoch is a different permutation: at least one doc
+    // changes (shard, rank) — on 500 docs the chance of an identical
+    // assignment under an independent hash is effectively zero
+    val e2 = Graft.epochOrder(docs, epoch = 2).collect().map(_.toSeq)
+    assert(e1a.toSeq !== e2.toSeq, "epochs must permute differently")
+    // every shard's ranks are exactly 1..n_shard (a total order with
+    // no gaps — what a resumable dataloader indexes into)
+    val byShard = e1a.groupBy(_(1).asInstanceOf[Long])
+    byShard.foreach { case (shard, rows) =>
+      val ranks = rows.map(_(2).asInstanceOf[Int]).sorted
+      assert(ranks.toSeq === (1 to rows.length).toSeq, s"shard $shard ranks")
+    }
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+  }
+
   test("curation pipeline output is a subset of the quality-gated dedup survivors") {
     val out = ops.PipelineOps.qCurationPipeline.fn(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
