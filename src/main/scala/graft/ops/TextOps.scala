@@ -1358,12 +1358,19 @@ object TextOps {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))))
         .persist()
+      // the b side renames EVERY column (incl. blk) so the self-join
+      // condition is unambiguous by name — `a("blk") === b("blk")` on
+      // two frames of one lineage resolves both sides to the same
+      // attribute (Spark warns "trivially true equals predicate") and
+      // then silently leans on the dataset-id self-join heuristic to
+      // disambiguate; distinct names need no heuristic
       val a = normed.select(col("blk"), col("rk"), col("doc_id").as("id_a"),
           col("k").as("ka"))
         .withColumn("off", explode(sequence(lit(1), lit(window))))
-      val b = normed.select(col("blk"), col("rk").as("rk_b"),
+      val b = normed.select(col("blk").as("blk_b"), col("rk").as("rk_b"),
         col("doc_id").as("id_b"), col("k").as("kb"))
-      val pairs = a.join(b, a("blk") === b("blk") && (a("rk") + a("off")) === b("rk_b"))
+      val pairs = a.join(b,
+          col("blk") === col("blk_b") && (col("rk") + col("off")) === col("rk_b"))
         .withColumn("lev",
           levenshtein(substring(col("ka"), 1, 80), substring(col("kb"), 1, 80)))
         .filter(col("lev") <= maxLev)
