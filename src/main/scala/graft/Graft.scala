@@ -204,6 +204,13 @@ object Graft {
   def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame =
     ops.QualityOps.keySkew(df, keyCol, topK)
 
+  /** Per-stratum unigram-distribution drift vs the whole frame
+    * (integer-PPM total-variation distance) — the domain-shift /
+    * scraper-regression detector. */
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame =
+    ops.QualityOps.sourceDrift(docs, groupCol, textCol)
+
   /** Keep the top `keepPermille`‰ rows of each group by score
     * (integer cross-multiplied rank test, `idCol` tiebreak) — the
     * relative-rank quality pruning every curation recipe ends with. */
@@ -356,6 +363,19 @@ object Graft {
   def fluencyScore(docs: DataFrame): DataFrame =
     ops.TextOps.fluencyScore(docs)
 
+  /** Per-doc OOV rate (integer permille) against the frame's own
+    * top-`vocabSize` token vocabulary — the tokenizer-coverage /
+    * unk-rate estimate. Vocab ties break on the term so the set is
+    * total-ordered and reproducible. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20): DataFrame =
+    ops.TextOps.oovRate(docs, vocabSize)
+
+  /** Per-doc novelty: of each doc's distinct trigrams, the permille
+    * whose global first appearance (min doc_id) is this doc — the
+    * does-this-shard-add-anything signal. */
+  def ngramNovelty(docs: DataFrame): DataFrame =
+    ops.TextOps.ngramNovelty(docs)
+
   /** Record-linkage fuzzy matching: (name_a, name_b, dist) pairs of
     * distinct `nameCol` values within edit distance `maxDist`, found
     * by q-gram + length-bucket blocking then banded levenshtein.
@@ -383,6 +403,12 @@ object Graft {
     * precomputed. */
   def datasetBuild(docs: DataFrame): DataFrame =
     ops.PipelineOps.datasetBuild(docs)
+
+  /** Cumulative quality-gate attrition report over a (doc_id, text,
+    * n_chars) frame — (stage, n_in, n_kept, n_dropped) per gate, all
+    * four gates costed in ONE corpus scan. */
+  def filterFunnel(docs: DataFrame): DataFrame =
+    ops.PipelineOps.filterFunnel(docs)
 
   /** Market-basket co-occurrence pairs with support counts and
     * integer-exact lift (permille): pairs join within the basket key

@@ -633,7 +633,82 @@ object PipelineOps {
              FROM documents)
        ORDER BY doc_id""")
 
+  /** Funnel attrition report for the chained quality gate — per stage
+    * (applied cumulatively, cheapest first, the q_quality_rules /
+    * q_dataset_build order): docs entering, surviving, and dropped.
+    * The observability table every large curation run needs: it says
+    * WHICH gate is shedding data before anyone re-runs a 100 TB scan
+    * per-stage to find out.
+    *
+    * Plan shape: ONE corpus pass — all four cumulative pass-flags are
+    * conditional sums inside a single aggregate (no per-stage scans,
+    * no shuffle beyond the 1-row agg), and the per-stage rows come
+    * from `inline()` over the finished counters, a 4-row driver-free
+    * unpivot. At 100 TB this costs exactly one scan. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): funnel
+    * report over any (doc_id, text, n_chars) frame. */
+  def filterFunnel(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      docs
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("c1", (col("n_tokens").between(10, 100000)).cast("long"))
+        .withColumn("c2", (col("c1") === 1L &&
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / col("n_tokens")).between(2.0, 12.0)).cast("long"))
+        .withColumn("c3", (col("c2") === 1L &&
+          size(expr("regexp_extract_all(text, '[^a-z ]', 0)")).cast("double")
+            / col("n_chars") < 0.1).cast("long"))
+        .withColumn("c4", (col("c3") === 1L &&
+          array_contains(col("toks"), "the")).cast("long"))
+        .agg(count(lit(1)).as("n0"), sum(col("c1")).as("n1"),
+          sum(col("c2")).as("n2"), sum(col("c3")).as("n3"),
+          sum(col("c4")).as("n4"))
+        .selectExpr(
+          """inline(array(
+               struct('1_token_bounds'  AS stage, n0 AS n_in, n1 AS n_kept),
+               struct('2_word_len_band' AS stage, n1 AS n_in, n2 AS n_kept),
+               struct('3_symbol_ratio'  AS stage, n2 AS n_in, n3 AS n_kept),
+               struct('4_stopword'      AS stage, n3 AS n_in, n4 AS n_kept)))""")
+        .withColumn("n_dropped", col("n_in") - col("n_kept"))
+        .orderBy(col("stage"))
+
+  val qFilterFunnel = Q(
+    (s, d) => filterFunnel(Tables.documents(s, d)),
+    """WITH flags AS (
+         SELECT CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS c1,
+           CASE WHEN n_tokens BETWEEN 10 AND 100000
+                 AND mean_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS c2,
+           CASE WHEN n_tokens BETWEEN 10 AND 100000
+                 AND mean_word_len BETWEEN 2.0 AND 12.0
+                 AND symbol_ratio < 0.1 THEN 1 ELSE 0 END AS c3,
+           CASE WHEN n_tokens BETWEEN 10 AND 100000
+                 AND mean_word_len BETWEEN 2.0 AND 12.0
+                 AND symbol_ratio < 0.1 AND has_stopword THEN 1 ELSE 0 END AS c4
+         FROM (SELECT
+                 CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+                 CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len,
+                 CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z ]')) AS DOUBLE)
+                   / n_chars AS symbol_ratio,
+                 LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') AS has_stopword
+               FROM documents)),
+       agg AS (
+         SELECT COUNT(*) AS n0,
+                CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+                CAST(SUM(c3) AS BIGINT) AS n3, CAST(SUM(c4) AS BIGINT) AS n4
+         FROM flags)
+       SELECT stage, n_in, n_kept, n_in - n_kept AS n_dropped FROM (
+         SELECT '1_token_bounds'  AS stage, n0 AS n_in, n1 AS n_kept FROM agg
+         UNION ALL
+         SELECT '2_word_len_band' AS stage, n1 AS n_in, n2 AS n_kept FROM agg
+         UNION ALL
+         SELECT '3_symbol_ratio'  AS stage, n2 AS n_in, n3 AS n_kept FROM agg
+         UNION ALL
+         SELECT '4_stopword'      AS stage, n3 AS n_in, n4 AS n_kept FROM agg)
+       ORDER BY stage""")
+
   val defs: Map[String, Q] = Map(
+    "q_filter_funnel" -> qFilterFunnel,
     "q_epoch_order" -> qEpochOrder,
     "q_quality_prune" -> qQualityPrune,
     "q_dataset_build" -> qDatasetBuild,

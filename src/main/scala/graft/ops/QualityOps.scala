@@ -305,7 +305,66 @@ object QualityOps {
               n * n_keys * 1000 // total AS skew_x1000
        FROM t WHERE rk <= 10 ORDER BY rk""")
 
+  /** Per-source token-distribution drift vs the whole corpus — the
+    * domain-shift / collection-bug detector: a source whose unigram
+    * distribution walks away from the corpus norm is either a new
+    * domain (re-weight it) or a scraper regression (quarantine it).
+    * Metric: total-variation-style L1 distance in integer PPM —
+    * Σ_terms |c_st·1e6 DIV n_s − c_t·1e6 DIV N| over the full
+    * source×vocab grid (absent terms count at their corpus rate).
+    * All-integer DIV, so the per-term contributions sum exactly in
+    * any order and both engines agree bitwise — the same reason every
+    * score here avoids float accumulation. Headroom: c_t·1e6 needs
+    * c_t < 9.2e12; past that (a single term appearing ~10¹³ times)
+    * route the products through DECIMAL(38,0).
+    *
+    * Scale shape: one token explode → (source, term) partial-agg'd
+    * counts; everything after is vocab×strata-sized (the grid cross
+    * join is |sources|·|vocab| — dimension-scale, never corpus-scale);
+    * the corpus totals are a 1-row broadcast. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): drift of
+    * `groupCol` strata vs the whole frame over `textCol` unigrams. */
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(groupCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val glob = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val tot = glob.agg(sum(col("c_t")).as("n_tot"))
+    srcTot.crossJoin(glob) // strata × vocab grid, dimension-sized
+      .join(st, Seq("source", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", expr(
+        "abs(coalesce(c_st, 0L) * 1000000 DIV n_s - c_t * 1000000 DIV n_tot)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("diff")).as("drift_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val qSourceDrift = Q(
+    (s, d) => sourceDrift(Tables.documents(s, d)),
+    """WITH st AS (
+         SELECT source, term, COUNT(*) AS c_st
+         FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+               FROM documents)
+         GROUP BY source, term),
+       src AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+               FROM st GROUP BY source),
+       gt AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t
+              FROM st GROUP BY term),
+       tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM gt)
+       SELECT source, MAX(n_s) AS n_tokens,
+         CAST(SUM(ABS(COALESCE(c_st, 0) * 1000000 // n_s
+                      - c_t * 1000000 // n_tot)) AS BIGINT) AS drift_ppm
+       FROM src CROSS JOIN gt
+       LEFT JOIN st USING (source, term) CROSS JOIN tot
+       GROUP BY source ORDER BY source""")
+
   val defs: Map[String, Q] = Map(
+    "q_source_drift" -> qSourceDrift,
     "q_profile_table" -> qProfileTable,
     "q_constraints_check" -> qConstraintsCheck,
     "q_outliers_iqr" -> qOutliersIqr,

@@ -2160,6 +2160,114 @@ object TextOps {
          USING (entity_id)
        ORDER BY name""")
 
+  /** Out-of-vocabulary rate per document against the corpus top-K
+    * vocabulary — the unk-rate estimate that sizes a tokenizer's
+    * coverage before training (a doc whose tokens mostly fall outside
+    * the planned vocab is noise to that tokenizer). K = 20 here so
+    * the synthetic 31-word corpus has a real OOV tail; rank ties
+    * break on the term itself so the vocab set is total-ordered and
+    * engine-portable. The rate is integer permille (n_oov·1000 DIV
+    * n_tokens) — exact in any engine.
+    *
+    * Scale shape: the vocab is one partial-aggregated token count
+    * (vocab-sized shuffle, NOT corpus-sized) + TakeOrdered K, then
+    * broadcast into the per-token membership probe; the per-doc
+    * count is the only other corpus-sized exchange. The top-K frame
+    * is K rows by construction, so the broadcast never grows with
+    * the corpus. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): OOV rate
+    * of any (doc_id, text) frame against its own top-`vocabSize`
+    * vocabulary. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille",
+        expr("n_oov * 1000 DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qOovRate = Q(
+    (s, d) => oovRate(Tables.documents(s, d)),
+    """WITH toks AS (
+         SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+       vocab AS (
+         SELECT term FROM (SELECT term, COUNT(*) AS c FROM toks GROUP BY term)
+         ORDER BY c DESC, term ASC LIMIT 20)
+       SELECT doc_id, n_tokens, n_oov, n_oov * 1000 // n_tokens AS oov_permille
+       FROM (
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         FROM toks t LEFT JOIN vocab v USING (term)
+         GROUP BY doc_id)
+       ORDER BY doc_id""")
+
+  /** Per-document n-gram novelty — of each doc's DISTINCT trigrams,
+    * the fraction whose global FIRST appearance (min doc_id) is this
+    * doc. The data-valuation signal behind "does this shard add
+    * anything": near-zero novelty late in a crawl means the source is
+    * re-serving known content. Complements [[qVocabGrowth]] (corpus
+    * vocab curve by bucket) with per-document attribution, and
+    * q_repetition_ratio (intra-doc) with a cross-doc measure.
+    * Permille in integer DIV — exact in any engine.
+    *
+    * Scale shape: per-doc DISTINCT trigrams (doc-keyed distinct, the
+    * shingle cardinality), one trigram-keyed min(doc_id) aggregate
+    * (partial-agg'd — vocab-of-trigrams-sized shuffle), one
+    * trigram-keyed join back, one doc-keyed count. No all-pairs
+    * anywhere; attribution rides the same trigram key end-to-end so
+    * AQE can co-partition the agg and the join. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): per-doc
+    * novel-trigram attribution over any (doc_id, text) frame. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val tri = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+             i -> concat(element_at(toks, i + 1), ' ',
+                         element_at(toks, i + 2), ' ',
+                         element_at(toks, i + 3)))""")).as("trigram"))
+      .distinct()
+    val first = tri.groupBy(col("trigram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    tri.join(first, Seq("trigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("n_novel * 1000 DIV n_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNgramNovelty = Q(
+    (s, d) => ngramNovelty(Tables.documents(s, d)),
+    """WITH tri AS (
+         SELECT DISTINCT doc_id, trigram
+         FROM (SELECT doc_id,
+                 UNNEST(LIST_TRANSFORM(RANGE(LEN(toks) - 2),
+                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+                   AS trigram
+               FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+               WHERE LEN(toks) >= 3)),
+       first AS (SELECT trigram, MIN(doc_id) AS first_doc FROM tri GROUP BY trigram)
+       SELECT doc_id, n_distinct, n_novel,
+         n_novel * 1000 // n_distinct AS novelty_permille
+       FROM (
+         SELECT t.doc_id, COUNT(*) AS n_distinct,
+           CAST(SUM(CASE WHEN first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+         FROM tri t JOIN first USING (trigram)
+         GROUP BY t.doc_id)
+       ORDER BY doc_id""")
+
   val defs: Map[String, Q] = Map(
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_resolution" -> qEntityResolution,
@@ -2189,5 +2297,7 @@ object TextOps {
     "q_inverted_index" -> qInvertedIndex,
     "q_vocab_growth" -> qVocabGrowth,
     "q_ngram_stats" -> qNgramStats,
-    "q_fluency_score" -> qFluencyScore)
+    "q_fluency_score" -> qFluencyScore,
+    "q_oov_rate" -> qOovRate,
+    "q_ngram_novelty" -> qNgramNovelty)
 }

@@ -753,6 +753,71 @@ class GraftApiSpec extends SparkSpec {
     assert(one.count() === 0)
   }
 
+  test("oovRate: planted vocab tail scores exact permille") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: c=3, a=2, b=2 — top-2 by (count desc, term asc)
+    // is {c, a}, so b is the OOV tail
+    val docs = Seq((1L, "a a b"), (2L, "b c c c")).toDF("doc_id", "text")
+    val r = Graft.oovRate(docs, vocabSize = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((3L, 1L, 333L)))
+    assert(r(2L) === ((4L, 1L, 250L)))
+    // vocabSize covering the whole vocabulary → zero OOV everywhere
+    val all = Graft.oovRate(docs, vocabSize = 3).collect()
+    assert(all.forall(_.getLong(2) === 0L))
+  }
+
+  test("ngramNovelty: a verbatim re-serve scores zero novel trigrams") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x y z w"),   // introduces "x y z", "y z w"
+      (2L, "x y z q"),   // re-serves "x y z", introduces "y z q"
+      (3L, "x y z w")    // verbatim copy of doc 1 — nothing novel
+    ).toDF("doc_id", "text")
+    val r = Graft.ngramNovelty(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((2L, 2L, 1000L)))
+    assert(r(2L) === ((2L, 1L, 500L)))
+    assert(r(3L) === ((2L, 0L, 0L)))
+  }
+
+  test("filterFunnel: each planted doc drops at its own stage") {
+    val s = spark
+    import s.implicits._
+    val pass12 = Array.fill(11)("ok").mkString(" ") // 11 tokens, len 2
+    val docs = Seq(
+      (1L, "too few tokens"),                    // fails 1: < 10 tokens
+      (2L, Array.fill(12)("a").mkString(" ")),   // fails 2: mean len 1
+      (3L, pass12 + " 99999999"),                // fails 3: digit-heavy
+      (4L, pass12 + " fine"),                    // fails 4: no "the"
+      (5L, pass12 + " the")                      // survives all four
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val r = Graft.filterFunnel(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._1).toSeq ===
+      Seq("1_token_bounds", "2_word_len_band", "3_symbol_ratio", "4_stopword"))
+    assert(r.map(_._2).toSeq ===
+      Seq((5L, 4L, 1L), (4L, 3L, 1L), (3L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("sourceDrift: identical strata score zero, disjoint strata score 1e6") {
+    val s = spark
+    import s.implicits._
+    // both sources have the exact global distribution → TV distance 0
+    val same = Seq((1L, "a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(Graft.sourceDrift(same).collect().forall(_.getLong(2) === 0L))
+    // disjoint vocabularies: each source is at full distance —
+    // |1e6/1 − 5e5/1| + |0 − 5e5| = 1e6 per source, exactly
+    val disjoint = Seq((1L, "a a", "s1"), (2L, "b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Graft.sourceDrift(disjoint).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r === Map("s1" -> 1000000L, "s2" -> 1000000L))
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
