@@ -321,16 +321,28 @@ object QualityOps {
     * Scale shape: one token explode → (source, term) partial-agg'd
     * counts; everything after is vocab×strata-sized (the grid cross
     * join is |sources|·|vocab| — dimension-scale, never corpus-scale);
-    * the corpus totals are a 1-row broadcast. */
+    * the corpus totals are a 1-row broadcast. The count frame feeds
+    * FOUR consumers (srcTot, glob, the grid join, the totals), and
+    * Spark's ReuseExchange cannot unify them (the join branch's
+    * pushed isnotnull makes its scan subtree differ), so it is
+    * memoized + persisted once per (input, cols) per session — same
+    * lifecycle pattern as copurchasePairs' basket-item table; without
+    * it the plan explodes the corpus once PER CONSUMER (PlanSpec pins
+    * the single-scan shape). Post-agg it is vocab×strata rows, so the
+    * persist is dimension-sized at any corpus size. */
   /** PUBLIC composable form (exported via [[graft.Graft]]): drift of
     * `groupCol` strata vs the whole frame over `textCol` unigrams. */
   def sourceDrift(docs: DataFrame, groupCol: String = "source",
                   textCol: String = "text"): DataFrame = {
-    val st = docs
-      .select(col(groupCol).as("source"),
-        explode(split(col(textCol), " ")).as("term"))
-      .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("c_st"))
+    val st = graft.SessionMemo.getOrElseUpdate(docs.sparkSession,
+      s"source_drift_st:${graft.SessionMemo.planKey(docs)}:$groupCol:$textCol") {
+      docs
+        .select(col(groupCol).as("source"),
+          explode(split(col(textCol), " ")).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_st"))
+        .persist()
+    }
     val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val glob = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
     val tot = glob.agg(sum(col("c_t")).as("n_tot"))

@@ -500,6 +500,57 @@ class PlanSpec extends SparkSpec {
       "frequency aggregation must be hash-based")
   }
 
+  test("q_oov_rate: K-row vocab broadcasts into the probe, limit is TakeOrdered") {
+    // the vocab is K rows by construction — at 100 TB the membership
+    // probe must be a broadcast join (the corpus token stream never
+    // shuffles for it), and the top-K must be TakeOrdered, never a
+    // global sort of the vocabulary
+    val plan = planOf("q_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("q_ngram_novelty: attribution joins equi on the trigram, min agg is partial") {
+    val plan = planOf("q_ngram_novelty")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("partial_min"),
+      "first-doc attribution must partial-aggregate before its exchange")
+  }
+
+  test("q_filter_funnel: the whole four-stage funnel costs exactly one corpus scan") {
+    // the funnel's entire point is per-stage attrition WITHOUT
+    // per-stage scans — all four cumulative flags are conditional
+    // sums in one aggregate over one pass
+    val plan = planOf("q_filter_funnel")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("BatchScan"))
+    assert(scans == 1, s"expected 1 corpus scan, found $scans:\n${plan.take(1500)}")
+  }
+
+  test("q_source_drift: the corpus explodes once, consumers read the memoized counts") {
+    // srcTot / glob / the grid join / the totals all consume the same
+    // (source, term) count frame; ReuseExchange cannot unify the four
+    // subtrees (the join branch's pushed isnotnull differs), so the
+    // operator persists the dimension-sized counts — every consumer
+    // must read the cache, and the corpus explode must not appear in
+    // the consuming plan at all (one pass total, not one per consumer)
+    // tree check, not string: InMemoryRelation is a leaf logical node
+    // (its cached plan is not a child), so any Generate surviving in
+    // the optimized plan is a LIVE corpus explode, not the cache's
+    // printed definition
+    val opt = SparkEntry.queries("q_source_drift")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val caches = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
+    val gens = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(caches.size == 4, s"expected all 4 consumers on the cache:\n$opt")
+    assert(gens.isEmpty,
+      s"live corpus explode past the memoized counts (${gens.size}):\n$opt")
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)
