@@ -119,6 +119,21 @@ object Graft {
   def ensembleNearDupPairs(docs: DataFrame): DataFrame =
     ops.TextOps.ensembleNearDupPairs(docs)
 
+  /** Near-dup pair counts rolled up by source pair (least/greatest
+    * canonicalized) — which sources duplicate which. Pair frame is
+    * dup-graph-sized; enrichment joins are equi on doc_id against the
+    * pruned (doc_id, source) projection. */
+  def crossSourceDupMatrix(docs: DataFrame, threshold: Double = 0.5,
+                           sourceCol: String = "source"): DataFrame =
+    ops.TextOps.crossSourceDupMatrix(docs, threshold, sourceCol)
+
+  /** Cluster-size histogram of a dedup run, including the size-1 row
+    * (docs in no cluster) so the rows sum to the corpus. `clusters`
+    * is any (cluster_id, cluster_size) table, e.g. the near-dup
+    * components output. */
+  def dedupClusterSizes(docs: DataFrame, clusters: DataFrame): DataFrame =
+    ops.TextOps.dedupClusterSizes(docs, clusters)
+
   /** Flag corpus docs sharing >= `minOverlap` word n-grams with an
     * evaluation set (benchmark decontamination). Default n = 2
     * (bigrams, the graded query's setting); production pipelines use

@@ -2268,6 +2268,99 @@ object TextOps {
          GROUP BY t.doc_id)
        ORDER BY doc_id""")
 
+  /** Cross-source duplication matrix — WHICH sources duplicate WHICH:
+    * near-dup pair counts rolled up by (source_a, source_b), the
+    * observability table that turns a pair list into a curation
+    * decision (two mirrors of one crawl → drop a source; one source
+    * quoting another → re-weight, don't drop). Sources are
+    * canonicalized least/greatest so the matrix is upper-triangular
+    * and a pair is counted once regardless of doc order.
+    *
+    * Scale shape: the pair frame IS the dedup output
+    * (dup-graph-sized, orders of magnitude below the corpus), and
+    * both enrichment joins are equi on doc_id against the pruned
+    * (doc_id, source) projection — the corpus is scanned once,
+    * two-columns-wide, and only pair-side rows survive the join. The
+    * rollup output is |sources|² at worst — dimension-sized. Reuses
+    * the session-memoized MinHash pair family, so after any dedup
+    * query ran, this costs only the enrichment. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]). */
+  def crossSourceDupMatrix(docs: DataFrame, threshold: Double = 0.5,
+                           sourceCol: String = "source"): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id"), col(sourceCol).as("src"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("src").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("src").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qDedupCrossSource = Q(
+    (s, d) => crossSourceDupMatrix(Tables.documents(s, d)),
+    s"""WITH mh AS (${qDedupMinhash.oracle.get}),
+       src AS (SELECT doc_id, source FROM documents)
+       SELECT LEAST(a.source, b.source) AS source_a,
+              GREATEST(a.source, b.source) AS source_b,
+              COUNT(*) AS n_pairs
+       FROM mh JOIN src a ON mh.doc_a = a.doc_id
+               JOIN src b ON mh.doc_b = b.doc_id
+       GROUP BY 1, 2
+       ORDER BY source_a, source_b""")
+
+  /** Dedup-cluster size distribution — the one-glance health check of
+    * a dedup run: a long tail of size-2 clusters is normal near-dup
+    * noise; a single giant component usually means boilerplate
+    * stitched everything together (threshold too low, or a template
+    * gram family that should have been scrubbed first). Includes the
+    * size-1 row (docs in NO near-dup cluster) so the histogram sums
+    * to the corpus and the dedup rate reads directly off it.
+    *
+    * Scale shape: everything downstream of the memoized cluster table
+    * is cluster-count-sized; the only corpus-sized touch is one
+    * count(*) for the singleton row. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): histogram
+    * of any (cluster_id, cluster_size) cluster table against its
+    * (doc_id) corpus. */
+  def dedupClusterSizes(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val per = clusters.select(col("cluster_id"), col("cluster_size")).distinct()
+    val hist = per.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(per.agg(coalesce(sum(col("cluster_size")), lit(0L)).as("n_in")))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_in")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    // re-aggregate after the union: belt-and-braces against a
+    // degenerate size-1 component ever appearing in the cluster table
+    hist.unionByName(singles)
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val qDedupClusterSizes = Q(
+    (s, d) => dedupClusterSizes(Tables.documents(s, d), qDedupClusters.fn(s, d)),
+    s"""$duckCompCtes,
+       per AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM comp GROUP BY cluster_id),
+       hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+                FROM per GROUP BY cluster_size),
+       singles AS (
+         SELECT CAST(1 AS BIGINT) AS cluster_size,
+                (SELECT COUNT(*) FROM documents)
+                  - COALESCE((SELECT SUM(cluster_size) FROM per), 0)
+                  AS n_clusters)
+       SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+       FROM (SELECT * FROM hist UNION ALL
+             SELECT * FROM singles WHERE n_clusters > 0)
+       GROUP BY cluster_size
+       ORDER BY cluster_size""")
+
   val defs: Map[String, Q] = Map(
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_resolution" -> qEntityResolution,
@@ -2299,5 +2392,7 @@ object TextOps {
     "q_ngram_stats" -> qNgramStats,
     "q_fluency_score" -> qFluencyScore,
     "q_oov_rate" -> qOovRate,
-    "q_ngram_novelty" -> qNgramNovelty)
+    "q_ngram_novelty" -> qNgramNovelty,
+    "q_dedup_cross_source" -> qDedupCrossSource,
+    "q_dedup_cluster_sizes" -> qDedupClusterSizes)
 }

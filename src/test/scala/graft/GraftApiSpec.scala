@@ -818,6 +818,41 @@ class GraftApiSpec extends SparkSpec {
     assert(r === Map("s1" -> 1000000L, "s2" -> 1000000L))
   }
 
+  test("crossSourceDupMatrix: planted twins roll up to the right source pairs") {
+    val s = spark
+    import s.implicits._
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six seven"
+    val docs = Seq(
+      (1L, a, "srcA"), (2L, a, "srcB"),  // cross-source twin pair
+      (3L, b, "srcA"), (4L, b, "srcA"),  // within-source twin pair
+      (5L, "lone wolf text nothing shared here", "srcC") // no dup
+    ).toDF("doc_id", "text", "source")
+    val r = Graft.crossSourceDupMatrix(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r === Map(("srcA", "srcB") -> 1L, ("srcA", "srcA") -> 1L))
+  }
+
+  test("dedupClusterSizes: histogram sums to the corpus incl. the singleton row") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq( // cluster 1: 3 members, cluster 4: 2 members
+      (1L, 1L, 3L), (1L, 2L, 3L), (1L, 3L, 3L),
+      (4L, 4L, 2L), (4L, 5L, 2L)
+    ).toDF("cluster_id", "doc_id", "cluster_size")
+    val r = Graft.dedupClusterSizes(docs, clusters).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 5L, 2L -> 1L, 3L -> 1L))
+    // rows sum back to the corpus
+    assert(r.map { case (sz, n) => sz * n }.sum === 10L)
+    // degenerate corpus with no clusters at all: one all-singleton row
+    val empty = clusters.filter(col("cluster_id") < 0L)
+    val lone = Graft.dedupClusterSizes(docs, empty).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(lone === Map(1L -> 10L))
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
