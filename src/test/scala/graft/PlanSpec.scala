@@ -519,6 +519,15 @@ class PlanSpec extends SparkSpec {
       "first-doc attribution must partial-aggregate before its exchange")
   }
 
+  test("q_dedup_cross_source: enrichment is equi on doc_id, never a cartesian") {
+    // the rollup must ride the dup-graph-sized pair frame through two
+    // doc_id equi-joins — a cartesian or nested-loop here would be
+    // pairs × corpus
+    val plan = planOf("q_dedup_cross_source")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("q_filter_funnel: the whole four-stage funnel costs exactly one corpus scan") {
     // the funnel's entire point is per-stage attrition WITHOUT
     // per-stage scans — all four cumulative flags are conditional
