@@ -134,6 +134,13 @@ object Graft {
   def dedupClusterSizes(docs: DataFrame, clusters: DataFrame): DataFrame =
     ops.TextOps.dedupClusterSizes(docs, clusters)
 
+  /** Per-source dedup decision table: docs in clusters, survivors
+    * after min-id canonicalization, integer-permille removal rate.
+    * `clusters` must be min-id-labeled (cluster_id == the component's
+    * minimum doc_id, as the near-dup components emit). */
+  def dedupRateBySource(docs: DataFrame, clusters: DataFrame): DataFrame =
+    ops.TextOps.dedupRateBySource(docs, clusters)
+
   /** Flag corpus docs sharing >= `minOverlap` word n-grams with an
     * evaluation set (benchmark decontamination). Default n = 2
     * (bigrams, the graded query's setting); production pipelines use
@@ -418,6 +425,12 @@ object Graft {
     * precomputed. */
   def datasetBuild(docs: DataFrame): DataFrame =
     ops.PipelineOps.datasetBuild(docs)
+
+  /** Corpus dataset card: doc/token totals, source/lang cardinalities,
+    * doc-length extremes and integer-permille mean as one
+    * (metric, value) table — one corpus pass at (source, lang) grain. */
+  def datasetCard(docs: DataFrame): DataFrame =
+    ops.PipelineOps.datasetCard(docs)
 
   /** Cumulative quality-gate attrition report over a (doc_id, text,
     * n_chars) frame — (stage, n_in, n_kept, n_dropped) per gate, all

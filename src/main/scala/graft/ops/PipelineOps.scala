@@ -707,7 +707,81 @@ object PipelineOps {
          SELECT '4_stopword'      AS stage, n3 AS n_in, n4 AS n_kept FROM agg)
        ORDER BY stage""")
 
+  /** Corpus dataset card — the scalar summary block every published
+    * training set ships (datasheet/dataset-card practice): doc and
+    * token totals, source/language cardinalities, doc-length extremes
+    * and the integer-permille mean, as one (metric, value) table.
+    * The distribution-shaped companions are separate graded queries
+    * (q_length_histogram, q_length_deciles, q_token_percentiles);
+    * this is the header block above them.
+    *
+    * Plan shape, chosen for 100 TB: ONE corpus pass aggregated at the
+    * (source, lang) grain — a dimension-sized shuffle — and every
+    * card metric derives from that rollup: the countDistincts and the
+    * global sums/extremes all run over |sources|×|langs| rows. A
+    * direct multi-countDistinct over the corpus would Expand the scan
+    * ×3 (the rejected plan q_profile_table documents); grouping first
+    * keeps the corpus traffic at exactly one partial-agg'd exchange.
+    * The unpivot is inline() over the finished scalars — driver-free. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]): the card
+    * of any (text, source, lang, n_chars) frame. */
+  def datasetCard(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nd"), sum(col("toks")).as("nt"),
+        sum(col("n_chars")).as("nc"),
+        min(col("toks")).as("mn"), max(col("toks")).as("mx"))
+      .agg(sum(col("nd")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"),
+        min(col("mn")).as("min_toks"), max(col("mx")).as("max_toks"))
+      .selectExpr(
+        """inline(array(
+             struct('01_n_docs'          AS metric, n_docs   AS value),
+             struct('02_n_sources'       AS metric, n_sources AS value),
+             struct('03_n_langs'         AS metric, n_langs  AS value),
+             struct('04_n_tokens'        AS metric, n_tokens AS value),
+             struct('05_n_chars'         AS metric, n_chars  AS value),
+             struct('06_min_doc_tokens'  AS metric, min_toks AS value),
+             struct('07_max_doc_tokens'  AS metric, max_toks AS value),
+             struct('08_mean_doc_tokens_permille' AS metric,
+                    n_tokens * 1000 DIV n_docs AS value)))""")
+      .orderBy(col("metric"))
+
+  val qDatasetCard = Q(
+    (s, d) => datasetCard(Tables.documents(s, d)),
+    """WITH per AS (
+         SELECT source, lang, COUNT(*) AS nd,
+           SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS nt,
+           SUM(n_chars) AS nc,
+           MIN(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS mn,
+           MAX(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS mx
+         FROM documents GROUP BY source, lang),
+       card AS (
+         SELECT CAST(SUM(nd) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(MIN(mn) AS BIGINT) AS min_toks,
+           CAST(MAX(mx) AS BIGINT) AS max_toks
+         FROM per)
+       SELECT metric, value FROM (
+         SELECT '01_n_docs' AS metric, n_docs AS value FROM card
+         UNION ALL SELECT '02_n_sources', n_sources FROM card
+         UNION ALL SELECT '03_n_langs', n_langs FROM card
+         UNION ALL SELECT '04_n_tokens', n_tokens FROM card
+         UNION ALL SELECT '05_n_chars', n_chars FROM card
+         UNION ALL SELECT '06_min_doc_tokens', min_toks FROM card
+         UNION ALL SELECT '07_max_doc_tokens', max_toks FROM card
+         UNION ALL SELECT '08_mean_doc_tokens_permille',
+                          n_tokens * 1000 // n_docs FROM card)
+       ORDER BY metric""")
+
   val defs: Map[String, Q] = Map(
+    "q_dataset_card" -> qDatasetCard,
     "q_filter_funnel" -> qFilterFunnel,
     "q_epoch_order" -> qEpochOrder,
     "q_quality_prune" -> qQualityPrune,

@@ -2361,6 +2361,56 @@ object TextOps {
        GROUP BY cluster_size
        ORDER BY cluster_size""")
 
+  /** Per-source dedup rate — the source re-weighting decision table:
+    * per source, how many docs sit in a near-dup cluster, how many
+    * survive canonicalization, and the integer-permille removal rate.
+    * A source shedding half its mass to dedup is over-represented in
+    * the raw crawl and should be down-weighted BEFORE sampling, not
+    * re-discovered after training.
+    *
+    * Precondition: `clusters` must be min-id-labeled (cluster_id ==
+    * the component's minimum doc_id — what [[qDedupClusters]] /
+    * [[componentLabels]] emit), because the canonical survivor of a
+    * cluster is recognized as the member whose doc_id equals its
+    * cluster_id. n_kept = non-members + clusters canonicalized into
+    * this source.
+    *
+    * Scale shape: one equi-join of the pruned (doc_id, source)
+    * projection against the dup-graph-sized member table, one
+    * source-keyed aggregate — the corpus is touched once,
+    * two-columns-wide. */
+  /** PUBLIC composable form (exported via [[graft.Graft]]). */
+  def dedupRateBySource(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val members = clusters.select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(members, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("cluster_id") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_canonical"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_docs") - col("n_dup_docs") + col("n_canonical")).as("n_kept"))
+      .withColumn("removed_permille",
+        expr("(n_docs - n_kept) * 1000 DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val qDedupRateBySource = Q(
+    (s, d) => dedupRateBySource(Tables.documents(s, d), qDedupClusters.fn(s, d)),
+    s"""$duckCompCtes,
+       enr AS (SELECT d.source, d.doc_id, c.cluster_id
+               FROM documents d LEFT JOIN comp c USING (doc_id)),
+       per AS (SELECT source, COUNT(*) AS n_docs,
+                 SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dup,
+                 SUM(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS n_canon
+               FROM enr GROUP BY source)
+       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_dup AS BIGINT) AS n_dup_docs,
+         CAST(n_docs - n_dup + n_canon AS BIGINT) AS n_kept,
+         CAST((n_dup - n_canon) * 1000 // n_docs AS BIGINT) AS removed_permille
+       FROM per ORDER BY source""")
+
   val defs: Map[String, Q] = Map(
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_resolution" -> qEntityResolution,
@@ -2394,5 +2444,6 @@ object TextOps {
     "q_oov_rate" -> qOovRate,
     "q_ngram_novelty" -> qNgramNovelty,
     "q_dedup_cross_source" -> qDedupCrossSource,
-    "q_dedup_cluster_sizes" -> qDedupClusterSizes)
+    "q_dedup_cluster_sizes" -> qDedupClusterSizes,
+    "q_dedup_rate_by_source" -> qDedupRateBySource)
 }

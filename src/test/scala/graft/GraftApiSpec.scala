@@ -853,6 +853,43 @@ class GraftApiSpec extends SparkSpec {
     assert(lone === Map(1L -> 10L))
   }
 
+  test("datasetCard: every metric matches the hand count on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),      // 3 tokens, 5 chars
+      (2L, "d e", "en", "s1"),        // 2 tokens, 3 chars
+      (3L, "f g h i", "pt", "s2")     // 4 tokens, 7 chars
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val r = Graft.datasetCard(docs).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map(
+      "01_n_docs" -> 3L, "02_n_sources" -> 2L, "03_n_langs" -> 2L,
+      "04_n_tokens" -> 9L, "05_n_chars" -> 15L,
+      "06_min_doc_tokens" -> 2L, "07_max_doc_tokens" -> 4L,
+      "08_mean_doc_tokens_permille" -> 3000L))
+  }
+
+  test("dedupRateBySource: removal rate counts members minus canonicals") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s1"),  // 1,2,3 cluster; 4 free
+      (5L, "s2"), (6L, "s2")                           // 5 joins s1's cluster
+    ).toDF("doc_id", "source")
+    // min-id-labeled cluster {1,2,3,5}: canonical is doc 1 (in s1)
+    val clusters = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 5L))
+      .toDF("cluster_id", "doc_id")
+    val r = Graft.dedupRateBySource(docs, clusters).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // s1: 4 docs, 3 members, canonical 1 kept → kept 2, removed 2/4 = 500‰
+    assert(r("s1") === ((4L, 3L, 2L, 500L)))
+    // s2: 2 docs, 1 member, no canonical → kept 1, removed 1/2 = 500‰
+    assert(r("s2") === ((2L, 1L, 1L, 500L)))
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)

@@ -560,6 +560,38 @@ class PlanSpec extends SparkSpec {
       s"live corpus explode past the memoized counts (${gens.size}):\n$opt")
   }
 
+  test("q_dataset_card: one corpus scan; distincts run on the rollup, not the corpus") {
+    // the card pre-aggregates at (source, lang) grain exactly so the
+    // multi-countDistinct Expand multiplies DIMENSION rows, not the
+    // corpus — the plan must show a single corpus scan, and any
+    // Expand must sit above the first aggregate's exchange
+    val plan = planOf("q_dataset_card")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("BatchScan"))
+    assert(scans == 1, s"expected 1 corpus scan, found $scans:\n${plan.take(1500)}")
+    val lines = plan.linesIterator.toVector
+    val expandAt = lines.lastIndexWhere(_.contains("Expand"))
+    val scanAt = lines.indexWhere(l =>
+      l.contains("FileScan parquet") || l.contains("BatchScan"))
+    val rollupExchangeAt =
+      lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    if (expandAt >= 0) {
+      // plan prints root-first (deeper = later): the DEEPEST hash
+      // exchange is the (source, lang) rollup collapse, and it must
+      // sit between the Expand and the scan — i.e. the corpus shrinks
+      // to dimension rows before any distinct Expand multiplies it
+      assert(expandAt < rollupExchangeAt && rollupExchangeAt < scanAt,
+        s"Expand at $expandAt vs rollup exchange $rollupExchangeAt vs " +
+          s"scan $scanAt:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q_dedup_rate_by_source: enrichment join is equi, never a cartesian") {
+    val plan = planOf("q_dedup_rate_by_source")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)
