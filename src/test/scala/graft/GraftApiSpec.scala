@@ -890,6 +890,30 @@ class GraftApiSpec extends SparkSpec {
     assert(r("s2") === ((2L, 1L, 1L, 500L)))
   }
 
+  test("dedup observability tables are mutually consistent on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    // the cross-source matrix is a pure rollup: its pair total must
+    // equal the pair list it rolls up
+    val nPairs = Graft.minhashNearDupPairs(docs).count()
+    val matrixTotal = Graft.crossSourceDupMatrix(docs)
+      .agg(sum(col("n_pairs"))).head.getLong(0)
+    assert(matrixTotal === nPairs)
+    // the size histogram (incl. its singleton row) must sum back to
+    // the corpus, by construction
+    val clusters = ops.TextOps.qDedupClusters.fn(spark, sfDir)
+    val hist = Graft.dedupClusterSizes(docs, clusters).collect()
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum === nDocs)
+    // the rate table partitions the corpus: per-source docs sum to the
+    // corpus, and total removals equal members minus canonicals of the
+    // same cluster table
+    val rate = Graft.dedupRateBySource(docs, clusters).collect()
+    assert(rate.map(_.getLong(1)).sum === nDocs)
+    val members = clusters.count()
+    val nClusters = clusters.select(col("cluster_id")).distinct().count()
+    assert(rate.map(r => r.getLong(1) - r.getLong(3)).sum === members - nClusters)
+  }
+
   test("bloomPruneJoin equals the plain join on non-default fpp") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
     val plain = Tables.orders(spark, sfDir)
