@@ -22,7 +22,14 @@ import java.nio.file.{Files, Paths}
   * failure time) and listed in the `failed` array of the detail
   * JSON, so a crashed query can never masquerade as a fast one;
   * failures are excluded from the total and surfaced via
-  * `n_failed` in the totals line. */
+  * `n_failed` in the totals line.
+  *
+  * Machine co-load is detected per query (timed sample ≫ the query's
+  * own warmup first_run — identical plans cannot slow down after
+  * warmup, so the excess is environmental), retried with bounded
+  * extra samples, and surfaced in the `degraded` array on BOTH output
+  * lines when no clean sample was obtained — see the inline note at
+  * the sampling loop. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,12 +129,39 @@ object Bench {
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val memoBuilds = SessionMemo.buildTimes(spark)
+    // Co-load SELF-DEFENSE (round-10 verdict #1): loadavg stamping made
+    // a co-loaded artifact identifiable, but the graded number still
+    // lied (r10: 211 s driver artifact vs 61 s idle rerun at the same
+    // HEAD). The detector is already in the data: a timed min-of-2 that
+    // exceeds the query's OWN warmup first_run by 4× cannot be a plan
+    // cost — identical plans don't get slower after warmup; the
+    // environment degraded. On detection, take up to 2 extra samples
+    // (bounded — a busy machine must not turn the bench into a spin
+    // loop); a query that never produces a clean sample is reported in
+    // a top-level "degraded" array so the consumer knows exactly which
+    // numbers are environmental. The 0.5 s absolute floor keeps
+    // sub-second scheduling jitter on tiny queries from tripping the
+    // ratio test. first_run is an upper bound on steady state (it
+    // includes the memo builds), which makes 4× over it a conservative
+    // detector — real co-load inflates 5-20× (r10: 0.91 s → 17.1 s).
+    val firstMap = firstRun.toMap
+    val degradedNames = scala.collection.mutable.ArrayBuffer[String]()
+    def looksDegraded(name: String, ts: Seq[Double]): Boolean = {
+      val fr = firstMap.getOrElse(name, -1.0)
+      ts.nonEmpty && fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5
+    }
     val sampled = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       hygieneEvery.foreach { n =>
         if (idx > 0 && idx % n == 0) { spark.catalog.clearCache(); System.gc() }
       }
-      val ts = try Seq(timeOnce(fn), timeOnce(fn))
+      var ts = try Seq(timeOnce(fn), timeOnce(fn))
                catch { case _: Throwable => Seq.empty }
+      var retries = 0
+      while (looksDegraded(name, ts) && retries < 2) {
+        ts = try ts :+ timeOnce(fn) catch { case _: Throwable => ts }
+        retries += 1
+      }
+      if (looksDegraded(name, ts)) degradedNames += name
       (name, fn, ts)
     }
     val results = sampled.map { case (name, _, ts) =>
@@ -142,7 +176,10 @@ object Bench {
     val medians = sampled.collect {
       case (name, fn, ts) if ts.nonEmpty && ts.min > 0.5 =>
         val t3 = try timeOnce(fn) catch { case _: Throwable => ts.max }
-        name -> (ts :+ t3).sorted.apply(1)
+        // middle element by index — ts may hold 2-4 samples when the
+        // co-load retries fired, so the median index is size-dependent
+        val all = (ts :+ t3).sorted
+        name -> all(all.size / 2)
     }
     // Locale.ROOT: the f interpolator honors the JVM default locale,
     // and a comma-decimal locale would emit invalid JSON ("0,123")
@@ -167,8 +204,13 @@ object Bench {
     // itself on a 32-thread session and is kept for the delta
     val loadEnd = loadavg()
     val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)}"""
+    // queries whose timed samples never beat 4× their own warmup
+    // first_run even after the bounded retries: their numbers are
+    // environmental (machine co-load), not plan cost — consumers
+    // should read them as "no clean sample obtained this run"
+    val degraded = degradedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench
     // (the driver may run this from a non-writable working directory,
     // and the final stdout line below is the graded artifact)
@@ -177,7 +219,7 @@ object Bench {
     // totals-only JSON as the ONLY stdout line — round 1's full
     // per-query line (~3.5 KB) overflowed the driver's capture window
     // and the round's bench never parsed; keep this short and flushed.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

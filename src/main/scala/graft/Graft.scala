@@ -137,9 +137,11 @@ object Graft {
   /** Per-source dedup decision table: docs in clusters, survivors
     * after min-id canonicalization, integer-permille removal rate.
     * `clusters` must be min-id-labeled (cluster_id == the component's
-    * minimum doc_id, as the near-dup components emit). */
-  def dedupRateBySource(docs: DataFrame, clusters: DataFrame): DataFrame =
-    ops.TextOps.dedupRateBySource(docs, clusters)
+    * minimum doc_id, as the near-dup components emit). `sourceCol`
+    * names the stratum column, matching [[crossSourceDupMatrix]]. */
+  def dedupRateBySource(docs: DataFrame, clusters: DataFrame,
+                        sourceCol: String = "source"): DataFrame =
+    ops.TextOps.dedupRateBySource(docs, clusters, sourceCol)
 
   /** Flag corpus docs sharing >= `minOverlap` word n-grams with an
     * evaluation set (benchmark decontamination). Default n = 2

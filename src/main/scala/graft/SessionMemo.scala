@@ -24,6 +24,8 @@ object SessionMemo {
     scala.collection.concurrent.TrieMap[String, Double]]()
   private val flags = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, Unit]]()
+  private val objs = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Any]]()
 
   private def forSession[V](store: java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, V]], s: SparkSession) =
@@ -43,6 +45,21 @@ object SessionMemo {
       forSession(times, s).put(key, (System.nanoTime() - t0) / 1e9)
       df
     })
+
+  /** Like [[getOrElseUpdate]] but for non-DataFrame build products
+    * that share the session lifecycle — a driver-built bloom filter,
+    * a collected threshold table. Same weak-session store, and the
+    * build is timed into the same [[buildTimes]] block so Bench's
+    * memo_builds attribution covers driver-side object builds too
+    * (the bloom build is a treeAggregate — real cluster work that
+    * must not hide inside whichever consumer runs first). */
+  def getOrElseUpdateObj[T](s: SparkSession, key: String)(build: => T): T =
+    forSession(objs, s).getOrElseUpdate(key, {
+      val t0 = System.nanoTime()
+      val v = build
+      forSession(times, s).put(key, (System.nanoTime() - t0) / 1e9)
+      v
+    }).asInstanceOf[T]
 
   /** Run `action` at most once per (session, key). For idempotent
     * session wiring — UDF/UDAF/expression registration — that is

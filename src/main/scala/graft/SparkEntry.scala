@@ -12,7 +12,8 @@ object SparkEntry {
     ops.Relational.defs ++ ops.Functions.defs ++ etl.Medallion.defs ++
       ops.TextOps.defs ++ ops.VectorOps.defs ++ ops.Multimodal.defs ++
       ops.EventsOps.defs ++ ops.Advanced.defs ++ ops.PipelineOps.defs ++
-      ops.GraphOps.defs ++ ops.QualityOps.defs
+      ops.GraphOps.defs ++ ops.QualityOps.defs ++
+      sources.SourceQueries.defs ++ streaming.StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

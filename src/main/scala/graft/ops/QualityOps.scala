@@ -328,13 +328,24 @@ object QualityOps {
     * memoized + persisted once per (input, cols) per session — same
     * lifecycle pattern as copurchasePairs' basket-item table; without
     * it the plan explodes the corpus once PER CONSUMER (PlanSpec pins
-    * the single-scan shape). Post-agg it is vocab×strata rows, so the
-    * persist is dimension-sized at any corpus size. */
+    * the single-scan shape). Size honesty (ADVICE r10): post-agg the
+    * cache is strata×VOCAB rows, and unigram vocabulary grows with the
+    * corpus (Heaps' law — the repo's own q_vocab_growth documents the
+    * curve), so "dimension-sized" holds only in the
+    * orders-of-magnitude-below-the-corpus sense, not as a constant.
+    * persist() defaults to MEMORY_AND_DISK, so an outsized vocab
+    * spills rather than OOMs; eviction rides the SessionMemo
+    * lifecycle (entries are freed with the session — WeakHashMap —
+    * and `spark.catalog.clearCache()` drops the blocks early; a
+    * production pipeline with an unbounded vocab should pre-prune to
+    * a top-K term whitelist like oovRate does). Built through
+    * SessionMemo.materialized so the one-time cache fill lands in the
+    * memo_builds attribution block, not on the first consumer. */
   /** PUBLIC composable form (exported via [[graft.Graft]]): drift of
     * `groupCol` strata vs the whole frame over `textCol` unigrams. */
   def sourceDrift(docs: DataFrame, groupCol: String = "source",
                   textCol: String = "text"): DataFrame = {
-    val st = graft.SessionMemo.getOrElseUpdate(docs.sparkSession,
+    val st = graft.SessionMemo.materialized(docs.sparkSession,
       s"source_drift_st:${graft.SessionMemo.planKey(docs)}:$groupCol:$textCol") {
       docs
         .select(col(groupCol).as("source"),

@@ -2332,8 +2332,23 @@ object TextOps {
       .agg(count(lit(1)).as("n_clusters"))
     val singles = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(per.agg(coalesce(sum(col("cluster_size")), lit(0L)).as("n_in")))
+      // invariant enforced loudly (ADVICE r10): sum(cluster_size) over
+      // the cluster table can never exceed the corpus — a negative
+      // singleton count means the cluster table carries members not in
+      // `docs` (or inflated sizes), and silently filtering that row
+      // would break the documented "rows sum to the corpus" contract
+      // without a trace. raise_error sits in the lazy CaseWhen branch
+      // (same convention as componentLabels' round-cap fail-fast);
+      // the ==0 case stays a plain filter — it is legitimate when
+      // every doc is in some cluster.
       .select(lit(1L).as("cluster_size"),
-        (col("n_docs") - col("n_in")).as("n_clusters"))
+        when(col("n_docs") < col("n_in"),
+          expr("""CAST(raise_error(concat(
+            'dedupClusterSizes: sum(cluster_size)=', n_in,
+            ' exceeds corpus count=', n_docs,
+            ' - cluster table has members outside docs or inflated sizes'))
+            AS BIGINT)"""))
+          .otherwise(col("n_docs") - col("n_in")).as("n_clusters"))
       .filter(col("n_clusters") > 0)
     // re-aggregate after the union: belt-and-braces against a
     // degenerate size-1 component ever appearing in the cluster table
@@ -2379,10 +2394,14 @@ object TextOps {
     * projection against the dup-graph-sized member table, one
     * source-keyed aggregate — the corpus is touched once,
     * two-columns-wide. */
-  /** PUBLIC composable form (exported via [[graft.Graft]]). */
-  def dedupRateBySource(docs: DataFrame, clusters: DataFrame): DataFrame = {
+  /** PUBLIC composable form (exported via [[graft.Graft]]). `sourceCol`
+    * names the stratum column (API parity with
+    * [[crossSourceDupMatrix]], ADVICE r10 — the two are documented as
+    * a family); the output column is always `source`. */
+  def dedupRateBySource(docs: DataFrame, clusters: DataFrame,
+                        sourceCol: String = "source"): DataFrame = {
     val members = clusters.select(col("doc_id"), col("cluster_id"))
-    docs.select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col(sourceCol).as("source"))
       .join(members, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

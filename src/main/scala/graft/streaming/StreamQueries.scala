@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+
+/** Graded TRUE-streaming exhibit (round-10 verdict #4): until now the
+  * Structured Streaming surface was pinned only by StreamingSpec; the
+  * batch twins carried the oracle. This query puts the streaming path
+  * itself under the driver's hash gate: the rate-spike pipeline
+  * (`StreamingDemo.startRateSpikeSink` — per-micro-batch PARTIAL
+  * hourly counts appended to a batch-id-partitioned ledger, spike
+  * table recomputed from the merged ledger) is driven end-to-end with
+  * `Trigger.AvailableNow` over a file stream, and the drained sink is
+  * read back as the result. The oracle is the SAME SQL as the batch
+  * twin q_events_rate_spike, so the hash matches iff splitting the
+  * events across micro-batches, partial-aggregating per batch, and
+  * re-merging the ledger loses nothing vs one batch pass — the
+  * algebraic-partials claim, now graded instead of asserted.
+  *
+  * Determinism: hourly counts are integers (no FP re-association
+  * across batch splits), the checkpoint is reset per invocation so
+  * every run is a full re-drain with batch ids from 0, and the whole
+  * sink dir is wiped first — ledger partitions are keyed by batch id,
+  * so a stale partition from a previous (differently-split) run would
+  * otherwise double-count. */
+object StreamQueries {
+
+  /** Minimal projection the pipeline consumes; staged to parquet so
+    * `readStream` gets one stable schema — the raw corpus' physical
+    * ts unit varies across testdata generations (ns vs µs, see
+    * [[graft.Tables.readEvents]]) and the staged copy absorbs that
+    * through the batch reader that already handles it. */
+  private val stagedSchema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType)))
+
+  private def rmRf(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally stream.close()
+    }
+
+  val qStreamDrain = Q(
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_drain_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      rmRf(base) // fresh checkpoint + empty ledger: full deterministic re-drain
+      val staging = base.resolve("staging").toString
+      val sink = base.resolve("sink").toString
+      val ckpt = base.resolve("ckpt").toString
+      // 4 staged files + maxFilesPerTrigger=2 → the drain runs as 2+
+      // micro-batches, so the graded result genuinely crosses a
+      // batch boundary (a single-batch drain would grade only the
+      // degenerate case where partials ARE the totals)
+      Tables.events(s, d).select(col("ts"), col("event_type"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(staging)
+      val stream = s.readStream.schema(stagedSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging)
+      val q = StreamingDemo.startRateSpikeSink(
+        stream, sink, Some(ckpt), availableNow = true)
+      q.awaitTermination()
+      // parquet loses order; re-impose the batch twin's sort so the
+      // frame is row-for-row the oracle's
+      s.read.parquet(s"$sink/spikes")
+        .orderBy(col("event_type"), col("hr"))
+    },
+    // the batch twin's oracle verbatim — one source of truth, so the
+    // two queries can never drift apart silently
+    graft.ops.EventsOps.qEventsRateSpike.oracle.get)
+
+  val defs: Map[String, Q] = Map("q_stream_drain" -> qStreamDrain)
+}

@@ -555,7 +555,12 @@ class PlanSpec extends SparkSpec {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }
     val gens = opt.collect {
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
-    assert(caches.size == 4, s"expected all 4 consumers on the cache:\n$opt")
+    // nonEmpty, not ==4: the exact consumer count is an optimizer
+    // artifact (a future Catalyst change that dedups the two
+    // glob-derived subtrees would drop it to 3 with no regression,
+    // ADVICE r10) — the load-bearing guarantees are "the cache is
+    // consumed" plus gens.isEmpty below
+    assert(caches.nonEmpty, s"expected consumers on the cache:\n$opt")
     assert(gens.isEmpty,
       s"live corpus explode past the memoized counts (${gens.size}):\n$opt")
   }
