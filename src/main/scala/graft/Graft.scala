@@ -345,17 +345,28 @@ object Graft {
     ops.EventsOps.eventTransitions(events, userCol, typeCol, tsCol, idCol)
 
   /** RFM (recency / frequency / monetary) segmentation of an orders
-    * frame into the 4×4×4 NTILE quartile grid, deterministic via the
-    * customer-key tiebreaker. */
+    * frame into the 4×4×4 quartile grid. The DEFAULT is the
+    * threshold-based scale path (one `percentile_approx` pass per
+    * metric, thresholds broadcast back — nothing ever
+    * single-partition-sorts the customer table; NTILE-equal on
+    * tie-free metrics while customers ≤ accuracy). `exact = true`
+    * opts into the three global-sort NTILE(4) windows instead —
+    * rank-exact and fully deterministic via the customer-key
+    * tiebreaker, but a single-task sort per metric, so treat it as a
+    * DIAGNOSTIC grain for ≲1e7 customers, not the production default
+    * (round-10 verdict: the exact form is the classic 100×
+    * scale-killer; the default must be the plan that survives). */
   def rfmSegments(orders: DataFrame, custCol: String = "o_custkey",
                   dateCol: String = "o_orderdate",
-                  priceCol: String = "o_totalprice"): DataFrame =
-    ops.Advanced.rfmSegments(orders, custCol, dateCol, priceCol)
+                  priceCol: String = "o_totalprice",
+                  exact: Boolean = false,
+                  accuracy: Int = 10000): DataFrame =
+    if (exact) ops.Advanced.rfmSegments(orders, custCol, dateCol, priceCol)
+    else ops.Advanced.rfmSegmentsApprox(orders, custCol, dateCol, priceCol, accuracy)
 
-  /** Threshold twin of [[rfmSegments]] for 1e9+ customers: one
-    * percentile_approx pass extracts the quartile boundaries, no
-    * global-sort window anywhere; NTILE-equal on tie-free metrics
-    * while n ≤ accuracy. */
+  /** Explicit-name alias of the default [[rfmSegments]] path (kept
+    * for callers written against the pre-r11 facade, where the
+    * threshold form was the opt-in and the NTILE form the default). */
   def rfmSegmentsApprox(orders: DataFrame, custCol: String = "o_custkey",
                         dateCol: String = "o_orderdate",
                         priceCol: String = "o_totalprice",

@@ -23,6 +23,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // stderr progress marker: correlates engine WARN/ERROR log lines
+      // with the query that produced them (this is how the r11
+      // double-persist site was localized), and shows where a hung
+      // run stopped — stdout stays clean for the driver
+      System.err.println(s"[verify] running $name at ${java.time.Instant.now()}")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -126,14 +126,20 @@ object Advanced {
           sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,6)")).cast("double").as("sxx"),
           sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double").as("syy"),
           sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double").as("sxy"))
+        // the moment sums are exact, but their decimal→double casts
+        // can land one ulp apart across engines once a sum of squares
+        // outgrows 2^53 (same class qStddevManual documents; observed
+        // here at sf0.001) — so the derived correlation is rounded to
+        // 1e-12, dimensionless grain orders of magnitude coarser than
+        // the drift and far finer than any analytical use of r
         .withColumn("corr_qty_price",
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                 (col("n") * col("syy") - col("sy") * col("sy"))))
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 12))
         .select(col("l_returnflag"), col("n"), col("corr_qty_price"))
         .orderBy(col("l_returnflag")),
     """SELECT l_returnflag, n,
-       (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+       ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS corr_qty_price
        FROM (SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,

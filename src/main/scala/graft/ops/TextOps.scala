@@ -448,22 +448,36 @@ object TextOps {
                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)"""
 
-  /** Release the block-manager storage behind a `localCheckpoint`ed
-    * frame. `Dataset.unpersist` only uncaches CacheManager entries
-    * (`.persist()`), not the RDD-level storage a local checkpoint
-    * creates — those blocks otherwise live until a JVM GC lets the
-    * ContextCleaner find them, which on a large-heap long-lived
-    * session is effectively never. Precondition: only call on frames
-    * you OWN whose checkpointed blocks are provably dead (every
-    * consumer already ran). A `LogicalRDD` is not proof of a local
-    * checkpoint — any RDD-built Dataset (`spark.createDataFrame(rdd)`,
-    * `rdd.toDF`) contains one too, and unpersisting a still-live
-    * checkpoint RDD permanently loses data: checkpoint blocks are not
-    * recomputable. */
-  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+  /** A lineage-TRUNCATED, eagerly persisted snapshot of `df` with an
+    * explicit release handle — the iterative-loop materialization
+    * primitive, replacing the earlier `localCheckpoint` +
+    * free-the-LogicalRDD pattern (round-10 verdict #5/#3): freeing a
+    * locally-checkpointed RDD is unconditionally WARN-logged by Spark
+    * (`RDD.unpersist`), because checkpoint blocks are
+    * non-recomputable — the warning was Spark restating the exact
+    * precondition the caller had to hand-assert. This shape removes
+    * the precondition instead of the log line: the snapshot is a
+    * plain PERSISTED RDD whose lineage is retained, so a block lost
+    * (or released early by a buggy caller) recomputes instead of
+    * corrupting the result — which is also the right 100 TB posture,
+    * since `localCheckpoint` is documented to lose data on executor
+    * failure. The returned frame reads the RDD through a fresh
+    * `LogicalRDD` leaf, so the logical plan of an iterative consumer
+    * stays one node deep per round exactly as with localCheckpoint
+    * (no replanning the whole history each iteration).
+    *
+    * `free()` is idempotent and silent; call it once every consumer
+    * of the PREVIOUS round has run, so up to maxIters dead frames
+    * don't sit in the block manager until a driver GC happens to
+    * surface them to the ContextCleaner. */
+  private[graft] final class PinnedFrame(source: DataFrame) {
+    private val rdd = source.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager, like localCheckpoint(): consumers must never
+                // cascade a recompute through freed earlier rounds
+    val df: DataFrame = source.sparkSession.createDataFrame(rdd, source.schema)
+    def free(): Unit = { rdd.unpersist(blocking = false); () }
+  }
 
   /** Size-adaptive connected components over a bidirectional edge list
     * `(u, v)` → per-node min-label frame `(node, lbl)`. The near-dup
@@ -499,9 +513,10 @@ object TextOps {
       }
       parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "lbl")
     } else {
-      var lbls = edges.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-        .localCheckpoint()
+      var pinned = new PinnedFrame(
+        edges.select(col("u").as("node")).distinct()
+          .withColumn("lbl", col("node")))
+      var lbls = pinned.df
       var converged = false
       var iter = 0
       val maxIters = 25
@@ -523,20 +538,22 @@ object TextOps {
         // O(diameter) and silently truncated long chains at the old
         // 15-round cap (the leakage ADVICE flagged: a split component
         // lets near-dup twins straddle train/test)
-        val next = prop.as("a")
+        val nextPinned = new PinnedFrame(prop.as("a")
           .join(prop.select(col("node").as("jn"), col("lbl").as("jl")).as("j"),
             col("a.lbl") === col("jn"), "left")
           .select(col("a.node").as("node"),
             least(col("a.lbl"), coalesce(col("jl"), col("a.lbl"))).as("lbl"),
-            col("a.prev").as("prev"))
-          .localCheckpoint()
+            col("a.prev").as("prev")))
+        val next = nextPinned.df
         converged = next.filter(col("lbl") =!= col("prev")).isEmpty
-        // the previous round's checkpointed blocks are dead the moment
-        // `next` is materialized — release them now instead of leaving
-        // up to maxIters frames pinned in the block manager until a GC
-        // happens to run (long-lived sessions accumulate them across
-        // every caller otherwise)
-        freeLocalCheckpoint(lbls)
+        // the previous round's blocks are dead the moment `next` is
+        // materialized (PinnedFrame is eager) — release them now
+        // instead of leaving up to maxIters frames pinned in the block
+        // manager until a GC happens to run; were a release ever
+        // mistimed, the persisted RDD recomputes through its retained
+        // lineage rather than corrupting the labels
+        pinned.free()
+        pinned = nextPinned
         lbls = next.drop("prev")
         iter += 1
       }
@@ -949,17 +966,33 @@ object TextOps {
     * identical). Classic two-pass shape: term counts per doc, document
     * frequencies, broadcast-join the df table back. Top-5 terms per
     * document by weight. */
+  /** Shared (doc_id, term, tf) term-count stage — ONE memoized persist
+    * per (session, input plan), consumed by [[qTfidf]] (df derivation
+    * + final join) and [[bm25Rank]] (doc lengths + query-term
+    * scoring). Unified deliberately (round-10 verdict #5): the two
+    * operators previously built the SAME canonical plan — one through
+    * a bare persist, one through its own memo key — and whichever ran
+    * second hit CacheManager's "already cached" dedup path, logging
+    * the warning that was burying real lifecycle bugs in the bench
+    * tail. One owner, one cache entry, and the IR family shares its
+    * token pass the way the dedup family shares its shingle pass. */
+  private[graft] def termCounts(docs: DataFrame): DataFrame =
+    SessionMemo.getOrElseUpdate(docs.sparkSession,
+      s"tf_counts:${SessionMemo.planKey(docs)}") {
+      docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+    }
+
   val qTfidf = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
       // N as a lazy broadcast scalar, not a driver-side count(): at
       // scale an eager count is a full extra scan at plan-build time
       val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .persist() // consumed by the df derivation AND the final join
+      val tf = termCounts(docs)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
@@ -1017,18 +1050,9 @@ object TextOps {
                terms: Seq[String], k: Int = 20): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25Rank: need at least one query term")
     // term-count table feeds doc-lengths AND the query-term scoring
-    // path — memoized + persisted per (session, input plan) like every
-    // other shared stage here, NOT bare-persisted: a bare persist on a
-    // caller-derived frame would add one orphan cache entry per
-    // distinct input with no owner to release it
-    val tf = SessionMemo.getOrElseUpdate(docs.sparkSession,
-      s"bm25_tf:${SessionMemo.planKey(docs)}") {
-      docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .persist()
-    }
+    // path — the [[termCounts]] shared stage, one memoized persist per
+    // (session, input plan) across the whole IR family
+    val tf = termCounts(docs)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").as("avgdl"))
@@ -2058,18 +2082,20 @@ object TextOps {
       .join(ids.select(col("name").as("name_a"), col("nid").as("u")), "name_a")
       .join(ids.select(col("name").as("name_b"), col("nid").as("v")), "name_b")
       .select(col("u"), col("v"))
+    // plain persist, not lineage truncation: the edge list is consumed
+    // a bounded number of times inside componentLabels (count + collect
+    // in the union-find branch; the eagerly-pinned propagation rounds
+    // in the distributed branch), not rebuilt iteratively, so the
+    // CacheManager cache is the right tool — and unlike the previous
+    // localCheckpoint shape, releasing it in the finally is silent and
+    // safe (a mistimed release recomputes instead of losing data)
     val edges = pairs
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .toDF("u", "v")
-      .localCheckpoint()
-    // componentLabels consumes edges eagerly in both branches (count +
-    // collect, or the materialized propagation loop), so the
-    // checkpoint's blocks are releasable as soon as it returns —
-    // repeated calls in one session would otherwise pin one dead edge
-    // frame each until a GC runs
+      .persist()
     val labels =
       try componentLabels(edges).select(col("node").as("nid"), col("lbl"))
-      finally freeLocalCheckpoint(edges)
+      finally { edges.unpersist(blocking = false); () }
     val resolved = ids.join(labels, Seq("nid"), "left")
       .select(col("name"), coalesce(col("lbl"), col("nid")).as("entity_id"))
     val sizes = resolved.groupBy(col("entity_id").as("eid"))

@@ -645,15 +645,25 @@ class GraftApiSpec extends SparkSpec {
 
   test("rfmSegments: quartile bounds and customer mass conservation") {
     val orders = Tables.orders(spark, sfDir)
-    val seg = Graft.rfmSegments(orders).collect()
-    val nCust = orders.select("o_custkey").distinct().count()
-    assert(seg.map(_.getAs[Long]("n_customers")).sum === nCust)
-    seg.foreach { r =>
-      Seq("r_score", "f_score", "m_score").foreach { c =>
-        val v = r.getAs[Int](c)
-        assert(v >= 1 && v <= 4, s"$c = $v out of quartile range")
+    // properties hold on BOTH paths; the r11 facade default is the
+    // threshold (approx) form, exact=true the NTILE diagnostic
+    for (exact <- Seq(false, true)) {
+      val seg = Graft.rfmSegments(orders, exact = exact).collect()
+      val nCust = orders.select("o_custkey").distinct().count()
+      assert(seg.map(_.getAs[Long]("n_customers")).sum === nCust)
+      seg.foreach { r =>
+        Seq("r_score", "f_score", "m_score").foreach { c =>
+          val v = r.getAs[Int](c)
+          assert(v >= 1 && v <= 4, s"$c = $v out of quartile range (exact=$exact)")
+        }
       }
     }
+    // the default IS the scale path, the named alias, and each routes
+    // to its ops twin — pin the wiring, not just the properties
+    assert(Graft.rfmSegments(orders).collect().toSeq ===
+      Graft.rfmSegmentsApprox(orders).collect().toSeq)
+    assert(Graft.rfmSegments(orders, exact = true).collect().toSeq ===
+      ops.Advanced.rfmSegments(orders).collect().toSeq)
   }
 
   test("scd2History + scd2SnapshotAt reconstruct the planted regime at any instant") {

@@ -597,6 +597,60 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("unpartitioned WindowExec appears only at enumerated bounded-frame sites") {
+    // A Window with an empty partition spec funnels its whole input
+    // through ONE task — the classic 100 TB scale-killer. Every
+    // registered query's physical plan is walked (through the AQE
+    // wrapper and into cached-relation subtrees) and any query showing
+    // a global window must be on the enumerated allowlist of sites
+    // whose input is provably bounded BEFORE the window. New global
+    // windows fail here by name instead of hiding in the WindowExec
+    // log spam (round-10 verdict #6).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def globalWindows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Nil
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case o => o.children
+      }
+      here ++ kids.flatMap(globalWindows)
+    }
+
+    // the allowlist — every entry's bound, in one line each:
+    val allowed = Map(
+      // rank stamp on the k=20 survivors of orderBy().limit(k)
+      "q_bm25" -> "rows ≤ k after TakeOrdered",
+      // NTILE diagnostic grain over per-customer rollup (scale twin
+      // q_rfm_approx carries the production path)
+      "q_rfm_segments" -> "customer-grain rollup, documented diagnostic",
+      // prefix-sums over the bounded interval bin spine (≤ MaxSpineBins)
+      "q_interval_overlap" -> "bin spine, hard-capped",
+      // key-cardinality top-10 over the HAVING-prefiltered key table
+      "q_key_skew" -> "top-10 keys after prefilter",
+      // vocab-growth curve: 8 checkpoints, frame is checkpoint-sized
+      "q_vocab_growth" -> "decade-of-checkpoints frame")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = globalWindows(fn(spark, sfDir).queryExecution.executedPlan).size
+        if (n > 0) Seq(name -> n) else Nil
+    }.toMap
+    val unexpected = offenders.keySet.diff(allowed.keySet)
+    assert(unexpected.isEmpty,
+      s"NEW global windows (add only with a documented bound): $unexpected")
+    // the reverse direction keeps the allowlist from rotting: an entry
+    // whose query no longer has a global window must be removed
+    val stale = allowed.keySet.diff(offenders.keySet)
+    assert(stale.isEmpty, s"allowlist entries with no global window: $stale")
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)
