@@ -146,9 +146,21 @@ object Bench {
     // detector — real co-load inflates 5-20× (r10: 0.91 s → 17.1 s).
     val firstMap = firstRun.toMap
     val degradedNames = scala.collection.mutable.ArrayBuffer[String]()
+    // per-query count of co-load re-samples taken (detail JSON only):
+    // makes the defense auditable — a clean run shows {}, a defended
+    // run shows which queries needed extra samples to find quiet time
+    val resampled = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // the detector's premise — identical plans can't slow down after
+    // warmup — is deliberately FALSE under SPARK_GRAFT_HYGIENE, which
+    // clears the cache mid-loop so memoized families legitimately
+    // rebuild in timed samples (measured: hygiene-25 flagged exactly
+    // the three memoized dedup families). Hygiene is diagnostic-only,
+    // so the co-load defense is off there rather than mislabeling
+    // cache rebuilds as machine noise.
     def looksDegraded(name: String, ts: Seq[Double]): Boolean = {
       val fr = firstMap.getOrElse(name, -1.0)
-      ts.nonEmpty && fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5
+      hygieneEvery.isEmpty &&
+        ts.nonEmpty && fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5
     }
     val sampled = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       hygieneEvery.foreach { n =>
@@ -161,6 +173,7 @@ object Bench {
         ts = try ts :+ timeOnce(fn) catch { case _: Throwable => ts }
         retries += 1
       }
+      if (retries > 0) resampled += (name -> retries)
       if (looksDegraded(name, ts)) degradedNames += name
       (name, fn, ts)
     }
@@ -209,8 +222,10 @@ object Bench {
     // environmental (machine co-load), not plan cost — consumers
     // should read them as "no clean sample obtained this run"
     val degraded = degradedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val resamples = resampled.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"resampled":$resamples,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench
     // (the driver may run this from a non-writable working directory,
     // and the final stdout line below is the graded artifact)

@@ -64,7 +64,17 @@ object StreamQueries {
         .parquet(staging)
       val q = StreamingDemo.startRateSpikeSink(
         stream, sink, Some(ckpt), availableNow = true)
-      q.awaitTermination()
+      // bounded wait: an AvailableNow drain over 4 staged files takes
+      // ~2 s at sf0.1 — a 5-minute ceiling means a wedged stream
+      // surfaces as THIS query's loud failure (the driver gate records
+      // it and moves on) instead of hanging the whole Verify/Bench run
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_drain: AvailableNow drain did not terminate within " +
+            "300 s — the file-stream source is wedged; see the query's " +
+            s"progress: ${q.lastProgress}")
+      }
       // parquet loses order; re-impose the batch twin's sort so the
       // frame is row-for-row the oracle's
       s.read.parquet(s"$sink/spikes")

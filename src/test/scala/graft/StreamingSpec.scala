@@ -619,4 +619,16 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains(("view", "click", 2L)))
     } finally out.stop()
   }
+
+  test("q_stream_drain: the graded AvailableNow drain equals the batch twin row-for-row") {
+    // the driver gate pins this against the DuckDB oracle; this local
+    // pin keeps the equivalence visible in-suite (and catches a drift
+    // at sf0.001, where the drain still crosses a micro-batch
+    // boundary: 4 staged files, maxFilesPerTrigger=2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamDrain.fn(spark, sfDir)
+    val batch = ops.EventsOps.qEventsRateSpike.fn(spark, sfDir)
+    assert(rows(drained) === rows(batch))
+  }
 }

@@ -185,4 +185,37 @@ class TsvSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported type"))
   }
+
+  test("q_tsv_roundtrip: graded read-back pushes the filter and plans exact byte-range splits") {
+    // the driver gate hashes the VALUES; this pin keeps the graded
+    // path's CONNECTOR mechanics asserted — the acctbal filter must
+    // reach the TsvScan (reader-side eval, not a post-scan Filter
+    // doing all the work) and the scan must plan EXACTLY
+    // Σ ceil(size/16k) byte-range partitions over the written files
+    // (at sf0.001 that is one per file; at the sf0.1 bench the
+    // supplier file crosses 16k and genuinely fans out)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = graft.sources.SourceQueries.qTsvRoundtrip.fn(spark, sfDir)
+    // the aggregate plan is AQE-wrapped (AdaptiveSparkPlanExec is a
+    // leaf to collect), so walk through the wrapper explicitly
+    def findScan(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case o => o.children.view.flatMap(findScan).headOption
+    }
+    val scan = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in the graded round-trip plan"))
+    assert(scan.toString.contains("GreaterThan(s_acctbal"),
+      s"filter not pushed to the TSV reader: $scan")
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_tsv_roundtrip_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val expected = Files.list(dest).iterator().asScalaCompat
+      .filter(_.toString.endsWith(".tsv"))
+      .map(f => math.max(1L, (Files.size(f) + 16383) / 16384)).sum
+    assert(scan.inputRDD.getNumPartitions === expected.toInt,
+      s"expected $expected byte-range splits, got ${scan.inputRDD.getNumPartitions}")
+  }
 }
