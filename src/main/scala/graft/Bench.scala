@@ -54,6 +54,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.muteKnownBenign()
     // absorb JVM/codegen/session warmup so per-query numbers reflect
     // steady state rather than whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
