@@ -898,6 +898,15 @@ class GraftApiSpec extends SparkSpec {
     assert(r("s1") === ((4L, 3L, 2L, 500L)))
     // s2: 2 docs, 1 member, no canonical → kept 1, removed 1/2 = 500‰
     assert(r("s2") === ((2L, 1L, 1L, 500L)))
+    // sourceCol parameter (family parity with crossSourceDupMatrix,
+    // ADVICE r11): a renamed stratum column yields the same table,
+    // with the output column still named `source`
+    val renamed = Graft.dedupRateBySource(
+      docs.withColumnRenamed("source", "origin"), clusters,
+      sourceCol = "origin").collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(renamed === r)
   }
 
   test("dedup observability tables are mutually consistent on the real corpus") {
