@@ -50,5 +50,36 @@ object SourceQueries {
        FROM supplier WHERE s_acctbal > 0
        GROUP BY s_nationkey ORDER BY s_nationkey""")
 
-  val defs: Map[String, Q] = Map("q_tsv_roundtrip" -> qTsvRoundtrip)
+  /** ORC under the hash gate — the S5 multi-format sink graded the
+    * way q_gold_roundtrip grades parquet: write a pruned projection
+    * through Spark's built-in ORC sink, read it back with a filter
+    * that must push into the ORC reader (PlanSpec pins PushedFilters
+    * on the scan), re-aggregate; the oracle recomputes from the
+    * source parquet, so the hash matches iff the ORC round-trip is
+    * value-exact (doubles stay typed through ORC — no text
+    * conversion in this path). */
+  val qOrcRoundtrip = Q(
+    (s, d) => {
+      val dest = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_orc_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").orc(dest)
+      s.read.orc(dest)
+        .filter(col("l_quantity") > 10.0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          Num.dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         ${Num.sqlSum("l_extendedprice")} AS total_price
+       FROM lineitem WHERE l_quantity > 10
+       GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  val defs: Map[String, Q] = Map(
+    "q_tsv_roundtrip" -> qTsvRoundtrip,
+    "q_orc_roundtrip" -> qOrcRoundtrip)
 }

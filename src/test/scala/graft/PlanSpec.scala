@@ -651,6 +651,17 @@ class PlanSpec extends SparkSpec {
     assert(stale.isEmpty, s"allowlist entries with no global window: $stale")
   }
 
+  test("q_orc_roundtrip: the quantity filter pushes into the ORC scan") {
+    val plan = planOf("q_orc_roundtrip")
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan orc")).getOrElse(fail(s"no ORC scan:\n$plan"))
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(l_quantity"),
+      s"quantity filter not pushed into ORC:\n${plan.take(1500)}")
+    // pruned read: the written file has 4 columns, the aggregate needs 3
+    assert(!scanLine.contains("l_orderkey"), s"column pruning failed: $scanLine")
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)

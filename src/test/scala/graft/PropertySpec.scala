@@ -253,4 +253,21 @@ class PropertySpec extends SparkSpec {
           .filterNot(_ == graft.plans.FoldParseMoney)
     }
   }
+
+  test("PinnedFrame: freeing the pin is safe — consumers recompute, never corrupt") {
+    // the r11 safety claim that justified replacing localCheckpoint:
+    // a PinnedFrame's blocks are persisted WITH lineage, so even a
+    // mistimed free() (here: freeing while the frame is still live)
+    // degrades to a recompute — a localCheckpoint'd frame would have
+    // lost the data unrecoverably (its lineage is truncated)
+    import org.apache.spark.sql.functions._
+    val pin = new ops.TextOps.PinnedFrame(
+      spark.range(0L, 1000L).select(col("id"), pmod(col("id"), lit(7)).as("k")))
+    assert(pin.df.count() === 1000L)
+    pin.free()
+    // after the free, the SAME frame must still answer correctly
+    assert(pin.df.count() === 1000L)
+    assert(pin.df.agg(sum(col("id"))).head.getLong(0) === 499500L)
+    pin.free() // idempotent
+  }
 }
