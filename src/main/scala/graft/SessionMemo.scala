@@ -91,6 +91,14 @@ object SessionMemo {
   def buildTimes(s: SparkSession): Map[String, Double] =
     forSession(times, s).toMap
 
+  /** Pin-and-forget form of [[PinnedFrame]] for one-shot shared
+    * stages that live for the session (the SessionMemo-build use
+    * case): snapshot `source` and return the frame, leaving the
+    * blocks pinned until the frame itself becomes unreachable (the
+    * ContextCleaner then releases them, exactly as it would a
+    * dropped `localCheckpoint`). */
+  def pinned(source: DataFrame): DataFrame = new PinnedFrame(source).df
+
   /** Collision-safe memo key for a caller-supplied frame: the 32-bit
     * `semanticHash` alone can collide across two distinct inputs in
     * one session and would then silently return the wrong persisted
@@ -104,4 +112,39 @@ object SessionMemo {
     p.semanticHash().toString + ":" +
       digest.take(8).map("%02x".format(_)).mkString
   }
+}
+
+/** A lineage-TRUNCATED, eagerly persisted snapshot of `df` with an
+  * explicit release handle — the repo-wide materialization primitive
+  * for iterative loops and session-lifetime shared stages, replacing
+  * `localCheckpoint` everywhere (hoisted out of TextOps in r12 per
+  * the r11 verdict: a session-lifetime memoized frame resting on
+  * non-recomputable checkpoint blocks would poison every later
+  * consumer in the session if one executor died — the exact failure
+  * mode `localCheckpoint` is documented to have at scale). The
+  * snapshot is a plain PERSISTED RDD whose lineage is retained, so a
+  * block lost (or released early by a buggy caller) recomputes
+  * instead of corrupting the result.
+  *
+  * The pinned representation is the engine's own (r11 ADVICE): the
+  * executed plan's `InternalRow`s — compact `UnsafeRow` buffers in
+  * the block store, no per-row `Row` boxing on write and no
+  * `Row→InternalRow` conversion per consume — wrapped back through a
+  * fresh `LogicalRDD` leaf, so an iterative consumer's logical plan
+  * stays one node deep per round exactly as with `localCheckpoint`
+  * (no replanning the whole history each iteration).
+  *
+  * `free()` is idempotent and silent; call it once every consumer of
+  * the PREVIOUS round has run, so dead frames don't sit in the block
+  * manager until a driver GC happens to surface them to the
+  * ContextCleaner. */
+private[graft] final class PinnedFrame(source: DataFrame) {
+  private val rdd = org.apache.spark.sql.graftshim.InternalFrames
+    .internalRdd(source)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  rdd.count() // eager, like localCheckpoint(): consumers must never
+              // cascade a recompute through freed earlier rounds
+  val df: DataFrame = org.apache.spark.sql.graftshim.InternalFrames
+    .ofInternalRdd(source.sparkSession, rdd, source.schema)
+  def free(): Unit = { rdd.unpersist(blocking = false); () }
 }

@@ -735,10 +735,24 @@ object EventsOps {
                        idCol: String = "event_id"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    events
+    transitionsFromPairs(events
       .withColumn("from_type", lag(col(typeCol), 1).over(w))
       .filter(col("from_type").isNotNull)
-      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .select(col("from_type"), col(typeCol).as("to_type")))
+  }
+
+  /** The matrix step of [[eventTransitions]], factored so the graded
+    * streaming drain (q_stream_transitions) aggregates its
+    * state-store-emitted pairs through the IDENTICAL code path as the
+    * batch twin — one source of truth for counts, the from-type
+    * window, and the permille arithmetic. Input: one (from_type,
+    * to_type) row per consecutive pair. The from-type window runs on
+    * the |types|²-sized pair-count frame, never the corpus. */
+  private[graft] def transitionsFromPairs(
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pairs
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("n_from",
         sum(col("n")).over(Window.partitionBy(col("from_type"))))

@@ -27,15 +27,17 @@ object GraphOps {
     * nation, weighted by shipped line items. The join cascade over the
     * fact table is the only corpus-sized stage either graph query has,
     * and BOTH consume the identical ≤ |nations|² result — so it is
-    * derived once per (session, dir), localCheckpoint'd (eager; the
-    * build cost lands on the memo entry, same attribution pattern as
-    * the dedup pair families), and every PageRank iteration / wedge
+    * derived once per (session, dir), pinned via [[graft.SessionMemo.pinned]]
+    * (eager, so the build cost lands on the memo entry — same
+    * attribution pattern as the dedup pair families — and recomputable
+    * on block loss, unlike a localCheckpoint: r11 verdict #1), and
+    * every PageRank iteration / wedge
     * join reads the materialized dimension-sized frame instead of
     * replaying four fact joins (bench: 1.5 s + 0.5 s of per-query
     * cascade collapsed into one shared build). */
   private def edges(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo.getOrElseUpdate(s, s"trade_edges:$d") {
-      Tables.lineitem(s, d)
+      graft.SessionMemo.pinned(Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -46,8 +48,7 @@ object GraphOps {
           .select(col("n_nationkey").as("cnk"), col("n_name").as("dst")),
           col("c_nationkey") === col("cnk"))
         .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint()
+        .agg(count(lit(1)).as("w")))
     }
 
   /** PUBLIC composable form (exported via [[graft.Graft]]):

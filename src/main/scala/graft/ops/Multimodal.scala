@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns + typed metadata, with decode /
   * feature-extract / frame-sample stages.
   *
-  * The graded corpus has no real media, so payloads are synthesized
-  * (`text` bytes) and the decode step is a clearly-marked
-  * deterministic STUB — this container has no image/audio codecs. What
-  * IS real and tested is the Spark-side plumbing that matters at
-  * 100 TB:
+  * The graded corpus has no real media, so payloads are synthesized.
+  * IMAGE decode is REAL ([[qImageDecode]]): the JDK's built-in
+  * `javax.imageio` decodes genuine PNG bytes and the oracle checks
+  * the decoded pixels. Audio/video decode remains a clearly-marked
+  * deterministic STUB — those codecs aren't in the JDK and the
+  * container has no media libraries. What IS real and tested either
+  * way is the Spark-side plumbing that matters at 100 TB:
   *  - binary columns flow through scans/shuffles untouched (Spark
   *    treats them as opaque byte arrays — no codec on the hot path);
   *  - decode runs per-partition via `mapPartitions` over a typed
@@ -45,10 +47,12 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
-  /** STUB decode. A real deployment would open a codec here (one init
-    * per partition, reused across rows — that is the point of the
-    * mapPartitions shape). The fake is pure arithmetic on payload
-    * length so the oracle can recompute it. */
+  /** STUB decode — the AUDIO/VIDEO stand-in (no such codecs in the
+    * JDK; the image path decodes for real in [[qImageDecode]]). A
+    * real deployment would open a codec here (one init per partition,
+    * reused across rows — that is the point of the mapPartitions
+    * shape). The fake is pure arithmetic on payload length so the
+    * oracle can recompute it. */
   private def stubDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
     val len = payload.length
     val width = 32 + (len % 64) * 10
@@ -181,9 +185,111 @@ object Multimodal {
        FROM documents JOIN embeddings ON doc_id = vec_id
        ORDER BY doc_id""")
 
+  /** Deterministic gray value planted at (x, y) of doc `id`'s
+    * synthetic PNG — the spec both the encoder below and the DuckDB
+    * oracle replay (and NorthStarSpec pins on a known 3×2 image). */
+  private[graft] def plantedGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  private[graft] def plantedPng(id: Long): Array[Byte] = {
+    val w = (3 + id % 6).toInt
+    val h = (2 + id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, plantedGray(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val pngSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("png", BinaryType)))
+
+  private val imageMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", IntegerType),
+    StructField("sum_gray", LongType),
+    StructField("max_gray", IntegerType)))
+
+  /** REAL image decode (r11 verdict #2) — the image branch of the
+    * media pipeline without the stub: the JDK ships `javax.imageio`
+    * (PNG/JPEG/BMP/GIF) with zero extra dependencies, so the codec
+    * init the mapPartitions shape was built for can be exercised for
+    * real. Stage 1 synthesizes a REAL 8-bit-gray PNG per doc from the
+    * planted per-pixel spec (PNG is lossless, so the bytes carry the
+    * spec exactly); stage 2 decodes those bytes back with a fresh
+    * ImageIO reader — one `setUseCache(false)` codec setup per
+    * partition, rows streamed through it — and emits the decoded
+    * dimensions and raster statistics. The oracle recomputes
+    * width/height/pixel-sums straight from the planted spec, so the
+    * hash matches iff the decoder read REAL dimensions and REAL pixel
+    * values out of real PNG bytes — a mis-decoded stride, channel or
+    * bit depth lands on `sum_gray` immediately. The arithmetic stub
+    * in [[qMediaMeta]] remains only as the audio/video stand-in
+    * (those codecs genuinely aren't in the JDK). */
+  val qImageDecode = Q(
+    (s, d) => {
+      val encEnc = RowEncoder.encoderFor(pngSchema)
+      val decEnc = RowEncoder.encoderFor(imageMetaSchema)
+      val pngs = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // encoder init, once per partition
+          rows.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            Row(id, plantedPng(id))
+          }
+        }(encEnc)
+      pngs.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // decoder init, once per partition
+        rows.map { r =>
+          // positional access: the two fused mapPartitions hand the
+          // encode stage's schema-less GenericRows over directly
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sum += v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w, h, w * h, sum, mx)
+        }
+      }(decEnc).orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+       CAST(3 + doc_id % 6 AS INT) AS width,
+       CAST(2 + doc_id % 5 AS INT) AS height,
+       CAST((3 + doc_id % 6) * (2 + doc_id % 5) AS INT) AS n_px,
+       (SELECT CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+          FROM UNNEST(RANGE(0, 3 + doc_id % 6)) AS t1(x),
+               UNNEST(RANGE(0, 2 + doc_id % 5)) AS t2(y)) AS sum_gray,
+       (SELECT CAST(MAX((doc_id * 31 + x * 7 + y * 13) % 256) AS INT)
+          FROM UNNEST(RANGE(0, 3 + doc_id % 6)) AS t1(x),
+               UNNEST(RANGE(0, 2 + doc_id % 5)) AS t2(y)) AS max_gray
+       FROM documents ORDER BY doc_id""")
+
   val defs: Map[String, Q] = Map(
     "q_media_meta" -> qMediaMeta,
     "q_media_resize" -> qMediaResize,
     "q_frame_sample" -> qFrameSample,
-    "q_multimodal_pack" -> qMultimodalPack)
+    "q_multimodal_pack" -> qMultimodalPack,
+    "q_image_decode" -> qImageDecode)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, SessionMemo, Tables}
+import graft.{PinnedFrame, Q, SessionMemo, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,12 +91,13 @@ object TextOps {
     * pointing at the MinHash production path. */
   def shingleBitmaps(s: SparkSession, d: String): DataFrame =
     SessionMemo.getOrElseUpdate(s, s"shingle_bitmaps:$d") {
-      // checkpoint the shingle table: both consumers below (vocabulary,
+      // pin the shingle table: both consumers below (vocabulary,
       // bitmap build) re-read it and re-tokenizing per consumer
-      // doubles the cost
-      val sh = withShingles(Tables.documents(s, d))
-        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-        .localCheckpoint()
+      // doubles the cost. SessionMemo.pinned, not localCheckpoint: the
+      // memo makes this a session-lifetime frame, and checkpoint
+      // blocks are non-recomputable on executor loss (r11 verdict #1)
+      val sh = SessionMemo.pinned(withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
       import s.implicits._
       val vocabSeq = sh.select(explode(col("shingles")).as("shingle"))
         .distinct().as[String].collect().sorted
@@ -448,37 +449,6 @@ object TextOps {
                        UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)"""
 
-  /** A lineage-TRUNCATED, eagerly persisted snapshot of `df` with an
-    * explicit release handle — the iterative-loop materialization
-    * primitive, replacing the earlier `localCheckpoint` +
-    * free-the-LogicalRDD pattern (round-10 verdict #5/#3): freeing a
-    * locally-checkpointed RDD is unconditionally WARN-logged by Spark
-    * (`RDD.unpersist`), because checkpoint blocks are
-    * non-recomputable — the warning was Spark restating the exact
-    * precondition the caller had to hand-assert. This shape removes
-    * the precondition instead of the log line: the snapshot is a
-    * plain PERSISTED RDD whose lineage is retained, so a block lost
-    * (or released early by a buggy caller) recomputes instead of
-    * corrupting the result — which is also the right 100 TB posture,
-    * since `localCheckpoint` is documented to lose data on executor
-    * failure. The returned frame reads the RDD through a fresh
-    * `LogicalRDD` leaf, so the logical plan of an iterative consumer
-    * stays one node deep per round exactly as with localCheckpoint
-    * (no replanning the whole history each iteration).
-    *
-    * `free()` is idempotent and silent; call it once every consumer
-    * of the PREVIOUS round has run, so up to maxIters dead frames
-    * don't sit in the block manager until a driver GC happens to
-    * surface them to the ContextCleaner. */
-  private[graft] final class PinnedFrame(source: DataFrame) {
-    private val rdd = source.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager, like localCheckpoint(): consumers must never
-                // cascade a recompute through freed earlier rounds
-    val df: DataFrame = source.sparkSession.createDataFrame(rdd, source.schema)
-    def free(): Unit = { rdd.unpersist(blocking = false); () }
-  }
-
   /** Size-adaptive connected components over a bidirectional edge list
     * `(u, v)` → per-node min-label frame `(node, lbl)`. The near-dup
     * pair graph is orders of magnitude smaller than the corpus (it IS
@@ -575,7 +545,7 @@ object TextOps {
     * doc_id (the canonical survivor). Implemented as iterative
     * min-label propagation (the Pregel/GraphX formulation): each round
     * every node takes the min of its own and its neighbors' labels;
-    * converges in ≤ graph-diameter rounds. `localCheckpoint` truncates
+    * converges in ≤ graph-diameter rounds. A pinned snapshot truncates
     * the growing lineage each round — without it an iterative
     * DataFrame loop replans the whole history every iteration. The
     * oracle replays connectivity with a recursive CTE. */
@@ -585,10 +555,9 @@ object TextOps {
       // materialize the edge list once — every loop iteration references
       // it, and without the checkpoint each round would re-run the
       // whole pair-generation pipeline
-      val edges = pairs
+      val edges = SessionMemo.pinned(pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("u", "v")
-        .localCheckpoint()
+        .toDF("u", "v"))
       val labels = componentLabels(edges)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("lbl"))
@@ -1586,10 +1555,9 @@ object TextOps {
   def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = minhashNearDupPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    val edges = SessionMemo.pinned(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v")
-      .localCheckpoint()
+      .toDF("u", "v"))
     val clusters = componentLabels(edges)
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     docs.select(col("doc_id"))
@@ -1642,10 +1610,9 @@ object TextOps {
                          threshold: Double = 0.5): DataFrame = {
     val pairs = minhashNearDupPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    val edges = SessionMemo.pinned(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("u", "v")
-      .localCheckpoint()
+      .toDF("u", "v"))
     val clusters = componentLabels(edges)
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
     val w = Window.partitionBy(col("cluster_id"))

@@ -362,16 +362,21 @@ object VectorOps {
       // passes + the final assignment) runs once per (session,
       // dataset) and lands in Bench's memo_builds attribution, while
       // the graded steady state measures the probe join only.
-      // Inside the build, localCheckpoint truncates lineage at the
+      // Inside the build, SessionMemo.pinned truncates lineage at the
       // index boundary: the centroid table (N/250 rows) and the
       // assigned index (one row per vector) are each consumed by
       // multiple downstream subplans, and without the cut each
       // consumer replays the whole training cascade. Eager, so the
-      // memo closure pays (and is charged for) the training.
+      // memo closure pays (and is charged for) the training. Pinned,
+      // not localCheckpoint'd (r11 verdict #1): this is the
+      // longest-lived frame in the codebase — a session-lifetime
+      // shared stage — and checkpoint blocks are non-recomputable on
+      // executor loss, so one dead executor would have poisoned every
+      // later probe in the session; the pinned snapshot recomputes.
       val indexed = graft.SessionMemo.getOrElseUpdate(s, s"ivf_index:$d") {
-        val cents = lloyd(lloyd(seed)).localCheckpoint()
+        val cents = graft.SessionMemo.pinned(lloyd(lloyd(seed)))
         val cells = assigned(cents, e, "vec_id", "v", "data")
-        e.join(cells, Seq("vec_id")).localCheckpoint()
+        graft.SessionMemo.pinned(e.join(cells, Seq("vec_id")))
       }
       val q = indexed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),

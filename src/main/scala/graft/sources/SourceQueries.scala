@@ -79,7 +79,65 @@ object SourceQueries {
        FROM lineitem WHERE l_quantity > 10
        GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  /** CSV under the hash gate — the last spec-only sink format, and
+    * the one with real escaping hazards (r11 verdict #3): a `hazard`
+    * column is synthesized to carry a delimiter, a quote AND a
+    * newline in every value, so the writer's quoting and the
+    * reader's `multiLine` parse are on the graded path, not just a
+    * unit fixture. The round-trip re-aggregates with the hazard
+    * content folded into the result (char count + lexicographic max
+    * carry the exact bytes into the hash); the oracle recomputes the
+    * same frame straight from the source parquet, so the hash
+    * matches iff quoting/escaping loses nothing — including the
+    * Double→text→Double leg (exact by Java's shortest-repr
+    * contract).
+    *
+    * Scale note, documented not hidden: embedded newlines force
+    * `multiLine=true`, which parses each file whole (no byte-range
+    * splits WITHIN a file — parallelism is per-file). That is the
+    * honest cost of newline-bearing CSV anywhere; a 100 TB pipeline
+    * either stages many moderate files (this query writes 4) or
+    * escapes newlines at produce time and keeps splittable reads. */
+  val qCsvRoundtrip = Q(
+    (s, d) => {
+      val dest = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_csv_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          concat(col("s_name"), lit(",\"\n#"),
+            col("s_suppkey").cast("string")).as("hazard"))
+        .repartition(4) // >1 file: multiLine parallelism is per-file
+        .write.mode("overwrite").option("header", "true").csv(dest)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s_suppkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("s_acctbal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("hazard",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("header", "true").option("multiLine", "true")
+        .csv(dest)
+        .filter(col("s_acctbal") > 0.0) // pushed into the CSV scan
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          Num.dsum(col("s_acctbal")).as("total_bal"),
+          sum(length(col("hazard"))).as("hazard_chars"),
+          max(col("hazard")).as("max_hazard"))
+        .orderBy(col("s_nationkey"))
+    },
+    s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         ${Num.sqlSum("s_acctbal")} AS total_bal,
+         CAST(SUM(LENGTH(s_name || ',"' || CHR(10) || '#' || CAST(s_suppkey AS VARCHAR))) AS BIGINT) AS hazard_chars,
+         MAX(s_name || ',"' || CHR(10) || '#' || CAST(s_suppkey AS VARCHAR)) AS max_hazard
+       FROM supplier WHERE s_acctbal > 0
+       GROUP BY s_nationkey ORDER BY s_nationkey""")
+
   val defs: Map[String, Q] = Map(
     "q_tsv_roundtrip" -> qTsvRoundtrip,
-    "q_orc_roundtrip" -> qOrcRoundtrip)
+    "q_orc_roundtrip" -> qOrcRoundtrip,
+    "q_csv_roundtrip" -> qCsvRoundtrip)
 }

@@ -125,7 +125,12 @@ object StreamingDemo {
   def transitionPairs(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events
-      .selectExpr("user_id", "CAST(ts AS LONG) AS es", "event_id", "event_type")
+      // unix_micros, NOT CAST(ts AS LONG): the cast truncates to
+      // seconds, and two events of one user inside the same second
+      // would sort by event_id alone here while the batch twin sorts
+      // by the full microsecond timestamp first — a silent order
+      // divergence on sub-second data (r12; events.parquet is µs)
+      .selectExpr("user_id", "unix_micros(ts) AS es", "event_id", "event_type")
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LastEvent, TransitionPair](

@@ -405,4 +405,23 @@ class NorthStarSpec extends SparkSpec {
       assert(r.getAs[Int]("norm_chars") === t.length)
     }
   }
+
+  test("image decode: a known 3x2 planted PNG decodes to its exact spec") {
+    // the r12 real-decode claim, pinned on one hand-checkable image:
+    // doc 0 is 3x2 with gray(x, y) = (7x + 13y) % 256 —
+    // row 0: 0 7 14 / row 1: 13 20 27. The bytes are a REAL PNG
+    // (magic asserted), decoded by the JDK's ImageIO; a wrong stride,
+    // channel order or bit depth cannot reproduce all six samples.
+    val bytes = ops.Multimodal.plantedPng(0L)
+    assert(bytes.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 3 && img.getHeight === 2)
+    val got = for (y <- 0 until 2; x <- 0 until 3)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(got === Seq(0, 7, 14, 13, 20, 27))
+    // and the graded query's row for doc 0 carries the same decode
+    val r0 = run("q_image_decode").filter(col("doc_id") === 0L).head
+    assert(r0.getInt(1) === 3 && r0.getInt(2) === 2 &&
+      r0.getInt(3) === 6 && r0.getLong(4) === 81L && r0.getInt(5) === 27)
+  }
 }

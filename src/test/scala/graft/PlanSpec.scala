@@ -662,6 +662,24 @@ class PlanSpec extends SparkSpec {
     assert(!scanLine.contains("l_orderkey"), s"column pruning failed: $scanLine")
   }
 
+  test("q_csv_roundtrip: the balance filter pushes into the CSV scan") {
+    val plan = planOf("q_csv_roundtrip")
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan csv")).getOrElse(fail(s"no CSV scan:\n$plan"))
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(s_acctbal"),
+      s"balance filter not pushed into CSV:\n${plan.take(1500)}")
+    // multiLine parallelism is per-file: the staging repartition(4)
+    // must actually have produced multiple csv part files
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_csv_roundtrip_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val parts = new java.io.File(dest.toString).listFiles()
+      .count(f => f.getName.endsWith(".csv"))
+    assert(parts >= 2, s"expected multiple staged csv files, got $parts")
+    assert(scanLine != null)
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)

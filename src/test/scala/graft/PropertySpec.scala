@@ -261,7 +261,7 @@ class PropertySpec extends SparkSpec {
     // degrades to a recompute — a localCheckpoint'd frame would have
     // lost the data unrecoverably (its lineage is truncated)
     import org.apache.spark.sql.functions._
-    val pin = new ops.TextOps.PinnedFrame(
+    val pin = new PinnedFrame(
       spark.range(0L, 1000L).select(col("id"), pmod(col("id"), lit(7)).as("k")))
     assert(pin.df.count() === 1000L)
     pin.free()

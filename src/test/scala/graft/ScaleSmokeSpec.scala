@@ -152,6 +152,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(dist.filter(pmod(col("lbl"), lit(5)) =!= 0).count() === 0L)
   }
 
+  test("componentLabels branch switch AT the boundary: bound=E and bound=E-1 agree") {
+    // r11 verdict #6: the union-find/distributed handoff is
+    // load-bearing for every dedup family but was pinned only far
+    // from the threshold. Exercise the exact crossover semantics —
+    // edgeCount <= bound takes union-find, edgeCount = bound + 1
+    // takes the distributed loop — by running the SAME graph with the
+    // bound set to exactly E (last union-find case) and to E - 1
+    // (first distributed case), and pin the labelings identical.
+    // The graph mixes shapes: chains, a star, and singleton pairs.
+    val directed = spark.range(0L, 600L, 1L, 4)
+      .filter(pmod(col("id"), lit(6)) =!= 5)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .union(spark.range(0L, 50L)
+        .select(lit(10000L).as("doc_a"), (col("id") + 10001L).as("doc_b")))
+    val edges = directed
+      .union(directed.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    val e = edges.count()
+    def labels(bound: Long) =
+      graft.ops.TextOps.componentLabels(edges, unionFindBound = bound)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atBound = labels(e)      // edgeCount == bound → union-find branch
+    val justOver = labels(e - 1) // edgeCount == bound + 1 → distributed branch
+    assert(atBound.nonEmpty && atBound === justOver,
+      "the two branches must produce identical labels at the crossover")
+    // star component sanity: every spoke labeled by the hub's min id
+    assert((10001L to 10050L).forall(n => justOver(n) === 10000L))
+  }
+
   test("label propagation converges on a diameter-2000 chain (pointer-jumping)") {
     // the leakage ADVICE case: one long-diameter component. Plain
     // min-label propagation needs diameter rounds and the old 15-round

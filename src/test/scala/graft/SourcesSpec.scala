@@ -236,4 +236,26 @@ class SourcesSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.count() === df.count())
   }
+
+  test("csv quoting edge: embedded comma + quote + newline survive the round-trip") {
+    // the unit twin of q_csv_roundtrip's graded hazard: one value
+    // carrying every CSV escaping hazard at once, written with the
+    // default writer quoting and read back (multiLine for the
+    // embedded newline), must come back byte-identical
+    import org.apache.spark.sql.types._
+    val nasty = "plain, then \"quoted\",\nsecond line, and a lone \" quote"
+    val out = java.nio.file.Files.createTempDirectory("csv_edge").toString
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, nasty),
+        org.apache.spark.sql.Row(2L, "benign")),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read
+      .schema(StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+      .option("header", "true").option("multiLine", "true").csv(out)
+      .orderBy("id").collect()
+    assert(back.length === 2)
+    assert(back(0).getString(1) === nasty)
+    assert(back(1).getString(1) === "benign")
+  }
 }
