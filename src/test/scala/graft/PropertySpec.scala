@@ -270,4 +270,30 @@ class PropertySpec extends SparkSpec {
     assert(pin.df.agg(sum(col("id"))).head.getLong(0) === 499500L)
     pin.free() // idempotent
   }
+
+  test("PinnedFrame: internal-row snapshot is value-exact across tricky types") {
+    // r12 moved PinnedFrame from RDD[Row] to the executed plan's
+    // InternalRow RDD (copy() + persist, re-entered via LogicalRDD).
+    // The copy/wrap path must be byte-faithful for every column class
+    // the repo actually pins: arrays (shingle sets, embeddings, bitmap
+    // words), structs, decimals, strings, timestamps, nulls.
+    import org.apache.spark.sql.functions._
+    val src = spark.range(0L, 100L).select(
+      col("id"),
+      concat(lit("s"), col("id")).as("s"),
+      array(col("id"), col("id") * 2).as("arr_l"),
+      expr("transform(sequence(0, 2), i -> CAST(id * i AS DOUBLE) / 7.0)").as("arr_d"),
+      struct(col("id").as("a"), concat(lit("x"), col("id")).as("b")).as("st"),
+      col("id").cast("decimal(18,6)").multiply(lit(1.5)).as("dec"),
+      timestamp_micros(col("id") * 1000000L + 123456L).as("ts"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("maybe"))
+    val pin = new PinnedFrame(src)
+    val a = src.orderBy("id").collect().toSeq
+    val b = pin.df.orderBy("id").collect().toSeq
+    assert(a === b, "pinned snapshot must equal its source row-for-row")
+    assert(pin.df.schema === src.schema, "schema must survive the wrap")
+    pin.free()
+    assert(pin.df.orderBy("id").collect().toSeq === a,
+      "post-free recompute must still be value-exact")
+  }
 }

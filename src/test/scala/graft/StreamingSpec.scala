@@ -631,4 +631,18 @@ class StreamingSpec extends SparkSpec {
     val batch = ops.EventsOps.qEventsRateSpike.fn(spark, sfDir)
     assert(rows(drained) === rows(batch))
   }
+
+  test("q_stream_transitions: the stateful drain equals the batch twin row-for-row") {
+    // the cross-batch-state claim, pinned in-suite on top of the
+    // driver gate: the pairs that straddle the two micro-batches come
+    // out of the state store, and the aggregated matrix must equal
+    // the batch twin's lag-window matrix exactly (the query itself
+    // asserts >= 2 ledger micro-batches, so this can't silently pass
+    // on a degenerate single-batch drain)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamTransitions.fn(spark, sfDir)
+    val batch = ops.EventsOps.qEventTransitions.fn(spark, sfDir)
+    assert(rows(drained) === rows(batch))
+  }
 }
