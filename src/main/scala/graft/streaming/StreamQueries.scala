@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Graded TRUE-streaming exhibit (round-10 verdict #4): until now the
   * Structured Streaming surface was pinned only by StreamingSpec; the
@@ -117,6 +117,56 @@ object StreamQueries {
     StructField("event_id", LongType),
     StructField("event_type", StringType)))
 
+  /** Stage the events corpus as four time-contiguous parquet files
+    * with strictly increasing modification times, once per (session,
+    * dataset). Shared by [[qStreamTransitions]] (which NEEDS the time
+    * order — per-user sequences must not interleave across batches)
+    * and [[qStreamTotalsV2]] (whose state updates are split-invariant
+    * and merely reuse the staged corpus; each stream reads only its
+    * own column subset — parquet prunes the rest). Returns the
+    * staging directory. */
+  private def timeOrderedStaging(s: org.apache.spark.sql.SparkSession,
+                                 d: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_staged_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val staging = base.resolve("staging")
+    graft.SessionMemo.oncePerSession(s, s"stream_timeordered_staging:$d") {
+      rmRf(staging)
+      java.nio.file.Files.createDirectories(staging)
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("event_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val mtime0 = System.currentTimeMillis() - 3600000L
+      (0 until 4).foreach { i =>
+        val from = lo + (hi - lo + 1) * i / 4
+        val until = lo + (hi - lo + 1) * (i + 1) / 4
+        val tmp = base.resolve(s"stage_tmp_$i")
+        ev.filter(unix_micros(col("ts")) >= from &&
+            unix_micros(col("ts")) < until)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val stream = java.nio.file.Files.list(tmp)
+        val part = try stream.filter(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally stream.close()
+        val dest = staging.resolve(s"quarter_$i.parquet")
+        java.nio.file.Files.copy(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly increasing mtimes, minutes apart: the file
+        // source's oldest-first order is then unambiguous
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 60000L))
+        rmRf(tmp)
+      }
+    }
+    staging
+  }
+
   /** The STATEFUL streaming drain (r11 verdict #8) — the
     * flatMapGroupsWithState analog of [[qStreamDrain]]'s
     * algebraic-partials claim: `StreamingDemo.transitionPairs`
@@ -144,42 +194,10 @@ object StreamQueries {
       val base = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         "graft_stream_transitions_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      val staging = base.resolve("staging")
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
-      graft.SessionMemo.oncePerSession(s, s"stream_transitions_staging:$d") {
-        rmRf(staging)
-        java.nio.file.Files.createDirectories(staging)
-        val ev = Tables.events(s, d)
-          .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
-        val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-          max(unix_micros(col("ts"))).as("hi")).head
-        val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val mtime0 = System.currentTimeMillis() - 3600000L
-        (0 until 4).foreach { i =>
-          val from = lo + (hi - lo + 1) * i / 4
-          val until = lo + (hi - lo + 1) * (i + 1) / 4
-          val tmp = base.resolve(s"stage_tmp_$i")
-          ev.filter(unix_micros(col("ts")) >= from &&
-              unix_micros(col("ts")) < until)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val stream = java.nio.file.Files.list(tmp)
-          val part = try stream.filter(p =>
-              p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().orElseThrow()
-          finally stream.close()
-          val dest = staging.resolve(s"quarter_$i.parquet")
-          java.nio.file.Files.copy(part, dest,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // strictly increasing mtimes, minutes apart: the file
-          // source's oldest-first order is then unambiguous
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 60000L))
-          rmRf(tmp)
-        }
-      }
+      val staging = timeOrderedStaging(s, d)
       val stream = s.readStream.schema(stagedSchema4)
         .option("maxFilesPerTrigger", "2")
         .parquet(staging.toString)
@@ -216,7 +234,97 @@ object StreamQueries {
     // contract as q_stream_drain
     graft.ops.EventsOps.qEventTransitions.oracle.get)
 
+  private val stagedSchemaTotals = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("value", DoubleType)))
+
+  /** The v2 arbitrary-stateful-processing drain — `transformWithState`
+    * with NAMED state variables on the RocksDB provider, under the
+    * hash gate. [[StreamingDemo.DeterministicTotalsProcessor]] keeps a
+    * running-totals ValueState (exact integer micro-units) and a
+    * recent-3 ListState (set-merge of the newest (ts, id) events) per
+    * user; both update rules are order- and split-invariant, so the
+    * drained snapshots are deterministic under any micro-batch
+    * partition of the input and the oracle can recompute them from
+    * the events table directly. The sink keeps every per-batch
+    * snapshot in a batch-id-partitioned ledger; the result takes each
+    * user's LATEST snapshot — which therefore reflects state carried
+    * across the (asserted, >= 2) micro-batches, the cross-batch claim
+    * this query grades. RocksDB is required by the engine for v2
+    * state and is the production store once state outgrows executor
+    * heap; the conf is set for the drain and restored after. */
+  val qStreamTotalsV2 = Q(
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_totals_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val sink = base.resolve("sink").toString
+      val ckpt = base.resolve("ckpt").toString
+      rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
+      val staging = timeOrderedStaging(s, d)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(stagedSchemaTotals)
+          .option("maxFilesPerTrigger", "2")
+          .parquet(staging.toString)
+        val q = StreamingDemo.runningTotalsV2Graded(s, stream)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$sink/snapshots/batch_id=$batchId")
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_totals_v2: AvailableNow drain did not terminate " +
+              "within 300 s — the file-stream source is wedged; see the " +
+              s"query's progress: ${q.lastProgress}")
+        }
+      } finally {
+        prevProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+      val snaps = s.read.parquet(s"$sink/snapshots")
+      val nBatches = snaps.select(countDistinct(col("batch_id"))).head.getLong(0)
+      if (nBatches < 2) throw new IllegalStateException(
+        s"q_stream_totals_v2: drain ran as $nBatches micro-batch(es) — " +
+          "the graded cross-batch-state claim needs >= 2; check the " +
+          "staged file count vs maxFilesPerTrigger")
+      // each user's LATEST snapshot: the per-user window is bounded by
+      // the micro-batch count, never the corpus
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("batch_id").desc)
+      snaps.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n"), col("total_micros"),
+          col("recent_n"), col("recent_max"))
+        .orderBy(col("user_id"))
+    },
+    """SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros,
+       CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS recent_n,
+       MAX(CASE WHEN rn <= 3 THEN value END) AS recent_max
+       FROM (SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) t
+       GROUP BY user_id ORDER BY user_id""")
+
   val defs: Map[String, Q] = Map(
     "q_stream_drain" -> qStreamDrain,
-    "q_stream_transitions" -> qStreamTransitions)
+    "q_stream_transitions" -> qStreamTransitions,
+    "q_stream_totals_v2" -> qStreamTotalsV2)
 }

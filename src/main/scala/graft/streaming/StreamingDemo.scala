@@ -339,4 +339,73 @@ object StreamingDemo {
         TimeMode.None(), OutputMode.Update())
       .toDF()
   }
+
+  final case class TotalsAgg(n: Long, micros: Long)
+  final case class RecentEv(es: Long, id: Long, v: Double)
+  final case class UserTotalsSnapshot(user_id: Long, n: Long,
+                                      total_micros: Long, recent_n: Long,
+                                      recent_max: Double)
+
+  /** Graded twin of [[RunningTotalsProcessor]] (q_stream_totals_v2):
+    * the same two NAMED state variables — a running-totals ValueState
+    * and a recent-3 ListState — but every update is ORDER- and
+    * SPLIT-invariant, so the drained result is deterministic under
+    * ANY micro-batch partition of the input and can sit under the
+    * DuckDB hash gate:
+    *  - totals accumulate exact integer micro-units
+    *    (`CAST(value AS DECIMAL(18,6)) * 1e6` — the repo's decimal
+    *    convention, so both engines derive the identical integers and
+    *    integer sums commute across batch splits, where a double fold
+    *    would re-associate);
+    *  - "recent 3" keeps the 3 NEWEST events by (event time µs,
+    *    event id) via a SET-MERGE — top-3 of a union is associative
+    *    and commutative, so it equals the batch twin's
+    *    `rn <= 3 OVER (ORDER BY ts DESC, event_id DESC)` regardless
+    *    of arrival order within or across batches. (The v1 demo
+    *    processor's takeRight(3) is arrival-ordered by design — fine
+    *    for a demo, not for a hash gate.) */
+  class DeterministicTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long, Double),
+        UserTotalsSnapshot] {
+    @transient private var totals: ValueState[TotalsAgg] = _
+    @transient private var recent: ListState[RecentEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState(
+        "totals", Encoders.product[TotalsAgg], TTLConfig.NONE)
+      recent = getHandle.getListState(
+        "recent", Encoders.product[RecentEv], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long, Long, Double)],
+                                 timers: TimerValues): Iterator[UserTotalsSnapshot] = {
+      val evs = rows.toArray
+      val prev = if (totals.exists()) totals.get() else TotalsAgg(0L, 0L)
+      val next = TotalsAgg(prev.n + evs.length, prev.micros + evs.map(_._4).sum)
+      totals.update(next)
+      val kept = (recent.get().toArray ++ evs.map(e => RecentEv(e._2, e._3, e._5)))
+        .sortBy(r => (-r.es, -r.id)).take(3)
+      recent.put(kept)
+      Iterator.single(UserTotalsSnapshot(key, next.n, next.micros,
+        kept.length.toLong, kept.map(_.v).max))
+    }
+  }
+
+  /** [[DeterministicTotalsProcessor]] over a (ts, user_id, event_id,
+    * value) frame — micro-unit conversion happens in the PLAN (both
+    * engines replay it), the processor only ever sees exact longs
+    * plus the raw double for the max (max is order-invariant). */
+  def runningTotalsV2Graded(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS es", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmicros",
+        "value")
+      .as[(Long, Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new DeterministicTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
 }

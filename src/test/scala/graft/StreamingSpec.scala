@@ -645,4 +645,24 @@ class StreamingSpec extends SparkSpec {
     val batch = ops.EventsOps.qEventTransitions.fn(spark, sfDir)
     assert(rows(drained) === rows(batch))
   }
+
+  test("q_stream_totals_v2: the drained v2 snapshots equal the batch twin") {
+    // the transformWithState drain carries BOTH named variables
+    // (totals ValueState, recent-3 ListState) across the asserted >= 2
+    // micro-batches; converting its exact micro-unit total back to the
+    // decimal-sum double must reproduce q_events_running_totals
+    // row-for-row (micros/1e6 IS the decimal(18,6) sum, exactly)
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamTotalsV2.fn(spark, sfDir)
+      .select(col("user_id"), col("n"),
+        expr("CAST(CAST(total_micros AS DECIMAL(38,6)) / 1000000 AS DOUBLE)")
+          .as("total"),
+        col("recent_n"), col("recent_max"))
+    val batch = ops.EventsOps.qEventsRunningTotals.fn(spark, sfDir)
+      .select(col("user_id"), col("n"), col("total"),
+        col("recent_n"), col("recent_max"))
+    assert(rows(drained) === rows(batch))
+  }
 }
