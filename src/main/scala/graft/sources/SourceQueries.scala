@@ -136,8 +136,56 @@ object SourceQueries {
        FROM supplier WHERE s_acctbal > 0
        GROUP BY s_nationkey ORDER BY s_nationkey""")
 
+  /** JSON under the hash gate — the last spec-only sink format: every
+    * value carries the characters JSON must escape (quote, backslash,
+    * newline) plus a non-ASCII codepoint, so the writer's escaping,
+    * the UTF-8 leg, and the reader's unescape are all on the graded
+    * path. Unlike CSV, escaped newlines keep JSONL one-record-per-line
+    * — the read stays line-splittable (no multiLine), which is why
+    * JSONL beats CSV for newline-bearing text at 100 TB. The
+    * Double→JSON→Double leg is exact (Jackson writes shortest-repr).
+    * Oracle recomputes from the source parquet. */
+  val qJsonRoundtrip = Q(
+    (s, d) => {
+      val dest = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_json_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          // comma, quote, backslash, newline, non-ASCII — every class
+          // of character the JSON string encoder must handle
+          concat(col("s_name"), lit(",\"\\\né#"),
+            col("s_suppkey").cast("string")).as("hazard"))
+        .repartition(4)
+        .write.mode("overwrite").json(dest)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s_suppkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("s_acctbal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("hazard",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(dest)
+        .filter(col("s_acctbal") > 0.0) // pushed into the JSON scan
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          Num.dsum(col("s_acctbal")).as("total_bal"),
+          sum(length(col("hazard"))).as("hazard_chars"),
+          max(col("hazard")).as("max_hazard"))
+        .orderBy(col("s_nationkey"))
+    },
+    s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         ${Num.sqlSum("s_acctbal")} AS total_bal,
+         CAST(SUM(LENGTH(s_name || ',"\\' || CHR(10) || 'é#' || CAST(s_suppkey AS VARCHAR))) AS BIGINT) AS hazard_chars,
+         MAX(s_name || ',"\\' || CHR(10) || 'é#' || CAST(s_suppkey AS VARCHAR)) AS max_hazard
+       FROM supplier WHERE s_acctbal > 0
+       GROUP BY s_nationkey ORDER BY s_nationkey""")
+
   val defs: Map[String, Q] = Map(
     "q_tsv_roundtrip" -> qTsvRoundtrip,
     "q_orc_roundtrip" -> qOrcRoundtrip,
-    "q_csv_roundtrip" -> qCsvRoundtrip)
+    "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_json_roundtrip" -> qJsonRoundtrip)
 }

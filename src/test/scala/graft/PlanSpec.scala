@@ -680,6 +680,25 @@ class PlanSpec extends SparkSpec {
     assert(scanLine != null)
   }
 
+  test("q_json_roundtrip: the balance filter pushes into the JSON scan") {
+    val plan = planOf("q_json_roundtrip")
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan json")).getOrElse(fail(s"no JSON scan:\n$plan"))
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(s_acctbal"),
+      s"balance filter not pushed into JSON:\n${plan.take(1500)}")
+    // escaped newlines keep JSONL line-splittable — no multiLine, so
+    // the staged files must still be multiple (per-file AND intra-file
+    // parallelism both available at scale)
+    val dest = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_json_roundtrip_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val parts = new java.io.File(dest.toString).listFiles()
+      .count(f => f.getName.endsWith(".json"))
+    assert(parts >= 2, s"expected multiple staged json files, got $parts")
+    assert(scanLine != null)
+  }
+
   test("gold mart partitioned write lays out partition directories") {
     val out = java.nio.file.Files.createTempDirectory("gold_mart").toString
     etl.Medallion.qGoldMart.fn(spark, sfDir)
