@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * The graded corpus has no real media, so payloads are synthesized.
   * IMAGE decode is REAL ([[qImageDecode]]): the JDK's built-in
   * `javax.imageio` decodes genuine PNG bytes and the oracle checks
-  * the decoded pixels. Audio/video decode remains a clearly-marked
-  * deterministic STUB — those codecs aren't in the JDK and the
-  * container has no media libraries. What IS real and tested either
+  * the decoded pixels. AUDIO decode is REAL too ([[qAudioDecode]]):
+  * `javax.sound.sampled` (also in the JDK) round-trips genuine
+  * RIFF/WAVE PCM bytes and the oracle checks the decoded samples.
+  * Only VIDEO decode remains a clearly-marked deterministic STUB —
+  * no video codec ships with the JDK and the container has no media
+  * libraries. What IS real and tested either
   * way is the Spark-side plumbing that matters at 100 TB:
   *  - binary columns flow through scans/shuffles untouched (Spark
   *    treats them as opaque byte arrays — no codec on the hot path);
@@ -47,8 +50,9 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
-  /** STUB decode — the AUDIO/VIDEO stand-in (no such codecs in the
-    * JDK; the image path decodes for real in [[qImageDecode]]). A
+  /** STUB decode — the VIDEO stand-in (no video codec in the JDK;
+    * image and audio decode for real in [[qImageDecode]] /
+    * [[qAudioDecode]]). A
     * real deployment would open a codec here (one init per partition,
     * reused across rows — that is the point of the mapPartitions
     * shape). The fake is pure arithmetic on payload length so the
@@ -234,8 +238,9 @@ object Multimodal {
     * hash matches iff the decoder read REAL dimensions and REAL pixel
     * values out of real PNG bytes — a mis-decoded stride, channel or
     * bit depth lands on `sum_gray` immediately. The arithmetic stub
-    * in [[qMediaMeta]] remains only as the audio/video stand-in
-    * (those codecs genuinely aren't in the JDK). */
+    * in [[qMediaMeta]] remains only as the video stand-in (no video
+    * codec ships with the JDK; audio decodes for real in
+    * [[qAudioDecode]]). */
   val qImageDecode = Q(
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(pngSchema)
@@ -286,10 +291,111 @@ object Multimodal {
                UNNEST(RANGE(0, 2 + doc_id % 5)) AS t2(y)) AS max_gray
        FROM documents ORDER BY doc_id""")
 
+  /** Deterministic signed 16-bit sample `i` of doc `id`'s synthetic
+    * PCM clip — the spec both the WAV encoder below and the DuckDB
+    * oracle replay (NorthStarSpec pins a known 20-sample clip). */
+  private[graft] def plantedSample(id: Long, i: Int): Int =
+    ((id * 17 + i * 11L) % 65536L - 32768L).toInt
+
+  private[graft] def plantedRate(id: Long): Int = 8000 + (id % 3).toInt * 4000
+  private[graft] def plantedLen(id: Long): Int = 20 + (id % 30).toInt
+
+  private[graft] def plantedWav(id: Long): Array[Byte] = {
+    val n = plantedLen(id)
+    val pcm = new Array[Byte](n * 2) // 16-bit mono, little-endian
+    var i = 0
+    while (i < n) {
+      val v = plantedSample(id, i)
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      plantedRate(id).toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val wavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("wav", BinaryType)))
+
+  private val audioMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("sum_amp", LongType),
+    StructField("max_amp", IntegerType)))
+
+  /** REAL audio decode — the audio branch of the media pipeline
+    * without the stub: the JDK ships `javax.sound.sampled`
+    * (RIFF/WAVE + PCM) with zero extra dependencies, same zero-dep
+    * argument as [[qImageDecode]]'s ImageIO. Stage 1 synthesizes a
+    * REAL WAV file per doc from the planted per-sample spec (PCM is
+    * lossless, so the bytes carry the spec exactly; sample rates vary
+    * per doc so the header read is load-bearing); stage 2 decodes
+    * those bytes back with `AudioSystem.getAudioInputStream` — codec
+    * lookup once per partition via the shared provider registry, rows
+    * streamed through — and emits the header fields plus raster-style
+    * sample statistics. The oracle recomputes rate/length/sample-sums
+    * straight from the planted spec, so the hash matches iff the
+    * decoder read REAL headers and REAL little-endian signed samples
+    * out of real WAV bytes — a wrong endianness, bit depth or frame
+    * size lands on `sum_amp` immediately. */
+  val qAudioDecode = Q(
+    (s, d) => {
+      val encEnc = RowEncoder.encoderFor(wavSchema)
+      val decEnc = RowEncoder.encoderFor(audioMetaSchema)
+      val wavs = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          // encoder init once per partition (provider registry warm)
+          rows.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            Row(id, plantedWav(id))
+          }
+        }(encEnc)
+      wavs.mapPartitions { rows =>
+        // decoder init once per partition; positional access per the
+        // fused-stage GenericRow convention of qImageDecode
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = ais.getFormat
+          val rate = math.round(fmt.getSampleRate)
+          val n = ais.getFrameLength.toInt
+          val bytes = ais.readAllBytes()
+          var sum = 0L
+          var mx = Int.MinValue
+          var i = 0
+          while (i < n) {
+            // 16-bit signed little-endian mono, as the header declares
+            val v = ((bytes(i * 2 + 1) << 8) | (bytes(i * 2) & 0xff))
+            sum += v; if (v > mx) mx = v
+            i += 1
+          }
+          Row(id, rate, n, sum, mx)
+        }
+      }(decEnc).orderBy(col("doc_id"))
+    },
+    """SELECT doc_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+       CAST(20 + doc_id % 30 AS INT) AS n_samples,
+       (SELECT CAST(SUM((doc_id * 17 + i * 11) % 65536 - 32768) AS BIGINT)
+          FROM UNNEST(RANGE(0, 20 + doc_id % 30)) AS t(i)) AS sum_amp,
+       (SELECT CAST(MAX((doc_id * 17 + i * 11) % 65536 - 32768) AS INT)
+          FROM UNNEST(RANGE(0, 20 + doc_id % 30)) AS t(i)) AS max_amp
+       FROM documents ORDER BY doc_id""")
+
   val defs: Map[String, Q] = Map(
     "q_media_meta" -> qMediaMeta,
     "q_media_resize" -> qMediaResize,
     "q_frame_sample" -> qFrameSample,
     "q_multimodal_pack" -> qMultimodalPack,
-    "q_image_decode" -> qImageDecode)
+    "q_image_decode" -> qImageDecode,
+    "q_audio_decode" -> qAudioDecode)
 }

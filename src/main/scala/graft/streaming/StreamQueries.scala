@@ -323,8 +323,135 @@ object StreamQueries {
              FROM events) t
        GROUP BY user_id ORDER BY user_id""")
 
+  private val stagedSchemaWindowed = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Staging for [[qStreamWindowed]]: the four time-contiguous
+    * quarters (copied from [[timeOrderedStaging]] — same bytes, fresh
+    * mtimes) plus a single far-future SENTINEL file stamped last.
+    * The sentinel is what makes append-mode emission deterministic:
+    * once the sentinel batch's watermark (sentinel ts − delay) is
+    * committed, every REAL window's end is below it, so the engine's
+    * final no-data micro-batch — the eviction pass AvailableNow runs
+    * after the last data batch — closes and emits ALL real windows.
+    * Without it, windows inside the last `delay` of the corpus would
+    * stay open forever and the graded result would depend on where
+    * the corpus happens to end. The sentinel's own window never
+    * closes (nothing arrives after it), and is filtered defensively
+    * anyway. */
+  private def windowedStaging(s: org.apache.spark.sql.SparkSession,
+                              d: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_windowed_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val staging = base.resolve("staging")
+    graft.SessionMemo.oncePerSession(s, s"stream_windowed_staging:$d") {
+      val src = timeOrderedStaging(s, d)
+      rmRf(staging)
+      java.nio.file.Files.createDirectories(staging)
+      val mtime0 = System.currentTimeMillis() - 3600000L
+      (0 until 4).foreach { i =>
+        val dest = staging.resolve(s"quarter_$i.parquet")
+        java.nio.file.Files.copy(src.resolve(s"quarter_$i.parquet"), dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 60000L))
+      }
+      val hi = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts"))).as("hi")).head.getLong(0)
+      val tmp = base.resolve("stage_tmp_sentinel")
+      s.range(1).select(
+        timestamp_micros(lit(hi + 86400000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+        lit("zzz_sentinel").as("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val stream = java.nio.file.Files.list(tmp)
+      val part = try stream.filter(p =>
+          p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      finally stream.close()
+      val dest = staging.resolve("sentinel_4.parquet")
+      java.nio.file.Files.copy(part, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime0 + 4 * 60000L))
+      rmRf(tmp)
+    }
+    staging
+  }
+
+  /** The WATERMARK-APPEND drain — the fourth and last canonical
+    * streaming shape (stateless partials, flatMapGroupsWithState and
+    * transformWithState are the other three): a tumbling-window
+    * aggregation under a real watermark in APPEND output mode, where
+    * the ENGINE decides when a window is final — a window row is
+    * emitted exactly once, only after the committed watermark passes
+    * its end, out of the state store. The graded claims: no window is
+    * emitted twice (append-mode finality), no late/duplicate merge is
+    * lost (windows straddling a quarter boundary take rows from two
+    * micro-batches before closing), and watermark-driven eviction
+    * emits every real window given the sentinel (see
+    * [[windowedStaging]]). The oracle recomputes the same epoch-
+    * aligned buckets from the events table; the hash matches iff the
+    * engine's incremental, state-store-merged, watermark-closed
+    * windows equal the one-pass batch aggregation. Counts and
+    * micro-unit sums are integers, so partial merges commute across
+    * any batch split. */
+  val qStreamWindowed = Q(
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_windowed_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val sink = base.resolve("sink").toString
+      val ckpt = base.resolve("ckpt").toString
+      rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
+      val staging = windowedStaging(s, d)
+      val stream = s.readStream.schema(stagedSchemaWindowed)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging.toString)
+      val q = StreamingDemo.windowedCountsGraded(stream)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            batch.write.mode("overwrite")
+              .parquet(s"$sink/closed/batch_id=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_windowed: AvailableNow drain did not terminate " +
+            "within 300 s — the file-stream source is wedged; see the " +
+            s"query's progress: ${q.lastProgress}")
+      }
+      val closed = s.read.parquet(s"$sink/closed")
+      // windows must have closed INCREMENTALLY — emissions spread over
+      // >= 2 micro-batches, or the watermark machinery degenerated to
+      // a single flush and the incremental-finality claim is untested
+      val nBatches = closed.select(countDistinct(col("batch_id"))).head.getLong(0)
+      if (nBatches < 2) throw new IllegalStateException(
+        s"q_stream_windowed: windows closed in $nBatches micro-batch(es) " +
+          "— the graded incremental-watermark claim needs >= 2; check " +
+          "the staged file count vs maxFilesPerTrigger")
+      closed.filter(col("event_type") =!= "zzz_sentinel")
+        .select(col("bucket_start"), col("event_type"), col("n"),
+          col("total_micros"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    },
+    """SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros
+       FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""")
+
   val defs: Map[String, Q] = Map(
     "q_stream_drain" -> qStreamDrain,
     "q_stream_transitions" -> qStreamTransitions,
-    "q_stream_totals_v2" -> qStreamTotalsV2)
+    "q_stream_totals_v2" -> qStreamTotalsV2,
+    "q_stream_windowed" -> qStreamWindowed)
 }

@@ -30,6 +30,24 @@ object StreamingDemo {
         col("window.start").as("bucket_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Graded variant of [[tumblingCounts]] for the append-mode drain
+    * ([[StreamQueries.qStreamWindowed]]): same watermark + tumbling
+    * window, but the value sum is exact integer micro-units (integer
+    * partials commute across micro-batch splits — the
+    * [[DeterministicTotalsProcessor]] convention) and the window start
+    * is emitted as epoch seconds, the batch twins' engine-portable
+    * bucket form. */
+  def windowedCountsGraded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+          .as("total_micros"))
+      .select(
+        col("window.start").cast("long").as("bucket_start"),
+        col("event_type"), col("n"), col("total_micros"))
+
   /** Streaming session windows with watermark — merges in-flight
     * sessions in the state store. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -424,4 +424,30 @@ class NorthStarSpec extends SparkSpec {
     assert(r0.getInt(1) === 3 && r0.getInt(2) === 2 &&
       r0.getInt(3) === 6 && r0.getLong(4) === 81L && r0.getInt(5) === 27)
   }
+
+  test("audio decode: a known 20-sample planted WAV decodes to its exact spec") {
+    // the audio twin of the image pin: doc 0 is 20 samples at 8000 Hz
+    // with sample(i) = 11i - 32768 (all near the negative rail — a
+    // sign-extension or endianness slip cannot reproduce them). The
+    // bytes are a REAL RIFF/WAVE file (magic asserted), decoded by the
+    // JDK's AudioSystem.
+    val bytes = ops.Multimodal.plantedWav(0L)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getSampleRate === 8000f)
+    assert(ais.getFrameLength === 20L)
+    val pcm = ais.readAllBytes()
+    val got = (0 until 20).map(i => ((pcm(i * 2 + 1) << 8) | (pcm(i * 2) & 0xff)))
+    assert(got === (0 until 20).map(i => 11 * i - 32768))
+    // the graded query's row for doc 0 carries the same decode, and
+    // the per-doc sample rate proves the header read is load-bearing
+    val rows = run("q_audio_decode").filter(col("doc_id") < 3L)
+      .orderBy(col("doc_id")).collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(8000, 12000, 16000))
+    val r0 = rows(0)
+    assert(r0.getInt(2) === 20 && r0.getLong(3) === -653270L &&
+      r0.getInt(4) === -32559)
+  }
 }

@@ -665,4 +665,25 @@ class StreamingSpec extends SparkSpec {
         col("recent_n"), col("recent_max"))
     assert(rows(drained) === rows(batch))
   }
+
+  test("q_stream_windowed: append-mode watermark closure emits every real window once") {
+    // the engine-decides-finality claim pinned in-suite: the appended
+    // (watermark-closed) windows must equal the one-pass batch
+    // aggregation — every real window present (sentinel advanced the
+    // watermark past all of them), none twice (append emits only on
+    // closure), straddling windows merged across batches. The query
+    // itself asserts emissions spread over >= 2 micro-batches.
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamWindowed.fn(spark, sfDir)
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy((floor(unix_micros(col("ts")) / 300000000L) * 300L)
+        .cast("long").as("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+          .as("total_micros"))
+      .orderBy(col("bucket_start"), col("event_type"))
+    assert(rows(drained) === rows(batch))
+  }
 }
