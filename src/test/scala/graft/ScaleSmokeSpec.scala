@@ -498,6 +498,90 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(drained.filter(col("spike")).count() > 0, "planted burst not flagged")
   }
 
+  test("windowed watermark-append drain on 1M events across 8+ micro-batches equals batch") {
+    // the graded q_stream_windowed proves append-mode watermark
+    // closure at sf scale; this smoke proves it at 1M events and ~3.3k
+    // distinct windows drained across 8+ micro-batch boundaries — the
+    // shape where a window straddling a batch boundary, or one evicted
+    // before its last partial merged, would actually show. ts = epoch
+    // + id over 16 id-contiguous range partitions gives 16
+    // time-contiguous part files; mtimes are restamped strictly
+    // increasing in part order so the file source's oldest-first order
+    // IS time order (equal mtimes would leave lateness ambiguous),
+    // and a far-future sentinel stamped last closes every real window.
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
+    val base = java.nio.file.Files.createTempDirectory("graft_windowed_smoke")
+    val staging = base.resolve("staging")
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    spark.range(0L, 1000000L, 1L, 16).select(
+      expr("timestamp_seconds(1700000000L + id)").as("ts"),
+      concat(lit("t"), pmod(col("id"), lit(7))).as("event_type"),
+      pmod(col("id"), lit(97)).cast("double").as("value"))
+      .write.parquet(staging.toString)
+    val mtime0 = System.currentTimeMillis() - 3600000L
+    val listed = java.nio.file.Files.list(staging)
+    val partList = try listed
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .sorted(new java.util.Comparator[java.nio.file.Path] {
+        def compare(a: java.nio.file.Path, b: java.nio.file.Path): Int =
+          a.getFileName.toString.compareTo(b.getFileName.toString)
+      })
+      .collect(java.util.stream.Collectors.toList[java.nio.file.Path])
+    finally listed.close()
+    assert(partList.size() === 16)
+    (0 until partList.size()).foreach { i =>
+      java.nio.file.Files.setLastModifiedTime(partList.get(i),
+        java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 60000L))
+    }
+    val tmp = base.resolve("sentinel_tmp")
+    spark.range(1).select(
+      expr("timestamp_seconds(1700000000L + 1000000L + 86400L)").as("ts"),
+      lit("zzz_sentinel").as("event_type"), lit(0.0).as("value"))
+      .coalesce(1).write.parquet(tmp.toString)
+    val sStream = java.nio.file.Files.list(tmp)
+    val sPart = try sStream.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
+    finally sStream.close()
+    val sDest = staging.resolve("zzz_sentinel.parquet")
+    java.nio.file.Files.copy(sPart, sDest)
+    java.nio.file.Files.setLastModifiedTime(sDest,
+      java.nio.file.attribute.FileTime.fromMillis(mtime0 + 17 * 60000L))
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(staging.toString)
+    val q = streaming.StreamingDemo.windowedCountsGraded(stream)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/closed/batch_id=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000L), "drain did not terminate")
+    val closed = spark.read.parquet(s"$sink/closed")
+    assert(closed.select(countDistinct(col("batch_id"))).head.getLong(0) >= 4,
+      "windows should close incrementally across many micro-batches")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val drained = closed.filter(col("event_type") =!= "zzz_sentinel")
+      .select(col("bucket_start"), col("event_type"), col("n"), col("total_micros"))
+      .orderBy(col("bucket_start"), col("event_type"))
+    // batch twin over the SAME staged files — isolates the streaming
+    // machinery from the staging round-trip
+    val batch = spark.read.schema(schema).parquet(staging.toString)
+      .filter(col("event_type") =!= "zzz_sentinel")
+      .groupBy((floor(unix_micros(col("ts")) / 300000000L) * 300L)
+        .cast("long").as("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+          .as("total_micros"))
+      .orderBy(col("bucket_start"), col("event_type"))
+    assert(rows(drained) === rows(batch))
+  }
+
   test("TSV connector on a ~70 MB table: 1 MB splits cross ~70 line boundaries losslessly") {
     // TsvSourceSpec proves the straddling-line ownership rule at
     // hand-placed boundaries; this smoke proves it statistically — a
