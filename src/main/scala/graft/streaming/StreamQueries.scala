@@ -449,9 +449,77 @@ object StreamQueries {
        CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS total_micros
        FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""")
 
+  private val stagedSchemaSessions = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  /** The SESSION-WINDOW drain — the merging-state shape: unlike
+    * tumbling windows (fixed bounds, state rows merge partials into a
+    * known bucket), session windows have DATA-DEFINED bounds, and the
+    * state store must merge overlapping in-flight sessions — a
+    * session straddling a quarter boundary is two state entries until
+    * the engine's session-merge pass fuses them. Append mode emits a
+    * session exactly once, after the watermark passes its (merged)
+    * end. The staged corpus and sentinel are [[windowedStaging]]'s
+    * (shared memo — the sentinel's far-future record advances the
+    * watermark past every real session's end; its own pseudo-user −1
+    * session never closes and is filtered defensively). The oracle is
+    * the batch twin q_events_session's gaps-and-islands SQL verbatim,
+    * so the hash matches iff cross-batch session merging loses or
+    * double-counts nothing; counts are integers and the value sum is
+    * the twin's decimal cast, whose partials commute across any batch
+    * split. */
+  val qStreamSessions = Q(
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_sessions_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val sink = base.resolve("sink").toString
+      val ckpt = base.resolve("ckpt").toString
+      rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
+      val staging = windowedStaging(s, d)
+      val stream = s.readStream.schema(stagedSchemaSessions)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staging.toString)
+      val q = StreamingDemo.sessionCountsGraded(stream)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            batch.write.mode("overwrite")
+              .parquet(s"$sink/closed/batch_id=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_sessions: AvailableNow drain did not terminate " +
+            "within 300 s — the file-stream source is wedged; see the " +
+            s"query's progress: ${q.lastProgress}")
+      }
+      val closed = s.read.parquet(s"$sink/closed")
+      val nBatches = closed.select(countDistinct(col("batch_id"))).head.getLong(0)
+      if (nBatches < 2) throw new IllegalStateException(
+        s"q_stream_sessions: sessions closed in $nBatches micro-batch(es) " +
+          "— the graded merging-state claim needs >= 2; check the " +
+          "staged file count vs maxFilesPerTrigger")
+      closed.filter(col("user_id") >= 0L) // drop the sentinel pseudo-user
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    // the batch twin's oracle verbatim — same single-source-of-truth
+    // contract as the other drains
+    graft.ops.EventsOps.qEventsSession.oracle.get)
+
   val defs: Map[String, Q] = Map(
     "q_stream_drain" -> qStreamDrain,
     "q_stream_transitions" -> qStreamTransitions,
     "q_stream_totals_v2" -> qStreamTotalsV2,
-    "q_stream_windowed" -> qStreamWindowed)
+    "q_stream_windowed" -> qStreamWindowed,
+    "q_stream_sessions" -> qStreamSessions)
 }

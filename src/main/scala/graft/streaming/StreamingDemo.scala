@@ -48,6 +48,24 @@ object StreamingDemo {
         col("window.start").cast("long").as("bucket_start"),
         col("event_type"), col("n"), col("total_micros"))
 
+  /** Graded variant of [[sessionCounts]] for the session drain
+    * ([[StreamQueries.qStreamSessions]]): the batch twin
+    * [[graft.ops.EventsOps.qEventsSession]]'s exact output shape —
+    * session bounds as epoch seconds plus the decimal-cast value sum
+    * (decimal partials commute, so cross-batch session merges are
+    * value-exact). */
+  def sessionCountsGraded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Num.dsum(col("value")).as("session_value"))
+      .select(
+        col("user_id"),
+        col("session_window").getField("start").cast("long").as("session_start"),
+        col("session_window").getField("end").cast("long").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Streaming session windows with watermark — merges in-flight
     * sessions in the state store. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -686,4 +686,18 @@ class StreamingSpec extends SparkSpec {
       .orderBy(col("bucket_start"), col("event_type"))
     assert(rows(drained) === rows(batch))
   }
+
+  test("q_stream_sessions: the merging-state drain equals the batch twin row-for-row") {
+    // the session drain's claim is MERGING state: a session straddling
+    // a staged-quarter boundary exists as two in-flight state entries
+    // until the engine fuses them, and append emits the merged session
+    // once. Row-for-row equality with the batch session_window twin
+    // (same bounds, counts, AND decimal value sums) proves no merge
+    // was lost, duplicated, or mis-bounded.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamSessions.fn(spark, sfDir)
+    val batch = ops.EventsOps.qEventsSession.fn(spark, sfDir)
+    assert(rows(drained) === rows(batch))
+  }
 }
