@@ -516,10 +516,138 @@ object StreamQueries {
     // contract as the other drains
     graft.ops.EventsOps.qEventsSession.oracle.get)
 
+  private val stagedSchemaDedup = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType)))
+
+  /** Staging for [[qStreamDedup]]: file 0 carries exactly the per-key
+    * FIRST events (min (ts, event_id) per (user_id, event_type)),
+    * files 1–3 carry every duplicate, stamped later. Two reasons this
+    * shape, stated openly: (1) determinism — within a micro-batch,
+    * which duplicate `dropDuplicates` keeps is arrival-order
+    * (partition-)dependent, so a graded hash needs each key's first
+    * batch-1 occurrence to BE its corpus-wide first; (2) strength —
+    * with every survivor in batch 0 and every duplicate behind a
+    * batch boundary, 100% of the suppression is cross-batch, i.e.
+    * entirely the state store's doing. */
+  private def dedupStaging(s: org.apache.spark.sql.SparkSession,
+                           d: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_dedup_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val staging = base.resolve("staging")
+    graft.SessionMemo.oncePerSession(s, s"stream_dedup_staging:$d") {
+      rmRf(staging)
+      java.nio.file.Files.createDirectories(staging)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ranked = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+      val mtime0 = System.currentTimeMillis() - 3600000L
+      val slices = Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        df => df.filter(col("rn") === 1),
+        df => df.filter(col("rn") > 1 && pmod(col("rn"), lit(3)) === 0),
+        df => df.filter(col("rn") > 1 && pmod(col("rn"), lit(3)) === 1),
+        df => df.filter(col("rn") > 1 && pmod(col("rn"), lit(3)) === 2))
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val tmp = base.resolve(s"stage_tmp_$i")
+        slice(ranked).drop("rn")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val stream = java.nio.file.Files.list(tmp)
+        val part = try stream.filter(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally stream.close()
+        val dest = staging.resolve(s"slice_$i.parquet")
+        java.nio.file.Files.copy(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 60000L))
+        rmRf(tmp)
+      }
+    }
+    staging
+  }
+
+  /** The DEDUP-STATE drain — `dropDuplicatesWithinWatermark` under
+    * the hash gate: the state store remembers every key it has passed
+    * and suppresses later arrivals, across micro-batch boundaries.
+    * With [[dedupStaging]]'s layout the claim is total: batch 0 emits
+    * one survivor per (user_id, event_type) — its corpus-wide first
+    * event — and batches 1–3 re-present every duplicate to the store,
+    * which must emit NOTHING (asserted). The watermark delay exceeds
+    * the corpus span, so no key's state evicts mid-drain (the delay
+    * is the production knob bounding state size vs how long a
+    * duplicate can arrive). The oracle recomputes first-seen per key
+    * from the events table; the hash matches iff no key was lost,
+    * duplicated, or re-emitted. */
+  val qStreamDedup = Q(
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_dedup_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val sink = base.resolve("sink").toString
+      val ckpt = base.resolve("ckpt").toString
+      rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
+      val staging = dedupStaging(s, d)
+      val stream = s.readStream.schema(stagedSchemaDedup)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+      val q = StreamingDemo
+        .dedupFirstPerKey(stream, "400 days", "user_id", "event_type")
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            batch.write.mode("overwrite")
+              .parquet(s"$sink/kept/batch_id=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_dedup: AvailableNow drain did not terminate within " +
+            "300 s — the file-stream source is wedged; see the query's " +
+            s"progress: ${q.lastProgress}")
+      }
+      // every processed batch leaves a ledger dir (foreachBatch runs
+      // for empty batches too) — the duplicate batches must have RUN...
+      val dirStream = java.nio.file.Files.list(
+        java.nio.file.Paths.get(sink, "kept"))
+      val nBatchDirs = try dirStream.filter(p =>
+          p.getFileName.toString.startsWith("batch_id=")).count()
+      finally dirStream.close()
+      if (nBatchDirs < 4) throw new IllegalStateException(
+        s"q_stream_dedup: only $nBatchDirs micro-batches ran — the " +
+          "4-slice staging should yield 4; check maxFilesPerTrigger")
+      val kept = s.read.parquet(s"$sink/kept")
+      // ...and emitted nothing: 100% of the duplicate volume is
+      // suppressed by state carried across batch boundaries
+      val firstBatch = kept.agg(min(col("batch_id")).cast("long")).head.getLong(0)
+      val leaked = kept.filter(col("batch_id") > firstBatch).count()
+      if (leaked > 0) throw new IllegalStateException(
+        s"q_stream_dedup: $leaked duplicate(s) escaped the dedup state " +
+          "in later micro-batches")
+      kept.select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("first_seen"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    """SELECT user_id, event_type,
+       CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS first_seen
+       FROM events GROUP BY user_id, event_type
+       ORDER BY user_id, event_type""")
+
   val defs: Map[String, Q] = Map(
     "q_stream_drain" -> qStreamDrain,
     "q_stream_transitions" -> qStreamTransitions,
     "q_stream_totals_v2" -> qStreamTotalsV2,
     "q_stream_windowed" -> qStreamWindowed,
-    "q_stream_sessions" -> qStreamSessions)
+    "q_stream_sessions" -> qStreamSessions,
+    "q_stream_dedup" -> qStreamDedup)
 }

@@ -700,4 +700,18 @@ class StreamingSpec extends SparkSpec {
     val batch = ops.EventsOps.qEventsSession.fn(spark, sfDir)
     assert(rows(drained) === rows(batch))
   }
+
+  test("q_stream_dedup: the dedup-state drain equals the batch firsts row-for-row") {
+    // the graded query already asserts zero later-batch leaks; this
+    // pin adds the value claim in-suite: the survivors are exactly the
+    // per-key corpus-wide first events
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamDedup.fn(spark, sfDir)
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).cast("long").as("first_seen"))
+      .orderBy(col("user_id"), col("event_type"))
+    assert(rows(drained) === rows(batch))
+  }
 }
