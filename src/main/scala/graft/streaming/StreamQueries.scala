@@ -643,11 +643,133 @@ object StreamQueries {
        FROM events GROUP BY user_id, event_type
        ORDER BY user_id, event_type""")
 
+  /** Staging for [[qStreamJoin]]: the view rows as two time-halves
+    * stamped FIRST, the click rows as two time-halves stamped AFTER —
+    * so the drain ingests every view before the first click, and
+    * every joined pair must match a view held in BUFFERED STATE from
+    * an earlier micro-batch (the total form of the both-sides claim,
+    * same convention as [[dedupStaging]]). Holding the click side
+    * back does not evict or drop anything: the engine's global
+    * watermark is the MINIMUM across sources, and the click source's
+    * watermark stays unset until its files flow, so view state
+    * outlives the wait by construction. */
+  private def joinStaging(s: org.apache.spark.sql.SparkSession,
+                          d: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_stream_join_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val staging = base.resolve("staging")
+    graft.SessionMemo.oncePerSession(s, s"stream_join_staging:$d") {
+      rmRf(staging)
+      java.nio.file.Files.createDirectories(staging)
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+        .filter(col("event_type").isin("view", "click"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val mid = lo + (hi - lo + 1) / 2
+      val mtime0 = System.currentTimeMillis() - 3600000L
+      val slices = Seq(
+        ("view", lo, mid), ("view", mid, hi + 1),
+        ("click", lo, mid), ("click", mid, hi + 1))
+      slices.zipWithIndex.foreach { case ((tpe, from, until), i) =>
+        val tmp = base.resolve(s"stage_tmp_$i")
+        ev.filter(col("event_type") === tpe &&
+            unix_micros(col("ts")) >= from && unix_micros(col("ts")) < until)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val stream = java.nio.file.Files.list(tmp)
+        val part = try stream.filter(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally stream.close()
+        val dest = staging.resolve(s"slice_$i.parquet")
+        java.nio.file.Files.copy(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime0 + i * 60000L))
+        rmRf(tmp)
+      }
+    }
+    staging
+  }
+
+  /** The STREAM-STREAM JOIN drain — the shape where the state store
+    * buffers BOTH sides: an inner interval join (click within one day
+    * after the same user's view) over two file streams. With
+    * [[joinStaging]]'s layout the claim is total: both sources read
+    * the same file sequence (each filtering its own side), all view
+    * files precede all click files, so EVERY joined pair matches a
+    * view out of state buffered in an earlier micro-batch — none can
+    * form within one batch. Inner matches emit in the batch where the
+    * click arrives, so no sentinel is needed; at steady state the
+    * watermark + interval bound is what lets the engine evict view
+    * state once no matching click can still arrive (state is a
+    * window's worth per side, never the corpus — the 100 TB
+    * posture). The oracle recomputes the pairs with a plain interval
+    * self-join; the hash matches iff no cross-batch pair was lost,
+    * duplicated, or mis-joined. */
+  val qStreamJoin = Q(
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_join_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val sink = base.resolve("sink").toString
+      val ckpt = base.resolve("ckpt").toString
+      rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
+      val staging = joinStaging(s, d)
+      def side(types: String) = s.readStream.schema(stagedSchemaDedup)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .filter(col("event_type") === types)
+      val q = StreamingDemo
+        .viewClickAttribution(side("view"), side("click"))
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            batch.write.mode("overwrite")
+              .parquet(s"$sink/pairs/batch_id=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "q_stream_join: AvailableNow drain did not terminate within " +
+            "300 s — the file-stream source is wedged; see the query's " +
+            s"progress: ${q.lastProgress}")
+      }
+      val pairs = s.read.parquet(s"$sink/pairs")
+      val nBatches = pairs.select(countDistinct(col("batch_id"))).head.getLong(0)
+      if (nBatches < 2) throw new IllegalStateException(
+        s"q_stream_join: pairs emitted in $nBatches micro-batch(es) — " +
+          "the graded both-sides-buffered claim needs >= 2; check the " +
+          "staged file count vs maxFilesPerTrigger")
+      // totality: the view batches (0, 1) must emit NOTHING — every
+      // pair matches out of state buffered in an earlier batch
+      val early = pairs.filter(col("batch_id") < 2).count()
+      if (early > 0) throw new IllegalStateException(
+        s"q_stream_join: $early pair(s) emitted before any click file " +
+          "was staged — the staging's view/click ordering degenerated")
+      pairs.select(col("user_id"), col("ad_id"), col("click_id"),
+          col("imp_us"), col("click_us"))
+        .orderBy(col("user_id"), col("ad_id"), col("click_id"))
+    },
+    """SELECT v.user_id, v.event_id AS ad_id, c.event_id AS click_id,
+       EPOCH_US(v.ts) AS imp_us, EPOCH_US(c.ts) AS click_us
+       FROM events v JOIN events c ON v.user_id = c.user_id
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
+       WHERE v.event_type = 'view' AND c.event_type = 'click'
+       ORDER BY v.user_id, ad_id, click_id""")
+
   val defs: Map[String, Q] = Map(
     "q_stream_drain" -> qStreamDrain,
     "q_stream_transitions" -> qStreamTransitions,
     "q_stream_totals_v2" -> qStreamTotalsV2,
     "q_stream_windowed" -> qStreamWindowed,
     "q_stream_sessions" -> qStreamSessions,
-    "q_stream_dedup" -> qStreamDedup)
+    "q_stream_dedup" -> qStreamDedup,
+    "q_stream_join" -> qStreamJoin)
 }

@@ -215,6 +215,36 @@ object StreamingDemo {
         col("click_value"))
   }
 
+  /** Graded variant of the stream-stream interval join
+    * ([[StreamQueries.qStreamJoin]]): views and clicks keyed on the
+    * USER (the corpus' real shared key — ad ids are unique, so the
+    * demo's ad-id equality would be vacuously empty here), click
+    * within one DAY after the view (the corpus averages ~3 events per
+    * user-day, so a minutes-scale window would leave the graded pair
+    * set near-empty at the small SFs). Inner matches emit as soon as
+    * both sides are present; each side's watermark plus the interval
+    * bound is what lets the engine evict view state once no matching
+    * click can still arrive — state is one window's worth of each
+    * side, never the corpus. Timestamps are emitted as exact epoch
+    * micros so the joined pairs are engine-portable. */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = views
+      .selectExpr("user_id", "event_id AS ad_id", "ts AS imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks
+      .selectExpr("user_id AS click_user", "event_id AS click_id",
+        "ts AS click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    imp.join(clk,
+      expr("""user_id = click_user AND
+              click_ts >= imp_ts AND
+              click_ts <= imp_ts + INTERVAL 1 DAY"""),
+      "inner")
+      .select(col("user_id"), col("ad_id"), col("click_id"),
+        unix_micros(col("imp_ts")).as("imp_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+  }
+
   /** LEFT OUTER stream-stream interval join — the attribution variant
     * that also reports UNMATCHED impressions: an impression with no
     * click inside its window emits with null click columns, but only

@@ -714,4 +714,28 @@ class StreamingSpec extends SparkSpec {
       .orderBy(col("user_id"), col("event_type"))
     assert(rows(drained) === rows(batch))
   }
+
+  test("q_stream_join: the both-sides-buffered drain equals the batch interval join") {
+    // every pair forms out of view state buffered >= 1 batch earlier
+    // (the query itself asserts zero pairs before the first click
+    // file); equality with the batch interval self-join proves the
+    // buffered-state matching lost, duplicated, and mis-joined nothing
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamJoin.fn(spark, sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("ad_id"),
+        unix_micros(col("ts")).as("imp_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val batch = v.join(c, col("user_id") === col("cu") &&
+        col("click_us") >= col("imp_us") &&
+        col("click_us") <= col("imp_us") + lit(86400000000L))
+      .select(col("user_id"), col("ad_id"), col("click_id"),
+        col("imp_us"), col("click_us"))
+      .orderBy(col("user_id"), col("ad_id"), col("click_id"))
+    assert(rows(drained) === rows(batch))
+  }
 }
