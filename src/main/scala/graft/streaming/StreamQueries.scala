@@ -35,6 +35,26 @@ object StreamQueries {
     StructField("ts", TimestampType),
     StructField("event_type", StringType)))
 
+  /** Run `body` with the session's shuffle partitions pinned to `n`,
+    * restoring the previous value after (the qStreamTotalsV2
+    * provider-conf convention). Stateful streaming keeps one state
+    * store INSTANCE per shuffle partition per stateful operator (a
+    * stream-stream join keeps four), each committed every micro-batch
+    * — at the bench session's 32 partitions that is pure per-batch
+    * overhead for corpus-sized drains. 8 partitions carry the graded
+    * volume comfortably; every drained result is partition-count
+    * invariant (proven by the CPUS sweep), so the knob is cost-only.
+    * Checkpoints are fresh per run, so the pinned partitioning never
+    * conflicts with a resumed state layout. At 100 TB the same knob
+    * goes the other way: size state partitions to the key volume. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+                                     n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def rmRf(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       val stream = java.nio.file.Files.walk(root)
@@ -411,24 +431,26 @@ object StreamQueries {
       val stream = s.readStream.schema(stagedSchemaWindowed)
         .option("maxFilesPerTrigger", "2")
         .parquet(staging.toString)
-      val q = StreamingDemo.windowedCountsGraded(stream)
-        .writeStream
-        .outputMode("append")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           batchId: Long) =>
-            batch.write.mode("overwrite")
-              .parquet(s"$sink/closed/batch_id=$batchId")
+      withStatePartitions(s, 8) {
+        val q = StreamingDemo.windowedCountsGraded(stream)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$sink/closed/batch_id=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_windowed: AvailableNow drain did not terminate " +
+              "within 300 s — the file-stream source is wedged; see the " +
+              s"query's progress: ${q.lastProgress}")
         }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q_stream_windowed: AvailableNow drain did not terminate " +
-            "within 300 s — the file-stream source is wedged; see the " +
-            s"query's progress: ${q.lastProgress}")
       }
       val closed = s.read.parquet(s"$sink/closed")
       // windows must have closed INCREMENTALLY — emissions spread over
@@ -482,24 +504,26 @@ object StreamQueries {
       val stream = s.readStream.schema(stagedSchemaSessions)
         .option("maxFilesPerTrigger", "2")
         .parquet(staging.toString)
-      val q = StreamingDemo.sessionCountsGraded(stream)
-        .writeStream
-        .outputMode("append")
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           batchId: Long) =>
-            batch.write.mode("overwrite")
-              .parquet(s"$sink/closed/batch_id=$batchId")
+      withStatePartitions(s, 8) {
+        val q = StreamingDemo.sessionCountsGraded(stream)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$sink/closed/batch_id=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_sessions: AvailableNow drain did not terminate " +
+              "within 300 s — the file-stream source is wedged; see the " +
+              s"query's progress: ${q.lastProgress}")
         }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q_stream_sessions: AvailableNow drain did not terminate " +
-            "within 300 s — the file-stream source is wedged; see the " +
-            s"query's progress: ${q.lastProgress}")
       }
       val closed = s.read.parquet(s"$sink/closed")
       val nBatches = closed.select(countDistinct(col("batch_id"))).head.getLong(0)
@@ -597,24 +621,26 @@ object StreamQueries {
       val stream = s.readStream.schema(stagedSchemaDedup)
         .option("maxFilesPerTrigger", "1")
         .parquet(staging.toString)
-      val q = StreamingDemo
-        .dedupFirstPerKey(stream, "400 days", "user_id", "event_type")
-        .writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           batchId: Long) =>
-            batch.write.mode("overwrite")
-              .parquet(s"$sink/kept/batch_id=$batchId")
+      withStatePartitions(s, 8) {
+        val q = StreamingDemo
+          .dedupFirstPerKey(stream, "400 days", "user_id", "event_type")
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$sink/kept/batch_id=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_dedup: AvailableNow drain did not terminate within " +
+              "300 s — the file-stream source is wedged; see the query's " +
+              s"progress: ${q.lastProgress}")
         }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q_stream_dedup: AvailableNow drain did not terminate within " +
-            "300 s — the file-stream source is wedged; see the query's " +
-            s"progress: ${q.lastProgress}")
       }
       // every processed batch leaves a ledger dir (foreachBatch runs
       // for empty batches too) — the duplicate batches must have RUN...
@@ -670,14 +696,32 @@ object StreamQueries {
       val (lo, hi) = (b.getLong(0), b.getLong(1))
       val mid = lo + (hi - lo + 1) / 2
       val mtime0 = System.currentTimeMillis() - 3600000L
-      val slices = Seq(
-        ("view", lo, mid), ("view", mid, hi + 1),
-        ("click", lo, mid), ("click", mid, hi + 1))
-      slices.zipWithIndex.foreach { case ((tpe, from, until), i) =>
+      // slices 4–5: one far-future sentinel per SIDE, stamped last.
+      // The inner join ignores them (negative pseudo-users never
+      // match, and an unmatched row needs the outer variant to emit);
+      // the OUTER drain needs both, because the global watermark is
+      // the min across sources — only when BOTH sides' watermarks
+      // pass every real view's window end may the engine emit the
+      // unmatched views, and the final no-data batch then flushes
+      // them deterministically.
+      def sentinel(tpe: String, uid: Long) = s.range(1).select(
+        timestamp_micros(lit(hi + 2592000000000L)).as("ts"),
+        lit(uid).as("user_id"), lit(uid).as("event_id"),
+        lit(tpe).as("event_type"))
+      val slices = Seq[(String, org.apache.spark.sql.DataFrame)](
+        ("view", ev.filter(col("event_type") === "view" &&
+          unix_micros(col("ts")) < mid)),
+        ("view", ev.filter(col("event_type") === "view" &&
+          unix_micros(col("ts")) >= mid)),
+        ("click", ev.filter(col("event_type") === "click" &&
+          unix_micros(col("ts")) < mid)),
+        ("click", ev.filter(col("event_type") === "click" &&
+          unix_micros(col("ts")) >= mid)),
+        ("view", sentinel("view", -2L)),
+        ("click", sentinel("click", -1L)))
+      slices.zipWithIndex.foreach { case ((_, slice), i) =>
         val tmp = base.resolve(s"stage_tmp_$i")
-        ev.filter(col("event_type") === tpe &&
-            unix_micros(col("ts")) >= from && unix_micros(col("ts")) < until)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val stream = java.nio.file.Files.list(tmp)
         val part = try stream.filter(p =>
             p.getFileName.toString.endsWith(".parquet"))
@@ -722,24 +766,26 @@ object StreamQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(staging.toString)
         .filter(col("event_type") === types)
-      val q = StreamingDemo
-        .viewClickAttribution(side("view"), side("click"))
-        .writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           batchId: Long) =>
-            batch.write.mode("overwrite")
-              .parquet(s"$sink/pairs/batch_id=$batchId")
+      withStatePartitions(s, 8) {
+        val q = StreamingDemo
+          .viewClickAttribution(side("view"), side("click"))
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$sink/pairs/batch_id=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_join: AvailableNow drain did not terminate within " +
+              "300 s — the file-stream source is wedged; see the query's " +
+              s"progress: ${q.lastProgress}")
         }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q_stream_join: AvailableNow drain did not terminate within " +
-            "300 s — the file-stream source is wedged; see the query's " +
-            s"progress: ${q.lastProgress}")
       }
       val pairs = s.read.parquet(s"$sink/pairs")
       val nBatches = pairs.select(countDistinct(col("batch_id"))).head.getLong(0)
@@ -764,6 +810,83 @@ object StreamQueries {
        WHERE v.event_type = 'view' AND c.event_type = 'click'
        ORDER BY v.user_id, ad_id, click_id""")
 
+  /** The LEFT-OUTER stream-stream join drain — the watermark-gated
+    * NULL EMISSION semantic: a view with no in-window click may only
+    * emit (with null click columns) once the state store can PROVE no
+    * matching click will still arrive, i.e. once the global watermark
+    * — the minimum across both sources — passes the view's window
+    * end. [[joinStaging]]'s per-side far-future sentinels advance both
+    * watermarks past every real view's window, so the engine's final
+    * no-data batch flushes every unmatched view deterministically;
+    * matched pairs emit earlier, in the batch where the click arrives.
+    * Null click columns are coalesced to −1 on both engines (exact on
+    * integers), and the sentinels' negative pseudo-users are filtered.
+    * The oracle is the batch LEFT JOIN; the hash matches iff the
+    * engine emitted every unmatched view exactly once, none early,
+    * and no matched view leaked a spurious null row. */
+  val qStreamJoinOuter = Q(
+    (s, d) => {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_stream_join_outer_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val sink = base.resolve("sink").toString
+      val ckpt = base.resolve("ckpt").toString
+      rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
+      val staging = joinStaging(s, d)
+      def side(types: String) = s.readStream.schema(stagedSchemaDedup)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging.toString)
+        .filter(col("event_type") === types)
+      withStatePartitions(s, 8) {
+        val q = StreamingDemo
+          .viewClickAttributionOuter(side("view"), side("click"))
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$sink/pairs/batch_id=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_join_outer: AvailableNow drain did not terminate " +
+              "within 300 s — the file-stream source is wedged; see the " +
+              s"query's progress: ${q.lastProgress}")
+        }
+      }
+      val pairs = s.read.parquet(s"$sink/pairs")
+        .filter(col("user_id") >= 0L) // drop the sentinel pseudo-users
+      val nBatches = pairs.select(countDistinct(col("batch_id"))).head.getLong(0)
+      if (nBatches < 2) throw new IllegalStateException(
+        s"q_stream_join_outer: rows emitted in $nBatches micro-batch(es) " +
+          "— matched pairs and watermark-flushed unmatched views must " +
+          "land in different batches; check the staged file ordering")
+      // the null-emission path must actually have fired — a corpus
+      // where every view matched would grade only the inner semantics
+      val nUnmatched = pairs.filter(col("click_id").isNull).count()
+      if (nUnmatched == 0) throw new IllegalStateException(
+        "q_stream_join_outer: no unmatched view emitted — the " +
+          "watermark-gated null-emission claim is untested")
+      pairs.select(col("user_id"), col("ad_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("imp_us"),
+          coalesce(col("click_us"), lit(-1L)).as("click_us"))
+        .orderBy(col("user_id"), col("ad_id"), col("click_id"))
+    },
+    """SELECT v.user_id, v.event_id AS ad_id,
+       COALESCE(c.event_id, -1) AS click_id,
+       EPOCH_US(v.ts) AS imp_us,
+       COALESCE(EPOCH_US(c.ts), -1) AS click_us
+       FROM events v LEFT JOIN events c ON v.user_id = c.user_id
+        AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
+       WHERE v.event_type = 'view'
+       ORDER BY v.user_id, ad_id, click_id""")
+
   val defs: Map[String, Q] = Map(
     "q_stream_drain" -> qStreamDrain,
     "q_stream_transitions" -> qStreamTransitions,
@@ -771,5 +894,6 @@ object StreamQueries {
     "q_stream_windowed" -> qStreamWindowed,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_dedup" -> qStreamDedup,
-    "q_stream_join" -> qStreamJoin)
+    "q_stream_join" -> qStreamJoin,
+    "q_stream_join_outer" -> qStreamJoinOuter)
 }

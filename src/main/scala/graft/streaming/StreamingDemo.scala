@@ -227,7 +227,21 @@ object StreamingDemo {
     * click can still arrive — state is one window's worth of each
     * side, never the corpus. Timestamps are emitted as exact epoch
     * micros so the joined pairs are engine-portable. */
-  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame =
+    viewClickJoin(views, clicks, "inner")
+
+  /** LEFT OUTER twin of [[viewClickAttribution]]
+    * ([[StreamQueries.qStreamJoinOuter]]): a view with no in-window
+    * click emits with null click columns, but only once the global
+    * watermark proves no matching click can still arrive — the
+    * watermark-gated null emission semantic, which is the subtlest
+    * timing contract in the streaming surface. One body for both
+    * variants, so the outer semantics stay pure configuration. */
+  def viewClickAttributionOuter(views: DataFrame, clicks: DataFrame): DataFrame =
+    viewClickJoin(views, clicks, "leftOuter")
+
+  private def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                            joinType: String): DataFrame = {
     val imp = views
       .selectExpr("user_id", "event_id AS ad_id", "ts AS imp_ts")
       .withWatermark("imp_ts", "10 minutes")
@@ -239,7 +253,7 @@ object StreamingDemo {
       expr("""user_id = click_user AND
               click_ts >= imp_ts AND
               click_ts <= imp_ts + INTERVAL 1 DAY"""),
-      "inner")
+      joinType)
       .select(col("user_id"), col("ad_id"), col("click_id"),
         unix_micros(col("imp_ts")).as("imp_us"),
         unix_micros(col("click_ts")).as("click_us"))

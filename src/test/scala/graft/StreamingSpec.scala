@@ -738,4 +738,30 @@ class StreamingSpec extends SparkSpec {
       .orderBy(col("user_id"), col("ad_id"), col("click_id"))
     assert(rows(drained) === rows(batch))
   }
+
+  test("q_stream_join_outer: watermark-gated null emission equals the batch left join") {
+    // the graded query already asserts >= 1 unmatched view emitted and
+    // >= 2 emission batches; this pin adds the full-frame equality:
+    // every unmatched view exactly once, none early, no matched view
+    // leaking a spurious null row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val drained = streaming.StreamQueries.qStreamJoinOuter.fn(spark, sfDir)
+    val ev = graft.Tables.events(spark, sfDir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("ad_id"),
+        unix_micros(col("ts")).as("imp_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"),
+        unix_micros(col("ts")).as("cus"))
+    val batch = v.join(c, col("user_id") === col("cu") &&
+        col("cus") >= col("imp_us") &&
+        col("cus") <= col("imp_us") + lit(86400000000L), "left")
+      .select(col("user_id"), col("ad_id"),
+        coalesce(col("cid"), lit(-1L)).as("click_id"),
+        col("imp_us"), coalesce(col("cus"), lit(-1L)).as("click_us"))
+      .orderBy(col("user_id"), col("ad_id"), col("click_id"))
+    assert(rows(drained) === rows(batch))
+    assert(drained.filter(col("click_id") === -1L).count() > 0)
+  }
 }
