@@ -124,6 +124,37 @@ object Bench {
       try Files.readString(Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Exception => -1.0 }
+    // Whole-host throttling calibration (r12 verdict #1): the min-of-2 /
+    // 4×-warmup co-load defense compares samples WITHIN a run, so a
+    // uniformly slowed JVM (host-level CPU throttling, a cgroup cap, a
+    // noisy neighbor inflating everything by the same factor) passes
+    // every within-run check and self-reports only through human
+    // cross-run comparison — r12's graded trio had to be discarded by
+    // exactly that judgment call. The fix is an absolute yardstick: a
+    // deterministic pure-JVM spin kernel (xorshift64* mix, fixed
+    // 450M iterations ≈ 1 s nominal on the reference host — the
+    // constant and its nominal are recorded in docs/SCALE.md) timed
+    // once before warmup and once after the graded loop. Identical
+    // work every run ⇒ its time moves ONLY with the host's effective
+    // single-core throughput, so `calib_start_s`/`calib_end_s` on the
+    // totals line make a throttled run identifiable from the artifact
+    // alone. Discard rule (documented in SCALE.md): either probe
+    // > 1.3× nominal ⇒ the run is not comparable cross-round.
+    // A short untimed pre-spin absorbs the loop's own JIT compile so
+    // the start probe doesn't over-read on a fresh JVM.
+    val calibSink = new java.util.concurrent.atomic.AtomicLong()
+    def calibProbe(): Double = {
+      def spin(n: Long): Long = {
+        var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0L
+        while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1 }
+        acc
+      }
+      calibSink.addAndGet(spin(25000000L)) // JIT warm, untimed
+      val t0 = System.nanoTime()
+      calibSink.addAndGet(spin(450000000L)) // published: not eliminable
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibProbe()
     val loadStart = loadavg()
     val warmT0 = System.nanoTime()
     val firstRun = ordered.map { case (name, fn) =>
@@ -211,6 +242,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    // Graded-total decomposition (r12 verdict #2): the streaming
+    // drains' per-sample cost (fresh checkpoint + state-store
+    // machinery + the drain itself) IS their exhibit, and at 8 drains
+    // it is already ~1/3 of the total — so the cross-round regression
+    // signal, the NON-drain per-query rate, was drowning in drain
+    // growth and had to be judge-recomputed from the detail JSON.
+    // Emit both halves machine-readably: `drain_sec` sums the
+    // `q_stream_*` prefix set (the registry's naming convention for
+    // true Structured Streaming drains), `core_sec` is the rest;
+    // they sum to `value` by construction.
+    val drainSec = ok.collect { case (k, v) if k.startsWith("q_stream_") => v }.sum
+    val coreSec = total - drainSec
+    val split = s""""drain_sec":${r3(drainSec)},"core_sec":${r3(coreSec)}"""
     val meds = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val firsts = firstRun.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -224,7 +268,10 @@ object Bench {
     // ramps its own threads); loadavg_end mostly reflects the bench
     // itself on a 32-thread session and is kept for the delta
     val loadEnd = loadavg()
-    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)}"""
+    // end probe after ALL timed work (graded loop + median resamples):
+    // a throttle that began mid-run shows as calib_end ≫ calib_start
+    val calibEnd = calibProbe()
+    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_end_s":${r3(calibEnd)}"""
     // queries whose timed samples never beat 4× their own warmup
     // first_run even after the bounded retries: their numbers are
     // environmental (machine co-load), not plan cost — consumers
@@ -233,7 +280,7 @@ object Bench {
     val resamples = resampled.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"resampled":$resamples,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"resampled":$resamples,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench
     // (the driver may run this from a non-writable working directory,
     // and the final stdout line below is the graded artifact).
@@ -252,7 +299,7 @@ object Bench {
     // totals-only JSON as the ONLY stdout line — round 1's full
     // per-query line (~3.5 KB) overflowed the driver's capture window
     // and the round's bench never parsed; keep this short and flushed.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -55,6 +55,23 @@ object StreamQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Per-JVM tmpdir base for a drain's staging/sink/checkpoint tree.
+    * Keyed on (drain name, dataset path, process pid): previously the
+    * key was the dataset path alone, so two concurrent JVMs on the
+    * same sf dir (e.g. a Verify and a Bench) shared one tree — and
+    * since every invocation rmRf's its sink/checkpoint, one process
+    * could delete the other's in-flight drain state mid-run (r12
+    * ADVICE; flaky-run risk, not result corruption). The pid suffix
+    * gives each process its own tree, same convention as Bench's
+    * run-stamped detail files; within a process the session-memoized
+    * staging still reuses one tree. Orphaned trees from crashed runs
+    * live under java.io.tmpdir and age out with it. */
+  private def tmpBase(prefix: String, d: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_p" + ProcessHandle.current().pid())
+
   private def rmRf(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       val stream = java.nio.file.Files.walk(root)
@@ -65,9 +82,7 @@ object StreamQueries {
 
   val qStreamDrain = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_drain_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_drain_", d)
       val staging = base.resolve("staging").toString
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
@@ -147,9 +162,7 @@ object StreamQueries {
     * staging directory. */
   private def timeOrderedStaging(s: org.apache.spark.sql.SparkSession,
                                  d: String): java.nio.file.Path = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_staged_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val base = tmpBase("graft_stream_staged_", d)
     val staging = base.resolve("staging")
     graft.SessionMemo.oncePerSession(s, s"stream_timeordered_staging:$d") {
       rmRf(staging)
@@ -211,9 +224,7 @@ object StreamQueries {
     * assuming it. */
   val qStreamTransitions = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_transitions_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_transitions_", d)
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
@@ -221,23 +232,29 @@ object StreamQueries {
       val stream = s.readStream.schema(stagedSchema4)
         .option("maxFilesPerTrigger", "2")
         .parquet(staging.toString)
-      val q = StreamingDemo.transitionPairs(s, stream)
-        .writeStream
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           batchId: Long) =>
-            batch.write.mode("overwrite")
-              .parquet(s"$sink/pairs/batch_id=$batchId")
+      // 8 state partitions per the file's drain convention (r12
+      // ADVICE: this drain and the v2 totals drain were the only two
+      // left at the session's 32 — pure per-batch state-store commit
+      // overhead; results are partition-count invariant)
+      withStatePartitions(s, 8) {
+        val q = StreamingDemo.transitionPairs(s, stream)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$sink/pairs/batch_id=$batchId")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_transitions: AvailableNow drain did not terminate " +
+              "within 300 s — the file-stream source is wedged; see the " +
+              s"query's progress: ${q.lastProgress}")
         }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(300000L)) {
-        q.stop()
-        throw new IllegalStateException(
-          "q_stream_transitions: AvailableNow drain did not terminate " +
-            "within 300 s — the file-stream source is wedged; see the " +
-            s"query's progress: ${q.lastProgress}")
       }
       val pairs = s.read.parquet(s"$sink/pairs")
       val nBatches = pairs.select(countDistinct(col("batch_id"))).head.getLong(0)
@@ -277,9 +294,7 @@ object StreamQueries {
     * heap; the conf is set for the drain and restored after. */
   val qStreamTotalsV2 = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_totals_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_totals_", d)
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
@@ -288,7 +303,10 @@ object StreamQueries {
       val prevProvider = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      try withStatePartitions(s, 8) {
+        // 8 state partitions per the drain convention (r12 ADVICE):
+        // at 32, each micro-batch commits 32 RocksDB instances —
+        // pure overhead; the snapshots are partition-count invariant
         val stream = s.readStream.schema(stagedSchemaTotals)
           .option("maxFilesPerTrigger", "2")
           .parquet(staging.toString)
@@ -363,9 +381,7 @@ object StreamQueries {
     * anyway. */
   private def windowedStaging(s: org.apache.spark.sql.SparkSession,
                               d: String): java.nio.file.Path = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_windowed_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val base = tmpBase("graft_stream_windowed_", d)
     val staging = base.resolve("staging")
     graft.SessionMemo.oncePerSession(s, s"stream_windowed_staging:$d") {
       val src = timeOrderedStaging(s, d)
@@ -421,9 +437,7 @@ object StreamQueries {
     * any batch split. */
   val qStreamWindowed = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_windowed_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_windowed_", d)
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
@@ -494,9 +508,7 @@ object StreamQueries {
     * split. */
   val qStreamSessions = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_sessions_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_sessions_", d)
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
@@ -558,9 +570,7 @@ object StreamQueries {
     * entirely the state store's doing. */
   private def dedupStaging(s: org.apache.spark.sql.SparkSession,
                            d: String): java.nio.file.Path = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_dedup_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val base = tmpBase("graft_stream_dedup_", d)
     val staging = base.resolve("staging")
     graft.SessionMemo.oncePerSession(s, s"stream_dedup_staging:$d") {
       rmRf(staging)
@@ -611,9 +621,7 @@ object StreamQueries {
     * duplicated, or re-emitted. */
   val qStreamDedup = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_dedup_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_dedup_", d)
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
@@ -681,9 +689,7 @@ object StreamQueries {
     * outlives the wait by construction. */
   private def joinStaging(s: org.apache.spark.sql.SparkSession,
                           d: String): java.nio.file.Path = {
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_stream_join_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val base = tmpBase("graft_stream_join_", d)
     val staging = base.resolve("staging")
     graft.SessionMemo.oncePerSession(s, s"stream_join_staging:$d") {
       rmRf(staging)
@@ -755,9 +761,7 @@ object StreamQueries {
     * duplicated, or mis-joined. */
   val qStreamJoin = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_join_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_join_", d)
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
@@ -826,9 +830,7 @@ object StreamQueries {
     * and no matched view leaked a spurious null row. */
   val qStreamJoinOuter = Q(
     (s, d) => {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_stream_join_outer_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val base = tmpBase("graft_stream_join_outer_", d)
       val sink = base.resolve("sink").toString
       val ckpt = base.resolve("ckpt").toString
       rmRf(base.resolve("ckpt")); rmRf(base.resolve("sink"))
