@@ -11,15 +11,17 @@ import org.apache.spark.sql.types._
   * feature-extract / frame-sample stages.
   *
   * The graded corpus has no real media, so payloads are synthesized.
-  * IMAGE decode is REAL ([[qImageDecode]]): the JDK's built-in
-  * `javax.imageio` decodes genuine PNG bytes and the oracle checks
-  * the decoded pixels. AUDIO decode is REAL too ([[qAudioDecode]]):
-  * `javax.sound.sampled` (also in the JDK) round-trips genuine
-  * RIFF/WAVE PCM bytes and the oracle checks the decoded samples.
-  * Only VIDEO decode remains a clearly-marked deterministic STUB —
-  * no video codec ships with the JDK and the container has no media
-  * libraries. What IS real and tested either
-  * way is the Spark-side plumbing that matters at 100 TB:
+  * All three modalities now decode REAL bytes through REAL codecs:
+  * IMAGE ([[qImageDecode]]) via the JDK's built-in `javax.imageio`
+  * (genuine PNG bytes, decoded pixels oracle-checked); AUDIO
+  * ([[qAudioDecode]]) via `javax.sound.sampled` (genuine RIFF/WAVE
+  * PCM bytes, decoded samples oracle-checked); VIDEO
+  * ([[qVideoDecode]]) as a length-prefixed PNG frame sequence —
+  * Motion-JPEG's shape, a video IS a frame sequence — every frame
+  * decoded through the same ImageIO path (no video codec ships with
+  * the JDK, so the CONTAINER is synthetic but each frame decode is a
+  * real codec invocation on real PNG bytes). What is also real and
+  * tested is the Spark-side plumbing that matters at 100 TB:
   *  - binary columns flow through scans/shuffles untouched (Spark
   *    treats them as opaque byte arrays — no codec on the hot path);
   *  - decode runs per-partition via `mapPartitions` over a typed
@@ -50,13 +52,14 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
-  /** STUB decode — the VIDEO stand-in (no video codec in the JDK;
-    * image and audio decode for real in [[qImageDecode]] /
-    * [[qAudioDecode]]). A
-    * real deployment would open a codec here (one init per partition,
-    * reused across rows — that is the point of the mapPartitions
-    * shape). The fake is pure arithmetic on payload length so the
-    * oracle can recompute it. */
+  /** Arithmetic metadata fake used only by the PLUMBING exhibits
+    * [[qMediaMeta]] / [[qMediaResize]] (schema, partitioning, batch
+    * shape over a mixed-modality table). All three modalities decode
+    * REAL bytes through REAL codecs elsewhere: [[qImageDecode]],
+    * [[qAudioDecode]], [[qVideoDecode]]. A real deployment would open
+    * the codec here (one init per partition, reused across rows —
+    * the point of the mapPartitions shape); the fake is pure
+    * arithmetic on payload length so the oracle can recompute it. */
   private def stubDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
     val len = payload.length
     val width = 32 + (len % 64) * 10
@@ -237,10 +240,9 @@ object Multimodal {
     * width/height/pixel-sums straight from the planted spec, so the
     * hash matches iff the decoder read REAL dimensions and REAL pixel
     * values out of real PNG bytes — a mis-decoded stride, channel or
-    * bit depth lands on `sum_gray` immediately. The arithmetic stub
-    * in [[qMediaMeta]] remains only as the video stand-in (no video
-    * codec ships with the JDK; audio decodes for real in
-    * [[qAudioDecode]]). */
+    * bit depth lands on `sum_gray` immediately. Audio decodes for
+    * real in [[qAudioDecode]], video (as a PNG frame sequence) in
+    * [[qVideoDecode]]. */
   val qImageDecode = Q(
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(pngSchema)
@@ -391,11 +393,149 @@ object Multimodal {
           FROM UNNEST(RANGE(0, 20 + doc_id % 30)) AS t(i)) AS max_amp
        FROM documents ORDER BY doc_id""")
 
+  /** Deterministic gray value planted at (x, y) of FRAME f in doc
+    * `id`'s synthetic video — the per-frame extension of
+    * [[plantedGray]]'s spec; both the encoder below and the DuckDB
+    * oracle replay it (NorthStarSpec pins a known 2-frame clip). */
+  private[graft] def plantedVideoGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toInt
+
+  private[graft] def plantedFrameCount(id: Long): Int = (2 + id % 7).toInt
+  private[graft] def plantedVideoW(id: Long): Int = (3 + id % 6).toInt
+  private[graft] def plantedVideoH(id: Long): Int = (2 + id % 5).toInt
+
+  /** Synthetic video container: `[int32-BE frame length][PNG bytes]`
+    * repeated, one entry per frame — Motion-JPEG's shape (a video IS
+    * a sequence of independently coded frames), chosen because it
+    * lets every frame decode through a REAL JDK codec with zero new
+    * dependencies. Frame dimensions are constant across a clip (as a
+    * real video's are); pixel values vary per frame via
+    * [[plantedVideoGray]], so a decoder that reads only the first
+    * frame, drops one, or mis-orders them lands on `sum_gray`. */
+  private[graft] def plantedVideo(id: Long): Array[Byte] = {
+    val (w, h, nf) = (plantedVideoW(id), plantedVideoH(id), plantedFrameCount(id))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, plantedVideoGray(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      val frame = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frame)
+      val png = frame.toByteArray
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private val videoSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("video", BinaryType)))
+
+  private val videoMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px_total", IntegerType),
+    StructField("sum_gray", LongType),
+    StructField("max_gray", IntegerType)))
+
+  /** REAL video decode (r12 verdict #4) — the last modality off the
+    * stub: stage 1 synthesizes a length-prefixed PNG frame sequence
+    * per doc ([[plantedVideo]]); stage 2 walks the container and
+    * decodes EVERY frame through the same ImageIO path as
+    * [[qImageDecode]] — one codec setup per partition, clips streamed
+    * through it, per-clip loop over frames (the demux-decode shape a
+    * real MJPEG/ffmpeg reader has) — and emits the decoded frame
+    * count, dimensions, and whole-clip raster statistics. The oracle
+    * recomputes all of them straight from the planted per-frame spec,
+    * so the hash matches iff the demux read REAL length prefixes and
+    * the codec read REAL pixels out of every frame — a dropped frame,
+    * a first-frame-only shortcut, or a mis-read stride lands on
+    * `n_frames`/`sum_gray` immediately. Binary clips stay opaque
+    * through scan/shuffle; only the per-partition decode touches the
+    * bytes — the 100 TB posture for media columns. */
+  val qVideoDecode = Q(
+    (s, d) => {
+      val encEnc = RowEncoder.encoderFor(videoSchema)
+      val decEnc = RowEncoder.encoderFor(videoMetaSchema)
+      val clips = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // encoder init, once per partition
+          rows.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            Row(id, plantedVideo(id))
+          }
+        }(encEnc)
+      clips.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // decoder init, once per partition
+        rows.map { r =>
+          val id = r.getLong(0)
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          var nf = 0
+          var w = 0; var h = 0
+          var sum = 0L
+          var mx = 0
+          while (in.available() > 0) {
+            val len = in.readInt()
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            w = img.getWidth; h = img.getHeight
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = raster.getSample(x, y, 0)
+                sum += v; if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            nf += 1
+          }
+          Row(id, nf, w, h, nf * w * h, sum, mx)
+        }
+      }(decEnc).orderBy(col("doc_id"))
+    },
+    // one constant-range expansion (8x8x6 = 384 cells/doc) filtered to
+    // each clip's true frame x raster grid, then a vectorized group-by
+    // — NOT correlated per-doc scalar subqueries, which DuckDB executes
+    // as a nested loop (measured pathological at sf0.1)
+    """SELECT d.doc_id,
+       CAST(2 + d.doc_id % 7 AS INT) AS n_frames,
+       CAST(3 + d.doc_id % 6 AS INT) AS width,
+       CAST(2 + d.doc_id % 5 AS INT) AS height,
+       CAST((2 + d.doc_id % 7) * (3 + d.doc_id % 6) * (2 + d.doc_id % 5) AS INT) AS n_px_total,
+       CAST(SUM((d.doc_id * 31 + f * 19 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_gray,
+       CAST(MAX((d.doc_id * 31 + f * 19 + x * 7 + y * 13) % 256) AS INT) AS max_gray
+       FROM documents d,
+            UNNEST(RANGE(0, 8)) AS tf(f),
+            UNNEST(RANGE(0, 8)) AS t1(x),
+            UNNEST(RANGE(0, 6)) AS t2(y)
+       WHERE f < 2 + d.doc_id % 7 AND x < 3 + d.doc_id % 6 AND y < 2 + d.doc_id % 5
+       GROUP BY d.doc_id ORDER BY d.doc_id""")
+
   val defs: Map[String, Q] = Map(
     "q_media_meta" -> qMediaMeta,
     "q_media_resize" -> qMediaResize,
     "q_frame_sample" -> qFrameSample,
     "q_multimodal_pack" -> qMultimodalPack,
     "q_image_decode" -> qImageDecode,
-    "q_audio_decode" -> qAudioDecode)
+    "q_audio_decode" -> qAudioDecode,
+    "q_video_decode" -> qVideoDecode)
 }

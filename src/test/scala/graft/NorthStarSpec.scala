@@ -450,4 +450,30 @@ class NorthStarSpec extends SparkSpec {
     assert(r0.getInt(2) === 20 && r0.getLong(3) === -653270L &&
       r0.getInt(4) === -32559)
   }
+
+  test("video decode: a known 2-frame planted clip decodes to its exact spec") {
+    // the video triplet of the image/audio pins (r12 verdict #4): doc
+    // 0 is a 2-frame 3x2 clip with gray(f, x, y) = (19f + 7x + 13y)
+    // % 256 — frame 0 equals the image pin's raster, frame 1 is +19
+    // everywhere. The container is length-prefixed REAL PNGs (magic
+    // asserted per frame), each decoded by the JDK's ImageIO; a
+    // first-frame-only shortcut cannot reproduce sum_gray = 276.
+    val bytes = ops.Multimodal.plantedVideo(0L)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    def frame(): IndexedSeq[Int] = {
+      val png = new Array[Byte](in.readInt()); in.readFully(png)
+      assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth === 3 && img.getHeight === 2)
+      for (y <- 0 until 2; x <- 0 until 3) yield img.getRaster.getSample(x, y, 0)
+    }
+    assert(frame() === Seq(0, 7, 14, 13, 20, 27))
+    assert(frame() === Seq(19, 26, 33, 32, 39, 46))
+    assert(in.available() === 0) // exactly two frames — nothing trailing
+    // the graded query's row for doc 0 carries the same decode:
+    // 2 frames, 3x2, 12 px total, sum 81 + 195 = 276, max 46
+    val r0 = run("q_video_decode").filter(col("doc_id") === 0L).head
+    assert(r0.getInt(1) === 2 && r0.getInt(2) === 3 && r0.getInt(3) === 2 &&
+      r0.getInt(4) === 12 && r0.getLong(5) === 276L && r0.getInt(6) === 46)
+  }
 }

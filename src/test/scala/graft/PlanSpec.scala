@@ -711,4 +711,42 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() > 0)
     assert(scan.contains("PartitionFilters: [isnotnull(year"), scan.take(1500))
   }
+
+  test("shuffle-exchange counts match the committed per-query fixture") {
+    // The exchange-count plan pin (r12 verdict #5): every registered
+    // query's planned ShuffleExchange count is frozen in
+    // src/test/resources/exchange_counts.tsv. An accidental extra
+    // shuffle — the q_source_drift 4x-explode class — fails HERE by
+    // query name instead of surfacing as cross-round bench
+    // archaeology. Counting rules (opaque cache/reuse boundaries,
+    // pre-count memo warm pass, pre-AQE plan) live in
+    // tools.ExchangeCensus; deliberate plan changes regenerate the
+    // fixture via `sbt "runMain graft.tools.ExchangeCensus"` and
+    // commit the reviewed TSV diff.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/exchange_counts.tsv"))
+    val pinned = try src.getLines().filter(_.nonEmpty).map { l =>
+      val Array(n, c) = l.split("\t"); n -> c.toInt
+    }.toMap finally src.close()
+    val actual = tools.ExchangeCensus.censusAll(spark, sfDir).toMap
+
+    val unpinned = actual.keySet.diff(pinned.keySet)
+    assert(unpinned.isEmpty,
+      s"queries missing from exchange_counts.tsv (regenerate via ExchangeCensus): $unpinned")
+    val stale = pinned.keySet.diff(actual.keySet)
+    assert(stale.isEmpty, s"fixture entries with no query: $stale")
+
+    val grew = actual.filter { case (n, c) => c > pinned(n) }
+      .map { case (n, c) => s"$n: ${pinned(n)} -> $c" }
+    assert(grew.isEmpty,
+      s"shuffle-count GROWTH (a new exchange reached the plan — justify and regenerate " +
+        s"the fixture only if deliberate): ${grew.mkString(", ")}")
+    // a decrease is an improvement, but a silently stale pin would let
+    // the count grow back unnoticed — update the fixture explicitly
+    val shrank = actual.filter { case (n, c) => c < pinned(n) }
+      .map { case (n, c) => s"$n: ${pinned(n)} -> $c" }
+    assert(shrank.isEmpty,
+      s"shuffle-count decrease (good!) — regenerate the fixture to re-pin at the lower " +
+        s"count: ${shrank.mkString(", ")}")
+  }
 }

@@ -764,4 +764,68 @@ class StreamingSpec extends SparkSpec {
     assert(rows(drained) === rows(batch))
     assert(drained.filter(col("click_id") === -1L).count() > 0)
   }
+
+  test("AvailableNow resume: a restarted drain processes only the newly arrived file") {
+    // The graded q_stream_* drains wipe their checkpoint per sample so
+    // every graded run is a deterministic full re-drain — but a
+    // production stream RESUMES, and Trigger.AvailableNow's economics
+    // are exactly "each run picks up the files that arrived since the
+    // last one" (r12 verdict #7). Pinned here: after draining 4 staged
+    // files, appending a 5th and restarting from the SAME checkpoint,
+    // the second run (a) runs exactly ONE new micro-batch, (b) over
+    // exactly the new file's rows, (c) leaves the already-committed
+    // ledger partitions byte-equal, and (d) the merged spike table
+    // still equals the batch twin over all five files — incremental
+    // cost, identical result.
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("availnow_resume")
+    val staging = base.resolve("staging").toString
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    def hr(h: Int, m: Int) = ts(f"2024-01-01 $h%02d:$m%02d:00")
+    // 8 quiet hours staged as 4 files, then a later burst hour as the
+    // separately-arriving 5th file
+    val first = (0 until 40).map(i =>
+      (hr(i % 8, (i * 7) % 60), if (i % 3 == 0) "view" else "click"))
+    val late = (0 until 9).map(i => (hr(9, i * 6), "click"))
+    first.toDF("ts", "event_type").repartition(4).write.parquet(staging)
+
+    def drain(): Unit = {
+      val stream = s.readStream.schema(s.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "2").parquet(staging)
+      val q = StreamingDemo.startRateSpikeSink(
+        stream, sink, Some(ckpt), availableNow = true)
+      assert(q.awaitTermination(120000L), "AvailableNow drain did not terminate")
+    }
+    def batchIds: Set[Long] = s.read.parquet(s"$sink/hourly_parts")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    def ledgerRows(ids: Set[Long]) = s.read.parquet(s"$sink/hourly_parts")
+      .filter(col("batch_id").cast("long").isin(ids.toSeq: _*))
+      .collect().map(_.toSeq).toSet
+
+    drain()
+    assert(batchIds === Set(0L, 1L)) // 4 files / maxFilesPerTrigger=2
+    val committed = ledgerRows(Set(0L, 1L))
+
+    late.toDF("ts", "event_type").coalesce(1)
+      .write.mode("append").parquet(staging)
+    drain() // same checkpoint — resume, not re-drain
+    assert(batchIds === Set(0L, 1L, 2L),
+      "resume must add exactly one micro-batch for the one new file")
+    // the new batch carries exactly the new rows (a full re-read would
+    // put all 49 events' weight here), and the old partitions are
+    // untouched — the incremental-cost half of the claim
+    val newN = s.read.parquet(s"$sink/hourly_parts")
+      .filter(col("batch_id").cast("long") === 2L)
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(newN === late.size.toLong)
+    assert(ledgerRows(Set(0L, 1L)) === committed)
+    // the identical-result half: merged spikes == batch twin over all 5
+    val streamed = s.read.parquet(s"$sink/spikes").collect().map(_.toSeq).toSet
+    val twin = ops.EventsOps.rateSpikes(s.read.parquet(staging))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === twin)
+  }
 }
