@@ -17,9 +17,18 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
   * bench-archaeology exercise into a named test failure.
   *
   * Counting rules (determinism over completeness):
-  *  - counts are taken from the pre-execution plan (through the
-  *    [[AdaptiveSparkPlanExec]] wrapper) — what Catalyst PLANNED, not
-  *    what AQE later elided at runtime, so the number is stable;
+  *  - counts are taken from [[AdaptiveSparkPlanExec.initialPlan]] —
+  *    what Catalyst PLANNED, not what AQE later elided at runtime.
+  *    `initialPlan` is built once at construction and never mutated,
+  *    so the count is MATERIALIZATION-INVARIANT: `executedPlan`
+  *    equals it only until the node first runs, after which it holds
+  *    the finalized post-AQE plan (shuffles elided / converted to
+  *    broadcast). Counting `executedPlan` made the committed fixture
+  *    reproduce only in a virgin session — the test suite's shared
+  *    session had already run every SessionMemo family with actions,
+  *    so ten queries' cached subtrees counted LOWER there and the
+  *    suite went red at the r13 HEAD (r13 verdict #1, measured:
+  *    q_copurchase 11→6, q_bm25 9→5, …);
   *  - [[InMemoryTableScanExec]] is DESCENDED into
   *    (`relation.cachedPlan`), so the number is the query's
   *    FULL-LINEAGE shuffle count. This is what makes it stable:
@@ -42,7 +51,7 @@ object ExchangeCensus {
       case _ => 0
     }
     val kids: Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
       case c: InMemoryTableScanExec => Seq(c.relation.cachedPlan)
       case _: ReusedExchangeExec => Nil
       case o => o.children
@@ -50,18 +59,34 @@ object ExchangeCensus {
     here + kids.map(countShuffles).sum
   }
 
-  /** Counts for every registered query, in sorted-name order. Batch
-    * queries are invoked once UNCOUNTED first, so every SessionMemo
-    * shared stage is built and cached before any count is taken —
-    * without this, a query's count would differ between "first spec
-    * to touch the memo" and "suite already warmed it". Stream drains
-    * are excluded from the warm pass (each invocation re-runs a full
-    * drain; their returned frame is a plain sink read whose plan
-    * never crosses a memo boundary). */
+  /** Counts for every registered BATCH query, in sorted-name order.
+    * Queries are EXECUTED once (uncounted `.count()`) first, so every
+    * SessionMemo shared stage is built, cached, AND MATERIALIZED
+    * before any count is taken. Construction alone is not enough
+    * (r14): a lazily-persisted memo (dataset_gated / dataset_surv)
+    * registers its cache eagerly but materializes on first action,
+    * and a MATERIALIZED cached AdaptiveSparkPlanExec exposes its
+    * final plan's output partitioning — so a consumer join above the
+    * cache scan plans one fewer exchange once the cache has run
+    * (measured: q_dataset_build 6 unmaterialized vs 5 materialized).
+    * Executing everything first pins the census to the
+    * all-materialized state, which is the state ANY warm context
+    * (the test suite, a repeated session) is already in — counts are
+    * context-invariant by construction, which `--selfcheck` asserts.
+    *
+    * The `q_stream_*` drains are excluded ENTIRELY — from the warm
+    * pass AND the counting pass (r13 ADVICE): invoking a drain query
+    * re-runs a full AvailableNow drain (checkpoint + state machinery,
+    * the dominant share of any pass that touches them), and the frame
+    * a drain returns is just a post-hoc parquet read of its sink —
+    * pinning that plan (almost always 1 exchange from the output
+    * sort) says nothing about the drain pipeline itself. Drain plans
+    * are therefore intentionally unpinned; their structure is covered
+    * by StreamingSpec's per-drain semantics and state-bound tests. */
   def censusAll(spark: SparkSession, sfDir: String): Seq[(String, Int)] = {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
-    names.filterNot(_.startsWith("q_stream_"))
-      .foreach(n => graft.SparkEntry.queries(n)(spark, sfDir))
+      .filterNot(_.startsWith("q_stream_"))
+    names.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
     names.map { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       n -> countShuffles(df.queryExecution.executedPlan)
@@ -70,7 +95,15 @@ object ExchangeCensus {
 
   /** Regenerates the committed fixture after a DELIBERATE plan change:
     * `sbt "runMain graft.tools.ExchangeCensus"` — then review the diff
-    * of `src/test/resources/exchange_counts.tsv` before committing. */
+    * of `src/test/resources/exchange_counts.tsv` before committing.
+    *
+    * `--selfcheck` proves the materialization-invariance claim
+    * instead of writing the fixture: census once fresh, then execute
+    * every counted query with a real action (finalizing every cached
+    * subtree's AQE plan — the exact state the shared test session is
+    * in after ~250 earlier tests), census again, and exit non-zero on
+    * any per-query delta. This is the r13 red-suite failure mode
+    * reproduced and asserted away in one process. */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -80,11 +113,27 @@ object ExchangeCensus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Quiet.muteKnownBenign()
-    val out = censusAll(spark, "/root/testdata/sf0.001")
-      .map { case (n, c) => s"$n\t$c" }.mkString("", "\n", "\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("src/test/resources/exchange_counts.tsv"), out)
-    println(s"wrote ${out.linesIterator.size} counts")
+    val sfDir = "/root/testdata/sf0.001"
+    val fresh = censusAll(spark, sfDir)
+    if (args.contains("--selfcheck")) {
+      fresh.foreach { case (n, _) =>
+        graft.SparkEntry.queries(n)(spark, sfDir).count()
+      }
+      val warm = censusAll(spark, sfDir).toMap
+      val diff = fresh.collect {
+        case (n, c) if warm(n) != c => s"$n: fresh $c vs warm ${warm(n)}"
+      }
+      if (diff.nonEmpty) {
+        println(s"NOT materialization-invariant: ${diff.mkString(", ")}")
+        spark.stop(); sys.exit(1)
+      }
+      println(s"selfcheck OK: ${fresh.size} queries count identically fresh vs materialized")
+    } else {
+      val out = fresh.map { case (n, c) => s"$n\t$c" }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("src/test/resources/exchange_counts.tsv"), out)
+      println(s"wrote ${out.linesIterator.size} counts")
+    }
     spark.stop()
   }
 }
