@@ -272,6 +272,24 @@ object Bench {
     // a throttle that began mid-run shows as calib_end ≫ calib_start
     val calibEnd = calibProbe()
     val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_end_s":${r3(calibEnd)}"""
+    // Self-adjudication (r13 verdict: the probe measured the
+    // condition but nothing acted on it — BENCH_r13 ran at loadavg
+    // 2.14 / calib_end 1.158 yet self-reported clean). The artifact
+    // now applies its OWN documented discard rules and stamps the
+    // verdict: `comparable` is false when either calibration probe
+    // exceeds 1.25 s (1.3× the 0.96 s nominal, docs/SCALE.md) or
+    // loadavg_start exceeds the 1.5 idle line, with the tripped
+    // rule(s) named in `not_comparable` so a consumer needs no
+    // cross-read to discard the run. loadavg -1 (no /proc) is
+    // unknown, not a failure — only the probes adjudicate then.
+    val notComparable = Seq(
+      (calibStart > 1.25) -> s"calib_start_s ${r3(calibStart)} > 1.25",
+      (calibEnd > 1.25) -> s"calib_end_s ${r3(calibEnd)} > 1.25",
+      (loadStart > 1.5) -> s"loadavg_start ${r3(loadStart)} > 1.5"
+    ).collect { case (true, reason) => reason }
+    val comparable =
+      s""""comparable":${notComparable.isEmpty},"not_comparable":${
+        notComparable.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // queries whose timed samples never beat 4× their own warmup
     // first_run even after the bounded retries: their numbers are
     // environmental (machine co-load), not plan cost — consumers
@@ -280,7 +298,7 @@ object Bench {
     val resamples = resampled.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"resampled":$resamples,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,$comparable,"degraded":$degraded,"resampled":$resamples,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench
     // (the driver may run this from a non-writable working directory,
     // and the final stdout line below is the graded artifact).
@@ -299,7 +317,7 @@ object Bench {
     // totals-only JSON as the ONLY stdout line — round 1's full
     // per-query line (~3.5 KB) overflowed the driver's capture window
     // and the round's bench never parsed; keep this short and flushed.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,"degraded":$degraded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,$comparable,"degraded":$degraded,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -64,13 +64,44 @@ object StreamQueries {
     * ADVICE; flaky-run risk, not result corruption). The pid suffix
     * gives each process its own tree, same convention as Bench's
     * run-stamped detail files; within a process the session-memoized
-    * staging still reuses one tree. Orphaned trees from crashed runs
-    * live under java.io.tmpdir and age out with it. */
-  private def tmpBase(prefix: String, d: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
+    * staging still reuses one tree.
+    *
+    * Lifecycle (r13 ADVICE — "ages out with tmpdir" was wishful on
+    * Linux hosts, where /tmp survives for the uptime): every created
+    * base is recorded and a JVM shutdown hook rmRf's them on normal
+    * exit, so repeated Bench/Verify runs leave nothing behind; trees
+    * orphaned by a CRASHED process are swept at first use by any
+    * later graft JVM — a `graft_stream_*_p<pid>` tree whose pid is no
+    * longer alive belongs to no running drain by construction of the
+    * pid suffix, so deleting it can never race an in-flight run. */
+  private val createdBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val tmpLifecycle: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdBases.forEach(p =>
+        try rmRf(p) catch { case _: Exception => () })))
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val stale = java.nio.file.Files.list(tmp)
+    try stale.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("graft_stream_") && {
+        val i = n.lastIndexOf("_p")
+        i > 0 && n.drop(i + 2).forall(_.isDigit) &&
+          ProcessHandle.of(n.drop(i + 2).toLong)
+            .map[Boolean](_ => false).orElse(true)
+      }
+    }.forEach(p => try rmRf(p) catch { case _: Exception => () })
+    finally stale.close()
+  }
+  private def tmpBase(prefix: String, d: String): java.nio.file.Path = {
+    tmpLifecycle
+    val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9.]", "_") +
         "_p" + ProcessHandle.current().pid())
+    createdBases.add(base)
+    base
+  }
 
   private def rmRf(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
