@@ -194,10 +194,29 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
-  test("frame sample emits every 5th frame id") {
+  test("frame sample decodes exactly the even frames of each planted clip") {
     val rows = run("q_frame_sample").collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getAs[Int]("frame_id") % 5 === 0))
+    rows.foreach(r => assert(r.getAs[Int]("frame_id") % 2 === 0))
+    // per-clip sampled count is ceil(n_frames / 2) of the planted
+    // 2-8 frame clips — a demux that loses the prefix walk after a
+    // skipped frame under- or over-samples some clip here
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val nf = 2 + (id % 7).toInt
+      assert(rs.length === (nf + 1) / 2, s"doc $id: ${rs.length} sampled of $nf")
+    }
+    // hand-checkable frame: doc 1 (3 frames, 4×3) samples ids 0 and 2;
+    // frame 2's planted pixels are (31 + 38 + 7x + 13y) mod 256
+    val f2 = rows.find(r =>
+      r.getAs[Long]("doc_id") == 1L && r.getAs[Int]("frame_id") == 2)
+    assert(f2.nonEmpty, "doc 1 frame 2 missing")
+    val px = for { x <- 0 until 4; y <- 0 until 3 }
+      yield (1 * 31 + 2 * 19 + x * 7 + y * 13) % 256
+    assert(f2.get.getAs[Int]("width") === 4)
+    assert(f2.get.getAs[Int]("height") === 3)
+    assert(f2.get.getAs[Int]("frame_offset_ms") === 80)
+    assert(f2.get.getAs[Long]("sum_gray") === px.sum.toLong)
+    assert(f2.get.getAs[Int]("max_gray") === px.max)
   }
 
   test("lang id covers every document exactly once") {
