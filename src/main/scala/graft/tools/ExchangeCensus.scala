@@ -4,17 +4,23 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
 
-/** Shuffle-exchange census over the registry — the counting half of
-  * the exchange-count plan pin (r12 verdict #5). Every
+/** Exchange census over the registry — the counting half of the
+  * exchange-count plan pin (r12 verdict #5; broadcasts added as
+  * census v2, r13 verdict #7). Every
   * `groupBy`/`join`/`repartition`/global-sort is a ShuffleExchange in
   * the physical plan; an ACCIDENTAL extra one (the q_source_drift
   * 4x-explode class from r9) costs nothing at sf0.01 and a full extra
-  * pass over the data at 100 TB. PlanSpec pins every query's count
-  * against the committed fixture `src/test/resources/exchange_counts.tsv`
-  * and fails BY NAME on growth, turning a plan regression from a
-  * bench-archaeology exercise into a named test failure.
+  * pass over the data at 100 TB. Broadcasts carry the symmetric
+  * risks: one silently becoming a shuffle (threshold drift), or a new
+  * one appearing over a large frame (a driver collect at scale).
+  * PlanSpec pins every batch query's `(shuffles, broadcasts)` pair
+  * against the committed fixture
+  * `src/test/resources/exchange_counts.tsv`
+  * (`name<TAB>shuffles<TAB>broadcasts`) and fails BY NAME on growth,
+  * turning a plan regression from a bench-archaeology exercise into a
+  * named test failure.
   *
   * Counting rules (determinism over completeness):
   *  - counts are taken from [[AdaptiveSparkPlanExec.initialPlan]] —
@@ -45,10 +51,19 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
   */
 object ExchangeCensus {
 
-  def countShuffles(p: SparkPlan): Int = {
+  /** (shuffle count, broadcast count). Broadcasts are pinned too
+    * (census v2, r13 verdict #7): a broadcast that silently becomes a
+    * shuffle is caught by the shuffle pin, but the SYMMETRIC risk — a
+    * broadcast the plan was designed around disappearing (threshold
+    * drift, a stats regression making the small side look big) or an
+    * unintended NEW broadcast (a genuinely large side being collected
+    * to the driver — an OOM at 100 TB, not a win) — needs the
+    * broadcast count frozen by name as well. */
+  def countExchanges(p: SparkPlan): (Int, Int) = {
     val here = p match {
-      case _: ShuffleExchangeLike => 1
-      case _ => 0
+      case _: ShuffleExchangeLike => (1, 0)
+      case _: BroadcastExchangeLike => (0, 1)
+      case _ => (0, 0)
     }
     val kids: Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
@@ -56,8 +71,12 @@ object ExchangeCensus {
       case _: ReusedExchangeExec => Nil
       case o => o.children
     }
-    here + kids.map(countShuffles).sum
+    kids.map(countExchanges).foldLeft(here) {
+      case ((s, b), (s2, b2)) => (s + s2, b + b2)
+    }
   }
+
+  def countShuffles(p: SparkPlan): Int = countExchanges(p)._1
 
   /** Counts for every registered BATCH query, in sorted-name order.
     * Queries are EXECUTED once (uncounted `.count()`) first, so every
@@ -83,13 +102,13 @@ object ExchangeCensus {
     * sort) says nothing about the drain pipeline itself. Drain plans
     * are therefore intentionally unpinned; their structure is covered
     * by StreamingSpec's per-drain semantics and state-bound tests. */
-  def censusAll(spark: SparkSession, sfDir: String): Seq[(String, Int)] = {
+  def censusAll(spark: SparkSession, sfDir: String): Seq[(String, (Int, Int))] = {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream_"))
     names.foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).count())
     names.map { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      n -> countShuffles(df.queryExecution.executedPlan)
+      n -> countExchanges(df.queryExecution.executedPlan)
     }
   }
 
@@ -129,7 +148,8 @@ object ExchangeCensus {
       }
       println(s"selfcheck OK: ${fresh.size} queries count identically fresh vs materialized")
     } else {
-      val out = fresh.map { case (n, c) => s"$n\t$c" }.mkString("", "\n", "\n")
+      val out = fresh.map { case (n, (sh, bc)) => s"$n\t$sh\t$bc" }
+        .mkString("", "\n", "\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("src/test/resources/exchange_counts.tsv"), out)
       println(s"wrote ${out.linesIterator.size} counts")

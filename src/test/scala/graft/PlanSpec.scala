@@ -730,8 +730,12 @@ class PlanSpec extends SparkSpec {
     // invariance claim standalone.
     val src = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/exchange_counts.tsv"))
+    // fixture format (census v2): name<TAB>shuffles<TAB>broadcasts —
+    // a broadcast silently becoming a shuffle (or a new driver-side
+    // broadcast of a large frame) is the symmetric scale risk the
+    // shuffle pin alone can't see
     val pinned = try src.getLines().filter(_.nonEmpty).map { l =>
-      val Array(n, c) = l.split("\t"); n -> c.toInt
+      val Array(n, sh, bc) = l.split("\t"); n -> (sh.toInt, bc.toInt)
     }.toMap finally src.close()
     val actual = tools.ExchangeCensus.censusAll(spark, sfDir).toMap
 
@@ -741,17 +745,19 @@ class PlanSpec extends SparkSpec {
     val stale = pinned.keySet.diff(actual.keySet)
     assert(stale.isEmpty, s"fixture entries with no query: $stale")
 
-    val grew = actual.filter { case (n, c) => c > pinned(n) }
-      .map { case (n, c) => s"$n: ${pinned(n)} -> $c" }
+    def fmt(n: String) = s"$n: ${pinned(n)} -> ${actual(n)}"
+    val grew = actual.keys.filter(n =>
+      actual(n)._1 > pinned(n)._1 || actual(n)._2 > pinned(n)._2).map(fmt)
     assert(grew.isEmpty,
-      s"shuffle-count GROWTH (a new exchange reached the plan — justify and regenerate " +
-        s"the fixture only if deliberate): ${grew.mkString(", ")}")
+      s"exchange-count GROWTH as (shuffles, broadcasts) — a new exchange reached the " +
+        s"plan; justify and regenerate the fixture only if deliberate: ${grew.mkString(", ")}")
     // a decrease is an improvement, but a silently stale pin would let
     // the count grow back unnoticed — update the fixture explicitly
-    val shrank = actual.filter { case (n, c) => c < pinned(n) }
-      .map { case (n, c) => s"$n: ${pinned(n)} -> $c" }
+    val shrank = actual.keys.filter(n =>
+      (actual(n)._1 < pinned(n)._1 || actual(n)._2 < pinned(n)._2) &&
+        !grew.exists(_.startsWith(s"$n:"))).map(fmt)
     assert(shrank.isEmpty,
-      s"shuffle-count decrease (good!) — regenerate the fixture to re-pin at the lower " +
-        s"count: ${shrank.mkString(", ")}")
+      s"exchange-count decrease (good!) as (shuffles, broadcasts) — regenerate the " +
+        s"fixture to re-pin at the lower count: ${shrank.mkString(", ")}")
   }
 }
