@@ -828,4 +828,79 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed === twin)
   }
+
+  test("drain state never exceeds the documented bound (progress capture)") {
+    // Each drain's scaladoc claims a state SHAPE (r13 verdict #6):
+    // dedup = one row per seen key with no mid-drain eviction,
+    // sessions = open sessions only, join = buffered rows never
+    // exceed rows presented, transitions = one row per user. Those
+    // claims are the 100 TB sizing argument — state ~ key volume,
+    // not corpus volume — so they are asserted here from
+    // StreamingQueryProgress.stateOperators.numRowsTotal per
+    // micro-batch rather than trusted as prose. A listener captures
+    // every progress; each drain's max-over-batches total state rows
+    // is compared to a bound computed from the BATCH data. Bounds
+    // are also cited in docs/SCALE.md (round 14).
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import scala.jdk.CollectionConverters._
+    val progresses = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val terminated = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        progresses.add(e.progress); ()
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+        terminated.incrementAndGet(); ()
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      // runs the drain (the registry fn drives the stream to
+      // completion internally), then waits for the async listener bus
+      // to deliver the termination event — FIFO, so once it lands,
+      // every progress for that run is in the queue
+      def maxStateRows(drain: String): Long = {
+        progresses.clear()
+        val t0 = terminated.get()
+        SparkEntry.queries(drain)(spark, sfDir)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (terminated.get() == t0 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(terminated.get() > t0,
+          s"$drain: no QueryTerminatedEvent within 30 s")
+        val perBatch = progresses.asScala.toSeq
+          .map(_.stateOperators.map(_.numRowsTotal).sum)
+        assert(perBatch.nonEmpty, s"$drain: no progress captured")
+        perBatch.max
+      }
+      val ev = Tables.events(spark, sfDir)
+      // dedup: the store remembers EVERY (user_id, event_type) key and
+      // the 400-day delay exceeds the corpus span, so state is exactly
+      // the key count once batch 0 (all firsts) commits — equality,
+      // not just a bound
+      val nKeys = ev.select(col("user_id"), col("event_type"))
+        .distinct().count()
+      assert(maxStateRows("q_stream_dedup") === nKeys)
+      // sessions: post-merge state is open-not-yet-emitted sessions
+      // only — bounded by the batch twin's total session count plus
+      // the sentinel pseudo-user's never-closing session
+      val nSessions = SparkEntry.queries("q_events_session")(spark, sfDir).count()
+      assert(maxStateRows("q_stream_sessions") <= nSessions + 1)
+      // transitions: flatMapGroupsWithState keeps ONE last-event row
+      // per user key
+      val nUsers = ev.select(col("user_id")).distinct().count()
+      assert(maxStateRows("q_stream_transitions") <= nUsers)
+      // stream-stream join: the symmetric-hash stores buffer each
+      // side's rows at most once (this drain's staging holds clicks
+      // back, so views legitimately sit in state until clicks flow —
+      // the bound proves no duplication, rows presented is the
+      // ceiling) + the two per-side sentinels
+      val nViews = ev.filter(col("event_type") === "view").count()
+      val nClicks = ev.filter(col("event_type") === "click").count()
+      assert(maxStateRows("q_stream_join") <= nViews + nClicks + 2)
+    } finally spark.streams.removeListener(listener)
+  }
 }
