@@ -312,10 +312,18 @@ object Bench {
     // rule(s) named in `not_comparable` so a consumer needs no
     // cross-read to discard the run. loadavg -1 (no /proc) is
     // unknown, not a failure — only the probes adjudicate then.
+    // non-empty degraded also fails the stamp: a query that never beat
+    // 4x its own warmup even after retries was measured under co-load,
+    // and the trio protocol has always required degraded-empty legs —
+    // the stamp and the protocol must agree (found live in r14: a leg
+    // with degraded=[q_sql_q22] from an external load burst would
+    // otherwise have stamped itself comparable)
     val notComparable = Seq(
       (calibStart > 1.25) -> s"calib_start_s ${r3(calibStart)} > 1.25",
       (calibEnd > 1.25) -> s"calib_end_s ${r3(calibEnd)} > 1.25",
-      (loadStart > 1.5) -> s"loadavg_start ${r3(loadStart)} > 1.5"
+      (loadStart > 1.5) -> s"loadavg_start ${r3(loadStart)} > 1.5",
+      degradedNames.nonEmpty ->
+        s"degraded nonempty: ${degradedNames.mkString(",")}"
     ).collect { case (true, reason) => reason }
     val comparable =
       s""""comparable":${notComparable.isEmpty},"not_comparable":${
