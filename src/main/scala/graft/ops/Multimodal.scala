@@ -20,7 +20,13 @@ import org.apache.spark.sql.types._
   * Motion-JPEG's shape, a video IS a frame sequence — every frame
   * decoded through the same ImageIO path (no video codec ships with
   * the JDK, so the CONTAINER is synthetic but each frame decode is a
-  * real codec invocation on real PNG bytes). What is also real and
+  * real codec invocation on real PNG bytes). The non-decode stages
+  * are real too (r14 verdict #2): [[qMediaMeta]] parses the actual
+  * container HEADERS (PNG IHDR, RIFF/WAVE chunk walk, the video
+  * frame directory) without ever running a codec — the
+  * metadata-at-scale economics — and [[qMediaResize]] resamples the
+  * really-decoded raster with a deterministic pixel-center map.
+  * What is also real and
   * tested is the Spark-side plumbing that matters at 100 TB:
   *  - binary columns flow through scans/shuffles untouched (Spark
   *    treats them as opaque byte arrays — no codec on the hot path);
@@ -35,64 +41,153 @@ import org.apache.spark.sql.types._
   * true UTF-8 bytes — so parity holds for non-ASCII corpora too. */
 object Multimodal {
 
-  /** Synthesized media table: doc text → binary payload + media kind
-    * derived from the numeric suffix of `source` (src7 → kind 7 % 3). */
-  private def media(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (substring(col("source"), 4, 10).cast("int") % 3) + 1).as("media_type"))
-
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("media_type", StringType),
-    StructField("byte_len", IntegerType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("n_frames", IntegerType)))
-
-  /** Arithmetic metadata fake used only by the PLUMBING exhibits
-    * [[qMediaMeta]] / [[qMediaResize]] (schema, partitioning, batch
-    * shape over a mixed-modality table). All three modalities decode
-    * REAL bytes through REAL codecs elsewhere: [[qImageDecode]],
-    * [[qAudioDecode]], [[qVideoDecode]]. A real deployment would open
-    * the codec here (one init per partition, reused across rows —
-    * the point of the mapPartitions shape); the fake is pure
-    * arithmetic on payload length so the oracle can recompute it. */
-  private def stubDecode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
-    val len = payload.length
-    val width = 32 + (len % 64) * 10
-    val height = 32 + (len % 48) * 10
-    val frames = if (mediaType == "video") len % 30 + 1 else 1
-    (width, height, frames)
+  /** Mixed-modality payload for doc `id`: a REAL container per kind
+    * (`id % 3` → PNG / RIFF-WAVE / length-prefixed frame sequence),
+    * reusing the same planted encoders the decode queries ride. */
+  private[graft] def plantedMedia(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => plantedPng(id)
+    case 1 => plantedWav(id)
+    case _ => plantedVideo(id)
   }
 
-  /** Decode metadata from binary payloads via per-partition iteration. */
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** PNG `(width, height)` straight from the IHDR chunk — signature
+    * checked, zero IDAT bytes inflated. IHDR is mandated first, so
+    * width/height sit at fixed offsets 16/20 (big-endian). */
+  private[graft] def pngHeader(b: Array[Byte]): (Int, Int) = {
+    require(b.length >= 24 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P' && b(2) == 'N' && b(3) == 'G', "not a PNG")
+    (beInt(b, 16), beInt(b, 20))
+  }
+
+  /** RIFF/WAVE `(sampleRate, nSamples)` from a real chunk walk: `fmt `
+    * carries the rate and block align, `data`'s size / blockAlign is
+    * the frame count. Chunks are word-aligned (odd sizes padded), and
+    * nothing in the walk touches a PCM sample. */
+  private[graft] def wavHeader(b: Array[Byte]): (Int, Int) = {
+    require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E', "not RIFF/WAVE")
+    var o = 12; var rate = -1; var blockAlign = -1; var dataLen = -1
+    while (o + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val sz = leInt(b, o + 4)
+      if (id == "fmt ") { rate = leInt(b, o + 12); blockAlign = leShort(b, o + 20) }
+      else if (id == "data") dataLen = sz
+      o += 8 + sz + (sz & 1)
+    }
+    require(rate > 0 && blockAlign > 0 && dataLen >= 0, "fmt /data chunk missing")
+    (rate, dataLen / blockAlign)
+  }
+
+  /** Demux-only walk of the video container: `(width, height,
+    * nFrames)` from the length-prefix directory plus the FIRST frame's
+    * PNG IHDR — every other byte is skipped, no frame is ever
+    * decoded. */
+  private[graft] def videoHeader(b: Array[Byte]): (Int, Int, Int) = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    var nf = 0; var w = 0; var h = 0
+    while (in.available() > 0) {
+      val len = in.readInt()
+      var toSkip = len
+      if (nf == 0) {
+        val hd = new Array[Byte](24); in.readFully(hd)
+        val wh = pngHeader(hd); w = wh._1; h = wh._2
+        toSkip = len - 24
+      }
+      while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+      nf += 1
+    }
+    (w, h, nf)
+  }
+
+  private val metaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType)))
+
+  /** Per-object metadata WITHOUT decode (r14 verdict #2 — previously
+    * arithmetic on payload length): the headers of real containers are
+    * parsed directly — PNG IHDR width/height ([[pngHeader]]), the
+    * RIFF/WAVE fmt + data chunk walk ([[wavHeader]]), and the video
+    * container's length-prefix directory plus first-frame IHDR
+    * ([[videoHeader]]) — and no codec ever runs. That is the
+    * scale-relevant operation this query exhibits: metadata extraction
+    * over 100 TB of media must read a few dozen header bytes per
+    * object, never inflate payloads (the full-decode economics live in
+    * [[qImageDecode]]/[[qAudioDecode]]/[[qVideoDecode]]). The corpus
+    * is mixed-modality by `doc_id % 3`, so every parser runs in every
+    * partition; fields a modality lacks are 0. The oracle replays the
+    * planted encoder specs, so the hash matches iff each parser read
+    * REAL widths/rates/frame-counts out of real container bytes — a
+    * wrong endianness, a mis-walked chunk, or an IHDR offset slip
+    * lands on it immediately. */
   val qMediaMeta = Q(
     (s, d) => {
-      val df = media(s, d)
-      val enc = RowEncoder.encoderFor(decodedSchema)
-      df.mapPartitions { rows =>
-        // decoder init would happen here, once per partition
+      val encEnc = RowEncoder.encoderFor(mediaSchema)
+      val payloads = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
+          rows.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            Row(id, mediaKindName(id), plantedMedia(id))
+          }
+        }(encEnc)
+      val decEnc = RowEncoder.encoderFor(metaSchema)
+      payloads.mapPartitions { rows =>
+        // header parsers are allocation-free — nothing to init; the
+        // mapPartitions shape is kept for symmetry with the decode
+        // stages (and it is where a format-sniffing registry would
+        // be built once per partition)
         rows.map { r =>
-          val id = r.getAs[Long]("doc_id")
-          val kind = r.getAs[String]("media_type")
-          val payload = r.getAs[Array[Byte]]("payload")
-          val (w, h, f) = stubDecode(kind, payload)
-          Row(id, kind, payload.length, w, h, f)
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          kind match {
+            case "image" =>
+              val (w, h) = pngHeader(payload)
+              Row(id, kind, w, h, 1, 0, 0)
+            case "audio" =>
+              val (rate, n) = wavHeader(payload)
+              Row(id, kind, 0, 0, 0, rate, n)
+            case _ =>
+              val (w, h, nf) = videoHeader(payload)
+              Row(id, kind, w, h, nf, 0, 0)
+          }
         }
-      }(enc).orderBy(col("doc_id"))
+      }(decEnc).orderBy(col("doc_id"))
     },
     """SELECT doc_id,
-       CASE CAST(SUBSTR(source, 4) AS INT) % 3
-         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
-       CAST(32 + (OCTET_LENGTH(ENCODE(text)) % 64) * 10 AS INT) AS width,
-       CAST(32 + (OCTET_LENGTH(ENCODE(text)) % 48) * 10 AS INT) AS height,
-       CAST(CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 3 = 2
-            THEN OCTET_LENGTH(ENCODE(text)) % 30 + 1 ELSE 1 END AS INT) AS n_frames
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 3 + doc_id % 6 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 2 + doc_id % 5 END AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 2 + doc_id % 7 END AS INT) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 20 + doc_id % 30 ELSE 0 END AS INT) AS n_samples
        FROM documents ORDER BY doc_id""")
+
+  private def mediaKindName(id: Long): String = (id % 3) match {
+    case 0 => "image"
+    case 1 => "audio"
+    case _ => "video"
+  }
+
+  private val mediaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType)))
 
   private val frameSampleSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -189,56 +284,114 @@ object Multimodal {
 
   private val resizedSchema = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("in_w", IntegerType),
+    StructField("in_h", IntegerType),
     StructField("out_w", IntegerType),
     StructField("out_h", IntegerType),
-    StructField("f_a", IntegerType),
-    StructField("f_e", IntegerType)))
+    StructField("sum_gray", LongType),
+    StructField("max_gray", IntegerType)))
 
-  /** Resize + feature-extract — the remaining two stages of the
-    * brief's media pipeline, in one per-partition pass (a real
-    * deployment inits the resizer/extractor once per partition and
-    * reuses them across rows; the arithmetic is a deterministic stub
-    * so the oracle can recompute it). Resize fits the decoded
-    * dimensions into a 256px box with integer arithmetic
-    * (w*256 div max-side — no float rounding to disagree on);
-    * "features" are byte-class counts over the payload (ASCII text
-    * payloads ⇒ byte counts equal char counts, which DuckDB can replay
-    * with regexps). Output is all-scalar per the driver contract. */
+  /** Deterministic pixel-center nearest-neighbor resample of a REAL
+    * decoded raster into a fresh Java2D raster, fitting the larger
+    * side to `box` px. The sample map is exact integer rational
+    * arithmetic — source index `(2·o+1)·src / (2·out)` (truncating
+    * division), i.e. floor of the inverse-mapped destination pixel
+    * CENTER — deliberately NOT `AffineTransformOp`: the JDK op's
+    * nearest-neighbor path runs a 16.16 fixed-point DDA whose
+    * truncated increment drifts off the exact center map (measured on
+    * this JDK: 4×6 → 10×16 samples source column 0 for destination
+    * column 2, where the exact center 1.0 says column 1), making its
+    * output implementation-defined across JDK builds. A reproducible
+    * 100 TB pipeline cannot have two executors disagree on a pixel,
+    * so the resample IS the deterministic spec — and the oracle can
+    * replay it in exact integer SQL. */
+  private[graft] def resizeNN(img: java.awt.image.BufferedImage, box: Int)
+      : java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val m = math.max(w, h)
+    val (ow, oh) = (w * box / m, h * box / m)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var oy = 0
+    while (oy < oh) {
+      val sy = (2 * oy + 1) * h / (2 * oh)
+      var ox = 0
+      while (ox < ow) {
+        dst.setSample(ox, oy, 0, src.getSample((2 * ox + 1) * w / (2 * ow), sy, 0))
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** REAL raster resize (r14 verdict #2 — previously arithmetic on
+    * payload length): stage 1 plants the real PNG per doc, stage 2
+    * DECODES it through ImageIO (the same real-codec path as
+    * [[qImageDecode]]) and resamples the decoded raster to fit a 16 px
+    * box via [[resizeNN]] — upscale factors 2–8× on the planted 3–8 ×
+    * 2–6 rasters, so every output pixel is a genuine resample, and
+    * both output dimensions and the resampled raster statistics are
+    * hash-checked. The oracle replays the planted pixel spec at the
+    * exact integer sample map, so a decoder slip OR a resampler
+    * off-by-one (wrong center, wrong truncation) lands on
+    * `sum_gray` immediately. */
   val qMediaResize = Q(
     (s, d) => {
-      val df = media(s, d)
-      val enc = RowEncoder.encoderFor(resizedSchema)
-      df.mapPartitions { rows =>
-        // resizer + feature-extractor init would happen here, once
-        rows.map { r =>
-          val id = r.getAs[Long]("doc_id")
-          val kind = r.getAs[String]("media_type")
-          val payload = r.getAs[Array[Byte]]("payload")
-          val (w, h, _) = stubDecode(kind, payload)
-          val maxSide = math.max(w, h)
-          val outW = w * 256 / maxSide
-          val outH = h * 256 / maxSide
-          var fa = 0; var fe = 0
-          var i = 0
-          while (i < payload.length) {
-            if (payload(i) == 'a'.toByte) fa += 1
-            else if (payload(i) == 'e'.toByte) fe += 1
-            i += 1
+      val encEnc = RowEncoder.encoderFor(pngSchema)
+      val decEnc = RowEncoder.encoderFor(resizedSchema)
+      val pngs = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
+          rows.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            Row(id, plantedPng(id))
           }
-          Row(id, outW, outH, fa, fe)
+        }(encEnc)
+      pngs.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val resized = resizeNN(img, 16)
+          val (ow, oh) = (resized.getWidth, resized.getHeight)
+          val raster = resized.getRaster
+          var sum = 0L; var mx = 0
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              val v = raster.getSample(x, y, 0)
+              sum += v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, img.getWidth, img.getHeight, ow, oh, sum, mx)
         }
-      }(enc).orderBy(col("doc_id"))
+      }(decEnc).orderBy(col("doc_id"))
     },
-    """SELECT doc_id,
-       CAST(w * 256 // GREATEST(w, h) AS INT) AS out_w,
-       CAST(h * 256 // GREATEST(w, h) AS INT) AS out_h,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, 'a')) AS INT) AS f_a,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, 'e')) AS INT) AS f_e
-       FROM (SELECT doc_id, text,
-               32 + (OCTET_LENGTH(ENCODE(text)) % 64) * 10 AS w,
-               32 + (OCTET_LENGTH(ENCODE(text)) % 48) * 10 AS h
-             FROM documents)
-       ORDER BY doc_id""")
+    // the planted gray spec evaluated at the exact integer sample map
+    // (2o+1)·src // (2·out), over one constant 16×16 grid filtered to
+    // each doc's true output raster — same vectorized-grid shape as
+    // q_video_decode's oracle
+    """SELECT d.doc_id,
+       CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+       CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+       CAST(SUM((d.doc_id * 31 + ((2 * x + 1) * w // (2 * ow)) * 7
+                 + ((2 * y + 1) * h // (2 * oh)) * 13) % 256) AS BIGINT) AS sum_gray,
+       CAST(MAX((d.doc_id * 31 + ((2 * x + 1) * w // (2 * ow)) * 7
+                 + ((2 * y + 1) * h // (2 * oh)) * 13) % 256) AS INT) AS max_gray
+       FROM (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+               (3 + doc_id % 6) * 16 // GREATEST(3 + doc_id % 6, 2 + doc_id % 5) AS ow,
+               (2 + doc_id % 5) * 16 // GREATEST(3 + doc_id % 6, 2 + doc_id % 5) AS oh
+             FROM documents) d,
+            UNNEST(RANGE(0, 16)) AS t1(x), UNNEST(RANGE(0, 16)) AS t2(y)
+       WHERE x < ow AND y < oh
+       GROUP BY d.doc_id, w, h, ow, oh ORDER BY d.doc_id""")
 
   /** Multimodal struct packing: text + vector + metadata in one row,
     * nested as a struct column, then projected back out (exercises
@@ -376,7 +529,12 @@ object Multimodal {
   private[graft] def plantedSample(id: Long, i: Int): Int =
     ((id * 17 + i * 11L) % 65536L - 32768L).toInt
 
-  private[graft] def plantedRate(id: Long): Int = 8000 + (id % 3).toInt * 4000
+  /** Per-doc sample rate, 8000–16000 Hz on a % 5 cycle — coprime to
+    * the % 3 modality split of [[plantedMedia]], so the audio-subset
+    * docs (id ≡ 1 mod 3) still sweep all five rates and the header
+    * read stays load-bearing in [[qMediaMeta]] too (a % 3 cycle would
+    * pin every audio doc to one rate there). */
+  private[graft] def plantedRate(id: Long): Int = 8000 + (id % 5).toInt * 2000
   private[graft] def plantedLen(id: Long): Int = 20 + (id % 30).toInt
 
   private[graft] def plantedWav(id: Long): Array[Byte] = {
@@ -462,7 +620,7 @@ object Multimodal {
       }(decEnc).orderBy(col("doc_id"))
     },
     """SELECT doc_id,
-       CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+       CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
        CAST(20 + doc_id % 30 AS INT) AS n_samples,
        (SELECT CAST(SUM((doc_id * 17 + i * 11) % 65536 - 32768) AS BIGINT)
           FROM UNNEST(RANGE(0, 20 + doc_id % 30)) AS t(i)) AS sum_amp,

@@ -184,14 +184,56 @@ class NorthStarSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
-  test("media meta: byte_len matches n_chars; frames only for video") {
-    val meta = run("q_media_meta")
-    val joined = meta.join(Tables.documents(spark, sfDir), Seq("doc_id")).collect()
-    joined.foreach { r =>
-      assert(r.getAs[Int]("byte_len").toLong === r.getAs[Long]("n_chars"))
-      if (r.getAs[String]("media_type") != "video")
-        assert(r.getAs[Int]("n_frames") === 1)
+  test("media meta parses real container headers without decoding") {
+    // unit pins first: each parser on a known planted container.
+    // doc 0 image: 3×2 PNG → IHDR must read (3, 2)
+    assert(ops.Multimodal.pngHeader(ops.Multimodal.plantedPng(0L)) === ((3, 2)))
+    // doc 1 audio: rate 8000 + (1 % 5)·2000 = 10000, 20 + 1 = 21 samples
+    assert(ops.Multimodal.wavHeader(ops.Multimodal.plantedWav(1L)) === ((10000, 21)))
+    // doc 2 video: 5×4 frames × (2 + 2) — first-frame IHDR + prefix walk
+    assert(ops.Multimodal.videoHeader(ops.Multimodal.plantedVideo(2L)) === ((5, 4, 4)))
+    // a truncated / foreign payload must SURFACE, not parse
+    intercept[IllegalArgumentException] {
+      ops.Multimodal.pngHeader("not a png at all".getBytes)
     }
+    intercept[IllegalArgumentException] {
+      ops.Multimodal.wavHeader(ops.Multimodal.plantedPng(0L))
+    }
+    // and the graded query carries the same header reads, kinds on
+    // the doc_id % 3 cycle, inapplicable fields zeroed
+    val meta = run("q_media_meta").filter(col("doc_id") < 3L)
+      .orderBy(col("doc_id")).collect()
+    assert(meta.map(_.getAs[String]("media_type")).toSeq ===
+      Seq("image", "audio", "video"))
+    assert(meta(0).getAs[Int]("width") === 3 && meta(0).getAs[Int]("height") === 2 &&
+      meta(0).getAs[Int]("n_frames") === 1 && meta(0).getAs[Int]("sample_rate") === 0)
+    assert(meta(1).getAs[Int]("sample_rate") === 10000 &&
+      meta(1).getAs[Int]("n_samples") === 21 && meta(1).getAs[Int]("width") === 0)
+    assert(meta(2).getAs[Int]("width") === 5 && meta(2).getAs[Int]("height") === 4 &&
+      meta(2).getAs[Int]("n_frames") === 4 && meta(2).getAs[Int]("n_samples") === 0)
+  }
+
+  test("media resize resamples the really-decoded raster at exact pixel centers") {
+    // doc 0 is the image pin's 3×2 raster (0 7 14 / 13 20 27); the
+    // 16-box fit is 16×10, so column map ox→(2ox+1)·3//32 and row map
+    // oy→(2oy+1)·2//20 replicate each source pixel into a block whose
+    // sums are hand-checkable: rows split 5/5, columns 5/6/5 →
+    // sum = 5·(5·0 + 6·7 + 5·14) + 5·(5·13 + 6·20 + 5·27) = 2160
+    val r0 = run("q_media_resize").filter(col("doc_id") === 0L).head
+    assert(r0.getAs[Int]("in_w") === 3 && r0.getAs[Int]("in_h") === 2)
+    assert(r0.getAs[Int]("out_w") === 16 && r0.getAs[Int]("out_h") === 10)
+    assert(r0.getAs[Long]("sum_gray") === (5L * (5 * 0 + 6 * 7 + 5 * 14) + 5L * (5 * 13 + 6 * 20 + 5 * 27)))
+    assert(r0.getAs[Int]("max_gray") === 27)
+    // the resampler itself, pinned off-query on an asymmetric case
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ops.Multimodal.plantedPng(0L)))
+    val rz = ops.Multimodal.resizeNN(img, 16)
+    assert(rz.getWidth === 16 && rz.getHeight === 10)
+    // dst (0,0) and (15,9) are the corner source pixels
+    assert(rz.getRaster.getSample(0, 0, 0) === 0)
+    assert(rz.getRaster.getSample(15, 9, 0) === 27)
+    // column 6 center = 13·3/32 = 1.21 → source column 1 (value 7)
+    assert(rz.getRaster.getSample(6, 0, 0) === 7)
   }
 
   test("frame sample decodes exactly the even frames of each planted clip") {
@@ -464,7 +506,7 @@ class NorthStarSpec extends SparkSpec {
     // the per-doc sample rate proves the header read is load-bearing
     val rows = run("q_audio_decode").filter(col("doc_id") < 3L)
       .orderBy(col("doc_id")).collect()
-    assert(rows.map(_.getInt(1)).toSeq === Seq(8000, 12000, 16000))
+    assert(rows.map(_.getInt(1)).toSeq === Seq(8000, 10000, 12000))
     val r0 = rows(0)
     assert(r0.getInt(2) === 20 && r0.getLong(3) === -653270L &&
       r0.getInt(4) === -32559)
