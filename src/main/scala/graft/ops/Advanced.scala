@@ -503,18 +503,63 @@ object Advanced {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
-  /** Graded rows-only: the threshold-based RFM twin on the graded
-    * corpus. Measured why no oracle: the GK sketch behind
-    * percentile_approx is rank-exact only while n ≤ accuracy — a
-    * DuckDB replay of the exact-rank convention hash-matches at
-    * sf0.001/sf0.01 (n ≤ 1.5k) and drifts at sf0.1 (n = 15k, rank
-    * error ±eps·n ≈ 1.5), so a hash oracle would be a
-    * scale-sensitivity trap by construction. ScaleSmokeSpec pins
-    * NTILE-grid equality on a tie-free fixture instead — the same
-    * contract-allowed status as q_approx_quantiles. */
+  /** The threshold-based RFM twin on the graded corpus, hash-green
+    * since r15 (verdict #6 — previously rows-only): the GK sketch
+    * behind percentile_approx is rank-exact only while n ≤ accuracy,
+    * so at the r14 default accuracy 10 000 a DuckDB replay of the
+    * exact-rank convention hash-matched at sf0.001/sf0.01 (n ≤ 1.5k)
+    * and drifted at sf0.1 (n = 15k, rank error ±eps·n ≈ 1.5 — the
+    * measured scale-sensitivity trap). The graded instance therefore
+    * pins accuracy = 1 000 000 — rank-exact through n = 1M customers,
+    * a few MB of per-partial buffer, a normal production setting —
+    * and the oracle replays the exact-rank threshold convention
+    * (value at the ceil(p·n)-th smallest position) plus the same
+    * strict->/≤ scoring orientation. Beyond n = accuracy the sketch
+    * degrades gracefully per its contract — that regime is exactly
+    * what q_approx_quantiles exhibits rows-only, and the exact NTILE
+    * segmentation rides q_rfm_segments. ScaleSmokeSpec additionally
+    * pins NTILE-grid equality on a tie-free fixture. */
   val qRfmApprox = Q(
-    (s, d) => rfmSegmentsApprox(Tables.orders(s, d)),
-    None)
+    (s, d) => rfmSegmentsApprox(Tables.orders(s, d), accuracy = 1000000),
+    s"""WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+       cust AS (
+         SELECT o_custkey AS cust,
+                DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                          (SELECT CAST(mxd AS DATE) FROM mx)) AS rec_days,
+                COUNT(*) AS freq,
+                ${Num.sqlSum("o_totalprice")} AS monetary
+         FROM orders GROUP BY 1),
+       rq AS (SELECT v, rn, n FROM (SELECT rec_days AS v,
+                ROW_NUMBER() OVER (ORDER BY rec_days) AS rn,
+                COUNT(*) OVER () AS n FROM cust)),
+       fq AS (SELECT v, rn, n FROM (SELECT freq AS v,
+                ROW_NUMBER() OVER (ORDER BY freq) AS rn,
+                COUNT(*) OVER () AS n FROM cust)),
+       mq AS (SELECT v, rn, n FROM (SELECT monetary AS v,
+                ROW_NUMBER() OVER (ORDER BY monetary) AS rn,
+                COUNT(*) OVER () AS n FROM cust)),
+       thr AS (SELECT
+         (SELECT v FROM rq WHERE rn = CEIL(0.25 * n)) AS r1,
+         (SELECT v FROM rq WHERE rn = CEIL(0.50 * n)) AS r2,
+         (SELECT v FROM rq WHERE rn = CEIL(0.75 * n)) AS r3,
+         (SELECT v FROM fq WHERE rn = CEIL(0.25 * n)) AS f1,
+         (SELECT v FROM fq WHERE rn = CEIL(0.50 * n)) AS f2,
+         (SELECT v FROM fq WHERE rn = CEIL(0.75 * n)) AS f3,
+         (SELECT v FROM mq WHERE rn = CEIL(0.25 * n)) AS m1,
+         (SELECT v FROM mq WHERE rn = CEIL(0.50 * n)) AS m2,
+         (SELECT v FROM mq WHERE rn = CEIL(0.75 * n)) AS m3),
+       scored AS (
+         SELECT cust, monetary,
+           1 + CAST(rec_days > thr.r1 AS INT) + CAST(rec_days > thr.r2 AS INT)
+             + CAST(rec_days > thr.r3 AS INT) AS r_score,
+           1 + CAST(freq <= thr.f3 AS INT) + CAST(freq <= thr.f2 AS INT)
+             + CAST(freq <= thr.f1 AS INT) AS f_score,
+           1 + CAST(monetary <= thr.m3 AS INT) + CAST(monetary <= thr.m2 AS INT)
+             + CAST(monetary <= thr.m1 AS INT) AS m_score
+         FROM cust, thr)
+       SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+              ${Num.sqlSum("monetary")} AS total_monetary
+       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
 
   val qRfmSegments = Q(
     (s, d) => rfmSegments(Tables.orders(s, d)),

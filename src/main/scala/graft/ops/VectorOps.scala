@@ -52,6 +52,25 @@ object VectorOps {
     """LIST_REDUCE(LIST_TRANSFORM(RANGE(64), i -> q.v[i + 1] * c.v[i + 1]), (a, b) -> a + b)
        / (q.norm * c.norm)"""
 
+  /** One oracle for BOTH top-k forms: the HOF baseline and the native
+    * kernel compute bit-identical cosines — each is an in-order
+    * left-fold of `(double) float_a * (double) float_b` (float→double
+    * conversion is exact; double multiply/add/sqrt/divide are IEEE
+    * deterministic given order), and DuckDB's LIST_REDUCE over the
+    * same exactly-converted doubles is the same fold. Verified
+    * bit-identical (int64 view of the doubles) at sf0.01 before
+    * q_knn_native adopted it (r14 verdict #6). */
+  private val knnTopkSql =
+    s"""WITH n AS ($duckNormed),
+       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $duckCosine AS cosine
+             FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       r AS (SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM p)
+       SELECT query_id, rank, neighbor_id, cosine FROM r
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Brute-force cosine top-k for a fixed query set (vec_id < 20,
     * k = 5): the exact baseline every ANN variant is judged against.
     * The 20-row query side is broadcast; the big side streams. */
@@ -70,23 +89,18 @@ object VectorOps {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     },
-    s"""WITH n AS ($duckNormed),
-       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $duckCosine AS cosine
-             FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
-       r AS (SELECT query_id, neighbor_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
-             FROM p)
-       SELECT query_id, rank, neighbor_id, cosine FROM r
-       WHERE rank <= 5 ORDER BY query_id, rank""")
+    knnTopkSql)
 
   /** The same brute-force top-k on the NATIVE codegen'd kernel
     * ([[graft.functions.DotProductExpr]] over the raw float arrays,
-    * no double-array transform at all) — the throughput form for when
-    * no oracle rides along. Float accumulation is not bit-exact
-    * cross-engine → rows-only check; DotProductSpec +
-    * VectorOps' ranking-agreement spec pin it against the HOF/decimal
-    * baseline instead. */
+    * no double-array transform at all) — the throughput form you swap
+    * in at 100 TB. Hash-green against [[knnTopkSql]] since r15: the
+    * kernel's in-order double accumulation over exactly-converted
+    * floats is bit-identical to the HOF baseline's and to DuckDB's
+    * LIST_REDUCE fold (see the oracle's scaladoc for the argument;
+    * verified by int64-view equality at sf0.01). DotProductSpec +
+    * the ranking-agreement specs additionally pin kernel agreement
+    * at sf0.1. */
   val qKnnNative = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
@@ -108,7 +122,7 @@ object VectorOps {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    knnTopkSql)
 
   /** 8-bit random-hyperplane signature from portable arithmetic:
     * hyperplane j component i is ±1 by `(i*2654435761 + j*40503) % 97
