@@ -80,19 +80,40 @@ object StreamQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       createdBases.forEach(p =>
         try rmRf(p) catch { case _: Exception => () })))
-    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val stale = java.nio.file.Files.list(tmp)
-    try stale.filter { p =>
-      val n = p.getFileName.toString
-      n.startsWith("graft_stream_") && {
-        val i = n.lastIndexOf("_p")
-        i > 0 && n.drop(i + 2).forall(_.isDigit) &&
-          ProcessHandle.of(n.drop(i + 2).toLong)
-            .map[Boolean](_ => false).orElse(true)
-      }
-    }.forEach(p => try rmRf(p) catch { case _: Exception => () })
-    finally stale.close()
+    sweepStaleTrees(java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
   }
+
+  /** Sweep `graft_stream_*_p<pid>` trees whose owning pid is no
+    * longer alive. Parsing is fully guarded (r14 ADVICE): the pid
+    * suffix goes through `toLongOption` after a non-empty check, so a
+    * foreign `/tmp` entry named `graft_stream_x_p` (empty suffix) or
+    * one with a >Long digit run is simply ignored — and the whole
+    * sweep is try-wrapped besides, because tmp HYGIENE must never be
+    * able to take down a DRAIN (previously a NumberFormatException
+    * escaped the `Files.list` filter straight out of tmpLifecycle).
+    * Pid-reuse caveat (r14 ADVICE): a crash orphan whose pid the OS
+    * has since handed to an unrelated live process is kept — reading
+    * liveness as ownership is deliberately conservative (deleting can
+    * never race an in-flight drain); such a tree is swept as soon as
+    * that pid dies, and every tree the CURRENT process creates is
+    * covered by the shutdown hook regardless. */
+  private[graft] def sweepStaleTrees(tmp: java.nio.file.Path): Unit =
+    try {
+      val stale = java.nio.file.Files.list(tmp)
+      try stale.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("graft_stream_") && {
+          val i = n.lastIndexOf("_p")
+          i > 0 && {
+            val pid = n.drop(i + 2)
+            pid.nonEmpty && pid.forall(_.isDigit) &&
+              pid.toLongOption.exists(pl =>
+                ProcessHandle.of(pl).map[Boolean](_ => false).orElse(true))
+          }
+        }
+      }.forEach(p => try rmRf(p) catch { case _: Exception => () })
+      finally stale.close()
+    } catch { case _: Exception => () }
   private def tmpBase(prefix: String, d: String): java.nio.file.Path = {
     tmpLifecycle
     val base = java.nio.file.Paths.get(

@@ -846,14 +846,15 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val progresses = new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.sql.streaming.StreamingQueryProgress]()
-    val terminated = new java.util.concurrent.atomic.AtomicInteger(0)
+    val terminatedRuns =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.util.UUID]()
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         progresses.add(e.progress); ()
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
-        terminated.incrementAndGet(); ()
+        terminatedRuns.add(e.runId); ()
       }
     }
     spark.streams.addListener(listener)
@@ -861,17 +862,28 @@ class StreamingSpec extends SparkSpec {
       // runs the drain (the registry fn drives the stream to
       // completion internally), then waits for the async listener bus
       // to deliver the termination event — FIFO, so once it lands,
-      // every progress for that run is in the queue
+      // every progress for that run is in the queue. Progresses are
+      // filtered to the TERMINATED run's runId and any second
+      // terminated run fails loudly (r14 ADVICE): if a drain ever
+      // grows an internal second query, this test must not silently
+      // measure a mixed or partial run.
       def maxStateRows(drain: String): Long = {
         progresses.clear()
-        val t0 = terminated.get()
+        terminatedRuns.clear()
         SparkEntry.queries(drain)(spark, sfDir)
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        while (terminated.get() == t0 && System.nanoTime() < deadline)
+        while (terminatedRuns.isEmpty && System.nanoTime() < deadline)
           Thread.sleep(50)
-        assert(terminated.get() > t0,
-          s"$drain: no QueryTerminatedEvent within 30 s")
-        val perBatch = progresses.asScala.toSeq
+        val runs = terminatedRuns.asScala.toSet
+        assert(runs.nonEmpty, s"$drain: no QueryTerminatedEvent within 30 s")
+        assert(runs.size === 1,
+          s"$drain: expected exactly one streaming query per drain, " +
+            s"saw ${runs.size} terminated runs — state bounds would mix runs")
+        val strays = progresses.asScala.toSeq.filterNot(p => runs(p.runId))
+        assert(strays.isEmpty,
+          s"$drain: ${strays.size} progress events from a foreign runId — " +
+            "a second query ran concurrently with this drain")
+        val perBatch = progresses.asScala.toSeq.filter(p => runs(p.runId))
           .map(_.stateOperators.map(_.numRowsTotal).sum)
         assert(perBatch.nonEmpty, s"$drain: no progress captured")
         perBatch.max
@@ -902,5 +914,52 @@ class StreamingSpec extends SparkSpec {
       val nClicks = ev.filter(col("event_type") === "click").count()
       assert(maxStateRows("q_stream_join") <= nViews + nClicks + 2)
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("stale stream tmp trees: dead-pid swept, live-pid and hostile names kept") {
+    // the r13-ADVICE crash-orphan sweep, spec-pinned (r14 verdict #4)
+    // on a scratch dir so the assertion never races real /tmp use.
+    // Also pins the r14-ADVICE parse guards: entries a foreign
+    // process might plant — an empty pid suffix, a >Long digit run —
+    // must be IGNORED, never thrown on (an escaping
+    // NumberFormatException here used to take down every drain in
+    // the JVM).
+    import java.nio.file.{Files, Paths}
+    val scratch = Files.createTempDirectory("graft_sweep_spec_")
+    def plant(name: String): java.nio.file.Path = {
+      val d = scratch.resolve(name)
+      Files.createDirectories(d.resolve("ckpt"))
+      Files.writeString(d.resolve("ckpt").resolve("offsets"), "x")
+      d
+    }
+    // 999999999 exceeds Linux's pid space (pid_max caps at 2^22), so
+    // no live process can own it — deterministic "dead"
+    val dead = plant("graft_stream_drain_sf_p999999999")
+    val live = plant("graft_stream_drain_sf_p" + ProcessHandle.current().pid())
+    val emptySuffix = plant("graft_stream_hostile_p")
+    val overLong = plant("graft_stream_hostile_p99999999999999999999999999")
+    val nonDigit = plant("graft_stream_hostile_p12x34")
+    val foreign = plant("unrelated_tool_output")
+    try {
+      streaming.StreamQueries.sweepStaleTrees(scratch)
+      assert(!Files.exists(dead), "dead-pid tree must be swept")
+      assert(Files.exists(live), "live-pid tree must be kept")
+      assert(Files.exists(emptySuffix), "empty pid suffix must be ignored, not thrown on")
+      assert(Files.exists(overLong), ">Long pid suffix must be ignored, not thrown on")
+      assert(Files.exists(nonDigit), "non-digit pid suffix must be ignored")
+      assert(Files.exists(foreign), "non-graft entries must never be touched")
+    } finally {
+      // best-effort scratch cleanup
+      Seq(live, emptySuffix, overLong, nonDigit, foreign, dead).foreach { d =>
+        if (Files.exists(d)) {
+          val s = Files.walk(d)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally s.close()
+        }
+      }
+      Files.deleteIfExists(scratch)
+      ()
+    }
   }
 }
