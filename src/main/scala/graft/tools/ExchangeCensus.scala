@@ -112,6 +112,37 @@ object ExchangeCensus {
     }
   }
 
+  /** Cross-sf deltas the census ACCEPTS, each documented: the fixture
+    * is generated at sf0.001, but broadcast-vs-shuffle choice is
+    * STATS-driven, so a plan that broadcasts at fixture scale may
+    * legitimately shuffle at the graded sf0.01/sf0.1 — and a pin that
+    * only sees sf0.001 would stay green while the graded plan
+    * regressed (r14 verdict #3, the census's one blind spot). The
+    * `--crosssf` mode re-censuses at sf0.01 and fails BY NAME on any
+    * `(shuffles, broadcasts)` delta not recorded here with a reason.
+    * 193 of the 194 pinned queries plan identical exchange structure
+    * at both sfs (verified r15) — broadcasts are either explicit
+    * `broadcast()` hints (scale-invariant by construction) or over
+    * genuinely bounded frames (dims, 1-row aggregates, quantizer
+    * centroids). Any entry added must say WHY the flip is fine at
+    * scale.
+    *
+    *  - q_dedup_incremental (4,3)→(3,3): the band-candidate
+    *    BroadcastHashJoin's BUILD SIDE is stats-chosen — sf0.001
+    *    broadcasts the batch bands (BuildLeft), sf0.01 the corpus
+    *    bands (BuildRight). The STREAMED side's hash partitioning
+    *    propagates through the candidate `distinct` (its keys are a
+    *    superset), and at sf0.01 that streamed partitioning is the
+    *    batch `doc_id`, which also satisfies the final per-batch-doc
+    *    aggregate — eliding that aggregate's exchange: one FEWER
+    *    shuffle at the graded scale, broadcasts equal. Both shapes
+    *    are the right plan for their stats; at production incremental
+    *    scale (corpus ≫ batch) the planner broadcasts the small batch
+    *    side exactly like the sf0.001 shape, and the extra regroup it
+    *    pays is on the screen's small output, not the corpus. */
+  val knownCrossSfDeltas: Map[String, ((Int, Int), (Int, Int))] = Map(
+    "q_dedup_incremental" -> (((4, 3), (3, 3))))
+
   /** Regenerates the committed fixture after a DELIBERATE plan change:
     * `sbt "runMain graft.tools.ExchangeCensus"` — then review the diff
     * of `src/test/resources/exchange_counts.tsv` before committing.
@@ -122,7 +153,14 @@ object ExchangeCensus {
     * subtree's AQE plan — the exact state the shared test session is
     * in after ~250 earlier tests), census again, and exit non-zero on
     * any per-query delta. This is the r13 red-suite failure mode
-    * reproduced and asserted away in one process. */
+    * reproduced and asserted away in one process.
+    *
+    * `--crosssf` guards the stats-driven blind spot (r14 verdict #3):
+    * census again at sf0.01 and exit non-zero on any per-query
+    * `(shuffles, broadcasts)` delta vs the sf0.001 counts that is not
+    * documented in [[knownCrossSfDeltas]]. Both flags compose in one
+    * JVM (`--selfcheck --crosssf`), which is how `dev/gate.sh` runs
+    * them. */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -134,6 +172,8 @@ object ExchangeCensus {
     graft.Quiet.muteKnownBenign()
     val sfDir = "/root/testdata/sf0.001"
     val fresh = censusAll(spark, sfDir)
+    val checkMode = args.contains("--selfcheck") || args.contains("--crosssf")
+    var failed = false
     if (args.contains("--selfcheck")) {
       fresh.foreach { case (n, _) =>
         graft.SparkEntry.queries(n)(spark, sfDir).count()
@@ -144,10 +184,26 @@ object ExchangeCensus {
       }
       if (diff.nonEmpty) {
         println(s"NOT materialization-invariant: ${diff.mkString(", ")}")
-        spark.stop(); sys.exit(1)
+        failed = true
+      } else
+        println(s"selfcheck OK: ${fresh.size} queries count identically fresh vs materialized")
+    }
+    if (args.contains("--crosssf")) {
+      val graded = censusAll(spark, "/root/testdata/sf0.01").toMap
+      val diff = fresh.collect {
+        case (n, c) if graded(n) != c && !knownCrossSfDeltas.get(n).contains((c, graded(n))) =>
+          s"$n: sf0.001 $c vs sf0.01 ${graded(n)}"
       }
-      println(s"selfcheck OK: ${fresh.size} queries count identically fresh vs materialized")
-    } else {
+      if (diff.nonEmpty) {
+        println(s"UNDOCUMENTED cross-sf plan delta (stats-driven broadcast " +
+          s"flip? document in knownCrossSfDeltas with a reason, or fix the " +
+          s"plan): ${diff.mkString(", ")}")
+        failed = true
+      } else
+        println(s"crosssf OK: ${fresh.size} queries plan identical exchange " +
+          s"structure at sf0.001 and sf0.01 (${knownCrossSfDeltas.size} documented deltas)")
+    }
+    if (!checkMode) {
       val out = fresh.map { case (n, (sh, bc)) => s"$n\t$sh\t$bc" }
         .mkString("", "\n", "\n")
       java.nio.file.Files.writeString(
@@ -155,5 +211,6 @@ object ExchangeCensus {
       println(s"wrote ${out.linesIterator.size} counts")
     }
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }
