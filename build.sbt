@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the initial heap to the max (standard benching practice, made
+  // load-bearing in r15): G1 SHRINKS the heap once the drain harness
+  // unloads dead state-store providers, and the next stateful run
+  // pays re-expansion (commit + zeroing) — measured at sf0.1:
+  // q_stream_join_outer steady state 13-27 s with a floating heap vs
+  // 9-13 s pinned. Xms = Xmx makes allocation cost independent of
+  // what ran before, the same determinism goal as the provider
+  // unload itself. Override with SPARK_DRIVER_XMS for A/B.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )

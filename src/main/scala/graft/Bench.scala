@@ -66,6 +66,13 @@ object Bench {
       // tick is compaction, not interference — this knob models that
       // by keeping maintenance out of the measurement window.
       // Env-tunable for A/B like the periodic-GC knob above.
+      // Since r15 the drain harness also unloads all providers at
+      // each drain's completion (StreamQueries.withStatePartitions —
+      // deferring maintenance alone let DEAD providers accumulate and
+      // their pinned state maps tax later drains: q_stream_sessions
+      // climbed 11 → 58 s over 6 in-JVM invocations, flat 3-4 s with
+      // the unload), so this knob is belt-and-suspenders: with no
+      // dead providers a tick has nothing to snapshot either way.
       .config("spark.sql.streaming.stateStore.maintenanceInterval",
         sys.env.getOrElse("SPARK_GRAFT_MAINT", "1h"))
       .getOrCreate()

@@ -52,7 +52,30 @@ object StreamQueries {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    try body finally {
+      s.conf.set(key, prev)
+      // Every checkpoint in this JVM is DEAD once the drain's
+      // AvailableNow run terminates (fresh checkpoint per invocation,
+      // drains strictly sequential), yet its state-store providers
+      // stay registered — each HDFS-backed provider pinning its
+      // loaded version maps — until the maintenance tick unloads
+      // them. That left exactly two bad regimes (r15, measured via
+      // DrainProfile at sf0.1): default 60 s maintenance randomly
+      // snapshots dead checkpoints inside a later drain's window (the
+      // r14 variance root cause), while the r14 pin
+      // maintenanceInterval=1h lets dead providers ACCUMULATE — 6
+      // fresh q_stream_sessions invocations in one JVM climbed
+      // 11 → 45 → 58 s as ~50 k-row session maps piled up (flat
+      // 8-10 s under 60 s ticks). Unloading explicitly at drain
+      // completion removes the dead set at a deterministic point, so
+      // drain cost depends on NEITHER the maintenance schedule NOR
+      // the JVM's invocation history — the production condition (a
+      // real job's JVM holds live providers only). A live query
+      // elsewhere would merely reload from its checkpoint on the next
+      // batch, so this is cost-deterministic, never a correctness
+      // knob.
+      org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
+    }
   }
 
   /** Per-JVM tmpdir base for a drain's staging/sink/checkpoint tree.

@@ -24,4 +24,14 @@ object Bridge {
     * `waitUntilEmpty` is private[spark]). */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Unload every loaded state-store provider on this JVM
+    * (`StateStore.unloadAll` is access-restricted like the rest of the
+    * execution package). Used by the drain harness at each
+    * AvailableNow completion, when every checkpoint this JVM has
+    * touched is dead by construction — see the caller's rationale in
+    * [[graft.streaming.StreamQueries]]. Safe against live queries:
+    * an unloaded provider reloads from its checkpoint on next use. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
