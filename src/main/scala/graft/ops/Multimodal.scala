@@ -61,11 +61,15 @@ object Multimodal {
 
   /** PNG `(width, height)` straight from the IHDR chunk — signature
     * checked, zero IDAT bytes inflated. IHDR is mandated first, so
-    * width/height sit at fixed offsets 16/20 (big-endian). */
+    * width/height sit at fixed offsets 16/20 (big-endian). Dimensions
+    * are validated positive: a bit-flipped IHDR must fail loudly here,
+    * not flow garbage geometry downstream. */
   private[graft] def pngHeader(b: Array[Byte]): (Int, Int) = {
     require(b.length >= 24 && (b(0) & 0xff) == 0x89 &&
       b(1) == 'P' && b(2) == 'N' && b(3) == 'G', "not a PNG")
-    (beInt(b, 16), beInt(b, 20))
+    val (w, h) = (beInt(b, 16), beInt(b, 20))
+    require(w > 0 && h > 0, s"corrupt IHDR dimensions ${w}x$h")
+    (w, h)
   }
 
   /** RIFF/WAVE `(sampleRate, nSamples)` from a real chunk walk: `fmt `
@@ -80,6 +84,10 @@ object Multimodal {
     while (o + 8 <= b.length && (rate < 0 || dataLen < 0)) {
       val id = new String(b, o, 4, "US-ASCII")
       val sz = leInt(b, o + 4)
+      // a corrupt little-endian size can come back negative, leaving
+      // the stride `8 + sz + (sz & 1)` zero (sz = -8) or negative —
+      // the walk must always strictly advance or fail loudly
+      require(sz >= 0, s"corrupt chunk size $sz at offset $o")
       if (id == "fmt ") { rate = leInt(b, o + 12); blockAlign = leShort(b, o + 20) }
       else if (id == "data") dataLen = sz
       o += 8 + sz + (sz & 1)
@@ -97,13 +105,24 @@ object Multimodal {
     var nf = 0; var w = 0; var h = 0
     while (in.available() > 0) {
       val len = in.readInt()
+      // a corrupt or truncated container must fail loudly, never spin:
+      // an unvalidated prefix with DataInputStream.skipBytes returning
+      // 0 at EOF left `while (toSkip > 0)` an executor-task hang. A
+      // frame is at least a PNG signature+IHDR (24 bytes) and can't
+      // claim more bytes than remain.
+      require(len >= 24 && len <= in.available(),
+        s"corrupt frame length $len at frame $nf (${in.available()} bytes remain)")
       var toSkip = len
       if (nf == 0) {
         val hd = new Array[Byte](24); in.readFully(hd)
         val wh = pngHeader(hd); w = wh._1; h = wh._2
         toSkip = len - 24
       }
-      while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+      while (toSkip > 0) {
+        val skipped = in.skipBytes(toSkip)
+        require(skipped > 0, s"unexpected EOF inside frame $nf")
+        toSkip -= skipped
+      }
       nf += 1
     }
     (w, h, nf)
@@ -183,6 +202,108 @@ object Multimodal {
     case 1 => "audio"
     case _ => "video"
   }
+
+  /** Permissive header parse: `Some(width, height, nFrames, rate,
+    * nSamples)` or `None` on malformed bytes — the `badRecordsPath`
+    * posture for media columns (r15 verdict #5): at 100 TB corrupt
+    * objects are a certainty, and one of them must cost one null row,
+    * never the task. Strict mode ([[qMediaMeta]]) stays the
+    * oracle-checked default; this wrapper only converts the parsers'
+    * loud failures (require / EOF / index) into `None`. */
+  private[graft] def tryMeta(kind: String, payload: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int)] =
+    try {
+      kind match {
+        case "image" => val (w, h) = pngHeader(payload); Some((w, h, 1, 0, 0))
+        case "audio" => val (r, n) = wavHeader(payload); Some((0, 0, 0, r, n))
+        case _ => val (w, h, nf) = videoHeader(payload); Some((w, h, nf, 0, 0))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic corruption plant for [[qMediaMetaPermissive]]: one
+    * distinct malformation per modality, each targeting a different
+    * guard — truncation (PNG loses its IHDR), a bit-flipped magic
+    * (RIFF signature), and a hostile length prefix (the video frame
+    * directory claims 2^31−1 bytes — exactly the input that spun the
+    * unguarded demux forever; the graded run is the regression pin). */
+  private[graft] def corruptMedia(id: Long, clean: Array[Byte]): Array[Byte] =
+    (id % 3) match {
+      case 0 => clean.take(10)
+      case 1 => val b = clean.clone(); b(0) = (b(0) ^ 0x40).toByte; b
+      case _ =>
+        val b = clean.clone()
+        b(0) = 0x7f.toByte; b(1) = 0xff.toByte; b(2) = 0xff.toByte; b(3) = 0xff.toByte
+        b
+    }
+
+  private val permissiveMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("ok", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType)))
+
+  /** PERMISSIVE metadata extraction over a corpus with planted corrupt
+    * objects (r15 verdict #5): every doc with `doc_id % 97 == 0`
+    * carries a deliberately malformed payload ([[corruptMedia]] — a
+    * truncated PNG, a bit-flipped RIFF magic, a video directory whose
+    * first frame claims 2^31−1 bytes), and the job must SURVIVE —
+    * emitting a null metadata row per corrupt object and real header
+    * fields for the other 96/97ths — instead of failing the task the
+    * way the strict [[qMediaMeta]] correctly does. The corrupt count
+    * is additionally exposed as a `Dataset.observe` metric
+    * (`media_badrec.n_corrupt`, the `badRecordsPath` accounting
+    * convention; NorthStarSpec asserts it), so a 100 TB ingest gets
+    * corruption *telemetry*, not just silent nulls. The plant is
+    * deterministic in `doc_id`, so the oracle replays exactly which
+    * rows must be null — a parser that silently mis-reads a corrupt
+    * object as valid (or drops a valid one) lands on the hash. */
+  val qMediaMetaPermissive = Q(
+    (s, d) => {
+      val encEnc = RowEncoder.encoderFor(mediaSchema)
+      val payloads = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
+          rows.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            val clean = plantedMedia(id)
+            Row(id, mediaKindName(id),
+              if (id % 97 == 0) corruptMedia(id, clean) else clean)
+          }
+        }(encEnc)
+      val decEnc = RowEncoder.encoderFor(permissiveMetaSchema)
+      payloads.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          tryMeta(kind, r.getAs[Array[Byte]](2)) match {
+            case Some((w, h, nf, rate, n)) =>
+              Row(id, kind, true, w, h, nf, rate, n)
+            case None =>
+              Row(id, kind, false, null, null, null, null, null)
+          }
+        }
+      }(decEnc)
+        .orderBy(col("doc_id"))
+        // observe ABOVE the global sort: RangePartitioner's boundary
+        // sampling re-executes the sort's CHILD, so a CollectMetrics
+        // below it fires twice and double-counts (measured: 12 for 6
+        // corrupt docs); above the sort it sees only the output pass
+        .observe("media_badrec",
+          sum(when(col("ok"), 0L).otherwise(1L)).as("n_corrupt"))
+    },
+    """SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       doc_id % 97 <> 0 AS ok,
+       CAST(CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 3 = 1 THEN 0 ELSE 3 + doc_id % 6 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 3 = 1 THEN 0 ELSE 2 + doc_id % 5 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 2 + doc_id % 7 END END AS INT) AS n_frames,
+       CAST(CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 97 = 0 THEN NULL WHEN doc_id % 3 = 1 THEN 20 + doc_id % 30 ELSE 0 END AS INT) AS n_samples
+       FROM documents ORDER BY doc_id""")
 
   private val mediaSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -767,6 +888,7 @@ object Multimodal {
 
   val defs: Map[String, Q] = Map(
     "q_media_meta" -> qMediaMeta,
+    "q_media_meta_permissive" -> qMediaMetaPermissive,
     "q_media_resize" -> qMediaResize,
     "q_frame_sample" -> qFrameSample,
     "q_multimodal_pack" -> qMultimodalPack,

@@ -213,6 +213,38 @@ class NorthStarSpec extends SparkSpec {
       meta(2).getAs[Int]("n_frames") === 4 && meta(2).getAs[Int]("n_samples") === 0)
   }
 
+  test("permissive media meta: a corrupt object costs a null row, never the task") {
+    val M = ops.Multimodal
+    // unit pins: each corruption kind parses to None instead of
+    // throwing — and the video plant claims 2^31−1 bytes, which spun
+    // the unguarded demux forever, so this call COMPLETING is the
+    // regression pin for the r15 ADVICE hang
+    assert(M.tryMeta("image", M.corruptMedia(0L, M.plantedMedia(0L))).isEmpty)
+    assert(M.tryMeta("audio", M.corruptMedia(97L, M.plantedMedia(97L))).isEmpty)
+    assert(M.tryMeta("video", M.corruptMedia(194L, M.plantedMedia(194L))).isEmpty)
+    // clean payloads parse to the same fields the strict query reads
+    assert(M.tryMeta("image", M.plantedMedia(3L)) === Some((6, 5, 1, 0, 0)))
+    assert(M.tryMeta("audio", M.plantedMedia(1L)) === Some((0, 0, 0, 10000, 21)))
+    // the graded query survives the planted corpus end-to-end
+    val df = run("q_media_meta_permissive")
+    val rows = df.collect()
+    val corrupt = rows.filter(!_.getAs[Boolean]("ok"))
+    assert(corrupt.length >= 3, "the % 97 plant must hit all three modalities")
+    assert(rows.forall(r => (r.getAs[Long]("doc_id") % 97 == 0) !=
+      r.getAs[Boolean]("ok")), "ok must be exactly the non-planted set")
+    corrupt.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("width")) &&
+        r.isNullAt(r.fieldIndex("sample_rate")), "corrupt rows must be null-metadata rows")
+    }
+    // the three planted malformations cover all three modalities
+    assert(corrupt.map(_.getAs[String]("media_type")).toSet ===
+      Set("image", "audio", "video"))
+    // badRecordsPath-style accounting: the observe metric carries the
+    // corrupt count, so a 100 TB ingest gets corruption telemetry
+    val metric = df.queryExecution.observedMetrics("media_badrec")
+    assert(metric.getAs[Long]("n_corrupt") === corrupt.length.toLong)
+  }
+
   test("media resize resamples the really-decoded raster at exact pixel centers") {
     // doc 0 is the image pin's 3×2 raster (0 7 14 / 13 20 27); the
     // 16-box fit is 16×10, so column map ox→(2ox+1)·3//32 and row map

@@ -296,4 +296,77 @@ class PropertySpec extends SparkSpec {
     assert(pin.df.orderBy("id").collect().toSeq === a,
       "post-free recompute must still be value-exact")
   }
+
+  test("container parsers: spec-encoder round-trips at randomized geometry (pure)") {
+    // r15 verdict #7: the planted corpus sweeps only a small dimension
+    // grid (3-8 × 2-6, rates on a % 5 cycle); these round-trips push
+    // the parsers across arbitrary geometry so they are spec-correct,
+    // not grid-correct. PNG: any (w, h) encodes and header-reads back.
+    forAllN(Gen.zip(Gen.chooseNum(1, 96), Gen.chooseNum(1, 64)), 40) { case (w, h) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      assert(ops.Multimodal.pngHeader(bos.toByteArray) === ((w, h)))
+    }
+    // WAV: any (rate, n) encodes and header-reads back — and a hostile
+    // suffix after the data chunk must not change the walk's answer
+    def wav(rate: Int, n: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](n * 2)), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    forAllN(Gen.zip(Gen.chooseNum(4000, 96000), Gen.chooseNum(1, 3000)), 40) {
+      case (rate, n) =>
+        val bytes = wav(rate, n)
+        assert(ops.Multimodal.wavHeader(bytes) === ((rate, n)))
+        assert(ops.Multimodal.wavHeader(bytes ++ Array.fill(17)(0x5a.toByte)) ===
+          ((rate, n)), "suffix bytes after the data chunk must be ignored")
+    }
+    // video: any (w, h, nFrames) container demuxes to its directory
+    forAllN(Gen.zip(Gen.chooseNum(1, 32), Gen.chooseNum(1, 24),
+      Gen.chooseNum(1, 12)), 30) { case (w, h, nf) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      (0 until nf).foreach { _ =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val frame = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", frame)
+        out.writeInt(frame.size()); frame.writeTo(out)
+      }
+      assert(ops.Multimodal.videoHeader(bos.toByteArray) === ((w, h, nf)))
+    }
+  }
+
+  test("container parsers terminate on truncated / bit-flipped containers (pure, 240 cases)") {
+    // r15 ADVICE: the unguarded video demux could SPIN on a corrupt
+    // length prefix (skipBytes returns 0 at EOF) and the WAV chunk
+    // walk could fail to advance on a negative size. The property is
+    // TERMINATION: over random truncations and bit flips of real
+    // containers, tryMeta completes — returning None (or, for
+    // corruption beyond the header-only read, a value) without any
+    // exception escaping and without hanging the calling task.
+    def kind(id: Long): String = (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    forAllN(Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(1, 9999)), 120) {
+      case (id, cutSeed) =>
+        val clean = ops.Multimodal.plantedMedia(id)
+        val cut = clean.take(1 + cutSeed % (clean.length - 1))
+        ops.Multimodal.tryMeta(kind(id), cut) // completing IS the assertion
+    }
+    forAllN(Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0, 99999)), 120) {
+      case (id, flipSeed) =>
+        val b = ops.Multimodal.plantedMedia(id).clone()
+        val i = flipSeed % b.length
+        b(i) = (b(i) ^ (1 << (flipSeed % 8))).toByte
+        ops.Multimodal.tryMeta(kind(id), b) // completing IS the assertion
+    }
+  }
 }
