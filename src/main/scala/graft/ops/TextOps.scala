@@ -63,6 +63,34 @@ object TextOps {
        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
        WHERE LEN(toks) >= 2"""
 
+  /** Linearized exact-jaccard pair CTEs (r15 verdict #3). The old
+    * oracle joined every doc pair and ran LIST_INTERSECT per pair —
+    * O(n² · |shingles|), CPU-hours in DuckDB at sf0.1, so the 8
+    * oracles built on it had to be popped from sf0.1 sweeps and "zero
+    * scale drift" was only rows-backed at the bench SF. This form
+    * mirrors the Spark side's join-on-keys-then-confirm shape:
+    * candidates come from an exploded shingle equi-join (any pair
+    * with jaccard > 0 shares >= 1 shingle, so the candidate set is a
+    * SUPERSET of every passing pair — exact, no recall assumption,
+    * unlike a minhash-band mirror), and |A∩B| is counted by GROUP BY
+    * instead of materializing list intersections. Cost is Σ_shingle
+    * df² candidate rows, not n² list ops: measured 0.2 s vs 6 s at
+    * sf0.01 and 15 s vs CPU-hours at sf0.1, value-identical output.
+    * Yields `pairs(doc_a, doc_b, jaccard)` with jaccard >= 0.5 and
+    * doc_a < doc_b; splice after WITH / WITH RECURSIVE. */
+  private val duckPairCtes =
+    s"""sh AS ($duckShingles),
+       dsz AS (SELECT doc_id, LEN(shingles) AS sz FROM sh),
+       dex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+       dinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+                  FROM dex a JOIN dex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b,
+                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+                 FROM dinter JOIN dsz sa ON sa.doc_id = doc_a
+                             JOIN dsz sb ON sb.doc_id = doc_b
+                 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)"""
+
   /** Exact dedup: hash-groupBy on a content digest. Grouping on
     * sha2(text) instead of the raw text keeps the shuffle key 32 bytes
     * regardless of document size — at 100 TB you never shuffle full
@@ -175,15 +203,8 @@ object TextOps {
       }.toDF("doc_a", "doc_b", "jaccard")
       pairs.orderBy(col("doc_a"), col("doc_b"))
     },
-    s"""WITH sh AS ($duckShingles)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles)))
-           AS jaccard
-       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
-       ORDER BY doc_a, doc_b""")
+    s"""WITH $duckPairCtes
+       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""")
 
   /** Block-sharded exact all-pairs jaccard — the 100 TB shape of the
     * broadcast kernel in [[qNgramJaccard]]: NO driver collect, NO
@@ -325,15 +346,8 @@ object TextOps {
     (s, d) => SessionMemo.getOrElseUpdate(s, s"q_dedup_minhash:$d") {
       minhashNearDupPairs(Tables.documents(s, d))
     },
-    s"""WITH sh AS ($duckShingles)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles)))
-           AS jaccard
-       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-           / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5
-       ORDER BY doc_a, doc_b""")
+    s"""WITH $duckPairCtes
+       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""")
 
   /** Incremental near-dup dedup — the production ingest shape: screen
     * an INCOMING BATCH against an EXISTING CORPUS instead of
@@ -348,8 +362,10 @@ object TextOps {
     * Output: one decision row per matched batch doc (match count,
     * first corpus match, best jaccard). The exact-jaccard oracle
     * replays the decision because the corpus is similarity-bimodal
-    * (see qDedupMinhash's recall note); the all-pairs oracle is
-    * quadratic — popped in sf0.1 sweeps alongside q_ngram_jaccard. */
+    * (see qDedupMinhash's recall note); since r16 it counts
+    * intersections via an exploded shingle equi-join (the
+    * [[duckPairCtes]] shape restricted batch×corpus), so it runs at
+    * sf0.1 too instead of being popped from the sweep. */
   /** PUBLIC batch-vs-corpus near-dup screen — the composable form of
     * [[qDedupIncremental]]: both sides are any (doc_id, text) frame,
     * so the SAME function runs in a batch backfill and inside a
@@ -421,28 +437,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
     s"""WITH sh AS ($duckShingles),
-       jm AS (
-         SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
-           CAST(LEN(LIST_INTERSECT(b.shingles, c.shingles)) AS DOUBLE)
-             / (LEN(b.shingles) + LEN(c.shingles)
-                - LEN(LIST_INTERSECT(b.shingles, c.shingles))) AS jaccard
-         FROM sh b JOIN sh c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+       dsz AS (SELECT doc_id, LEN(shingles) AS sz FROM sh),
+       dex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+       dinter AS (SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+                    COUNT(*) AS i
+                  FROM dex b JOIN dex c
+                    ON b.s = c.s AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+                  GROUP BY 1, 2),
+       jm AS (SELECT dinter.doc_id, corpus_id,
+                CAST(i AS DOUBLE) / (sb.sz + sc.sz - i) AS jaccard
+              FROM dinter JOIN dsz sb ON sb.doc_id = dinter.doc_id
+                          JOIN dsz sc ON sc.doc_id = corpus_id)
        SELECT doc_id, COUNT(*) AS n_matches, MIN(corpus_id) AS first_match,
          MAX(jaccard) AS best_jaccard
        FROM jm WHERE jaccard >= 0.5
        GROUP BY doc_id ORDER BY doc_id""")
 
-  /** Shared recursive-CTE oracle prelude: exact near-dup pairs →
+  /** Shared recursive-CTE oracle prelude: exact near-dup pairs
+    * ([[duckPairCtes]] — linearized r16, so this runs at sf0.1 too) →
     * undirected edges → transitive closure → per-node min-label
-    * component (`comp(doc_id, cluster_id)`). Quadratic by nature —
-    * fine at the sf0.01 gate, skipped in sf0.1 sweeps (verify skill
-    * notes which oracles to pop). */
+    * component (`comp(doc_id, cluster_id)`). The `reach` closure is
+    * quadratic only in COMPONENT size (near-dup clusters are tiny),
+    * not corpus size. */
   private val duckCompCtes =
-    s"""WITH RECURSIVE sh AS ($duckShingles),
-       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE)
-             / (LEN(a.shingles) + LEN(b.shingles) - LEN(LIST_INTERSECT(a.shingles, b.shingles))) >= 0.5),
+    s"""WITH RECURSIVE $duckPairCtes,
        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                  UNION SELECT doc_b, doc_a FROM pairs),
        reach(u, v) AS (SELECT u, v FROM edges
@@ -579,8 +597,8 @@ object TextOps {
     * dup-graph-sized, tiny next to the corpus, so the argmax costs a
     * shuffle of the clusters only. Ties break on doc_id so the choice
     * is total. Reuses the memoized [[qDedupClusters]] output; the
-    * oracle replays the same argmax over the recursive-CTE components
-    * (quadratic — sf0.01-gate only, popped in sf0.1 sweeps). */
+    * oracle replays the same argmax over the recursive-CTE
+    * components. */
   val qDedupSurvivors = Q(
     (s, d) => {
       val clusters = qDedupClusters.fn(s, d)
@@ -730,8 +748,7 @@ object TextOps {
     * Scale shape: reuses the dedup-cluster output (cluster table is
     * dup-graph-sized, tiny next to the corpus) left-joined back to
     * the corpus — one broadcast-size join + a map-side hash bucket.
-    * The oracle replays clustering via the recursive CTE (quadratic —
-    * sf0.01-gate only, like q_dedup_clusters). */
+    * The oracle replays clustering via the recursive CTE. */
   val qSplitLeakageSafe = Q(
     (s, d) => {
       val clusters = qDedupClusters.fn(s, d).select(col("doc_id"), col("cluster_id"))
