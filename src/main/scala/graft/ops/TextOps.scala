@@ -2082,10 +2082,18 @@ object TextOps {
       finally { edges.unpersist(blocking = false); () }
     val resolved = ids.join(labels, Seq("nid"), "left")
       .select(col("name"), coalesce(col("lbl"), col("nid")).as("entity_id"))
-    val sizes = resolved.groupBy(col("entity_id").as("eid"))
-      .agg(count(lit(1)).as("n_members"))
+    // member counts as a window over the entity partition, not a
+    // groupBy + self-join: the join's build side (one row per entity,
+    // INCLUDING singletons — name-pool-sized, not match-graph-sized)
+    // sat exactly on the planner's broadcast-threshold boundary, so
+    // the join flipped BHJ → SMJ+extra-shuffle between sf0.01 and
+    // sf0.1 (caught by the census --crosssf sf0.1 leg, r16). The
+    // window needs ONE hash exchange on entity_id at every scale —
+    // same bytes the SMJ shape shuffled, minus the duplicate
+    // aggregate subtree and the join itself.
     resolved
-      .join(sizes, col("entity_id") === col("eid"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("entity_id"))))
       .select(col("name"), col("entity_id"), col("n_members"))
       .orderBy(col("name"))
   }

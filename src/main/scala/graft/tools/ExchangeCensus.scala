@@ -112,36 +112,38 @@ object ExchangeCensus {
     }
   }
 
-  /** Cross-sf deltas the census ACCEPTS, each documented: the fixture
-    * is generated at sf0.001, but broadcast-vs-shuffle choice is
-    * STATS-driven, so a plan that broadcasts at fixture scale may
-    * legitimately shuffle at the graded sf0.01/sf0.1 — and a pin that
-    * only sees sf0.001 would stay green while the graded plan
-    * regressed (r14 verdict #3, the census's one blind spot). The
-    * `--crosssf` mode re-censuses at sf0.01 and fails BY NAME on any
-    * `(shuffles, broadcasts)` delta not recorded here with a reason.
-    * 193 of the 194 pinned queries plan identical exchange structure
-    * at both sfs (verified r15) — broadcasts are either explicit
-    * `broadcast()` hints (scale-invariant by construction) or over
-    * genuinely bounded frames (dims, 1-row aggregates, quantizer
-    * centroids). Any entry added must say WHY the flip is fine at
-    * scale.
+  /** Cross-sf deltas the census ACCEPTS, keyed per checked SF, each
+    * documented: the fixture is generated at sf0.001, but
+    * broadcast-vs-shuffle choice is STATS-driven, so a plan that
+    * broadcasts at fixture scale may legitimately shuffle at the
+    * graded sf0.01/sf0.1 — and a pin that only sees sf0.001 would
+    * stay green while the graded plan regressed (r14 verdict #3; the
+    * sf0.1 leg added r16 per r15 verdict #2 — the graded BENCH runs
+    * at sf0.1, and a flip between sf0.01 and sf0.1 was still
+    * invisible). The `--crosssf` mode re-censuses at BOTH sfs and
+    * fails BY NAME on any `(shuffles, broadcasts)` delta not recorded
+    * here with a reason. Broadcasts are either explicit `broadcast()`
+    * hints (scale-invariant by construction) or over genuinely
+    * bounded frames (dims, 1-row aggregates, quantizer centroids).
+    * Any entry added must say WHY the flip is fine at scale.
     *
-    *  - q_dedup_incremental (4,3)→(3,3): the band-candidate
-    *    BroadcastHashJoin's BUILD SIDE is stats-chosen — sf0.001
-    *    broadcasts the batch bands (BuildLeft), sf0.01 the corpus
-    *    bands (BuildRight). The STREAMED side's hash partitioning
-    *    propagates through the candidate `distinct` (its keys are a
-    *    superset), and at sf0.01 that streamed partitioning is the
-    *    batch `doc_id`, which also satisfies the final per-batch-doc
-    *    aggregate — eliding that aggregate's exchange: one FEWER
-    *    shuffle at the graded scale, broadcasts equal. Both shapes
-    *    are the right plan for their stats; at production incremental
-    *    scale (corpus ≫ batch) the planner broadcasts the small batch
-    *    side exactly like the sf0.001 shape, and the extra regroup it
-    *    pays is on the screen's small output, not the corpus. */
-  val knownCrossSfDeltas: Map[String, ((Int, Int), (Int, Int))] = Map(
-    "q_dedup_incremental" -> (((4, 3), (3, 3))))
+    *  - q_dedup_incremental (4,3)→(3,3) at sf0.01 AND sf0.1: the
+    *    band-candidate BroadcastHashJoin's BUILD SIDE is stats-chosen
+    *    — sf0.001 broadcasts the batch bands (BuildLeft), the larger
+    *    sfs the corpus bands (BuildRight). The STREAMED side's hash
+    *    partitioning propagates through the candidate `distinct` (its
+    *    keys are a superset), and at sf0.01+ that streamed
+    *    partitioning is the batch `doc_id`, which also satisfies the
+    *    final per-batch-doc aggregate — eliding that aggregate's
+    *    exchange: one FEWER shuffle at the graded scale, broadcasts
+    *    equal. Both shapes are the right plan for their stats; at
+    *    production incremental scale (corpus ≫ batch) the planner
+    *    broadcasts the small batch side exactly like the sf0.001
+    *    shape, and the extra regroup it pays is on the screen's small
+    *    output, not the corpus. */
+  val knownCrossSfDeltas: Map[String, Map[String, ((Int, Int), (Int, Int))]] = Map(
+    "sf0.01" -> Map("q_dedup_incremental" -> (((4, 3), (3, 3)))),
+    "sf0.1" -> Map("q_dedup_incremental" -> (((4, 3), (3, 3)))))
 
   /** Regenerates the committed fixture after a DELIBERATE plan change:
     * `sbt "runMain graft.tools.ExchangeCensus"` — then review the diff
@@ -171,6 +173,14 @@ object ExchangeCensus {
     spark.sparkContext.setLogLevel("ERROR")
     graft.Quiet.muteKnownBenign()
     val sfDir = "/root/testdata/sf0.001"
+    // registry breakdown from the registry itself (r15 ADVICE:
+    // dev/gate.sh counted drains by grepping source formatting, so a
+    // reformatted registration flipped the doc-count gate for the
+    // wrong reason) — the gate parses this line instead
+    val allNames = graft.SparkEntry.queries.keySet
+    val nDrains = allNames.count(_.startsWith("q_stream_"))
+    println(s"registry: ${allNames.size} queries = " +
+      s"${allNames.size - nDrains} batch + $nDrains drains")
     val fresh = censusAll(spark, sfDir)
     val checkMode = args.contains("--selfcheck") || args.contains("--crosssf")
     var failed = false
@@ -189,19 +199,22 @@ object ExchangeCensus {
         println(s"selfcheck OK: ${fresh.size} queries count identically fresh vs materialized")
     }
     if (args.contains("--crosssf")) {
-      val graded = censusAll(spark, "/root/testdata/sf0.01").toMap
-      val diff = fresh.collect {
-        case (n, c) if graded(n) != c && !knownCrossSfDeltas.get(n).contains((c, graded(n))) =>
-          s"$n: sf0.001 $c vs sf0.01 ${graded(n)}"
+      Seq("sf0.01", "sf0.1").foreach { sf =>
+        val allowed = knownCrossSfDeltas.getOrElse(sf, Map.empty)
+        val graded = censusAll(spark, s"/root/testdata/$sf").toMap
+        val diff = fresh.collect {
+          case (n, c) if graded(n) != c && !allowed.get(n).contains((c, graded(n))) =>
+            s"$n: sf0.001 $c vs $sf ${graded(n)}"
+        }
+        if (diff.nonEmpty) {
+          println(s"UNDOCUMENTED cross-sf plan delta at $sf (stats-driven " +
+            s"broadcast flip? document in knownCrossSfDeltas with a reason, " +
+            s"or fix the plan): ${diff.mkString(", ")}")
+          failed = true
+        } else
+          println(s"crosssf OK at $sf: ${fresh.size} queries plan identical " +
+            s"exchange structure vs sf0.001 (${allowed.size} documented deltas)")
       }
-      if (diff.nonEmpty) {
-        println(s"UNDOCUMENTED cross-sf plan delta (stats-driven broadcast " +
-          s"flip? document in knownCrossSfDeltas with a reason, or fix the " +
-          s"plan): ${diff.mkString(", ")}")
-        failed = true
-      } else
-        println(s"crosssf OK: ${fresh.size} queries plan identical exchange " +
-          s"structure at sf0.001 and sf0.01 (${knownCrossSfDeltas.size} documented deltas)")
     }
     if (!checkMode) {
       val out = fresh.map { case (n, (sh, bc)) => s"$n\t$sh\t$bc" }
