@@ -1,22 +1,36 @@
 #!/usr/bin/env bash
 # dev/gate.sh — the round gate as ONE command (r14 verdict #7): the
-# four pre-snapshot checks the workflow requires, each printing a
+# five pre-snapshot checks the workflow requires, each printing a
 # PASS/FAIL line, exit non-zero if any fails. Cite its output in the
-# round snapshot commit. Expected wall: ~15 min (suite ~9, census
-# selfcheck+crosssf ~6).
+# round snapshot commit. Expected wall: ~20 min (suite ~9, census
+# selfcheck+crosssf ~6, drain budgets ~4).
 #
-#   ./dev/gate.sh            # all four checks
-#   ./dev/gate.sh --no-suite # skip the full suite (dev iteration only
-#                            # — a snapshot commit needs the full run)
+#   ./dev/gate.sh             # all five checks
+#   ./dev/gate.sh --no-suite  # skip the full suite (dev iteration only
+#                             # — a snapshot commit needs the full run)
+#   ./dev/gate.sh --no-drains # skip the drain budget gate (ditto)
 set -u
 cd "$(dirname "$0")/.."
 fail=0
 note() { printf 'GATE %-12s %s\n' "$1" "$2"; }
 
+# flag parsing over ALL args (r15 ADVICE: only $1 was inspected, so
+# `gate.sh --anything --no-suite` silently ran the full suite and an
+# unknown flag was silently ignored)
+no_suite=0
+no_drains=0
+for arg in "$@"; do
+  case "$arg" in
+    --no-suite) no_suite=1 ;;
+    --no-drains) no_drains=1 ;;
+    *) echo "usage: $0 [--no-suite] [--no-drains]  (unknown argument: $arg)" >&2; exit 2 ;;
+  esac
+done
+
 # 1. FULL test suite (r13 post-mortem: testOnly cannot reproduce
 #    warm-shared-session failures; the suite result + wall time goes
 #    in the snapshot commit message)
-if [ "${1:-}" = "--no-suite" ]; then
+if [ "$no_suite" = 1 ]; then
   note suite "SKIP (--no-suite; NOT sufficient for a snapshot commit)"
 else
   t0=$(date +%s)
@@ -51,18 +65,45 @@ else
 fi
 
 # 4. doc-count consistency: the registry is the source of truth —
-#    batch queries = committed census fixture rows, drains = the
-#    registry entries the census intentionally skips; README and
-#    COVERAGE totals must match it (the most common round-end miss)
-nbatch=$(wc -l < src/test/resources/exchange_counts.tsv)
-ndrain=$(grep -cE '"q_stream_[a-z0-9_]+" *->' src/main/scala/graft/streaming/StreamQueries.scala)
-total=$((nbatch + ndrain))
+#    the census main prints `registry: N queries = B batch + D drains`
+#    derived from SparkEntry.queries itself (r15 ADVICE: a source-
+#    formatting grep flipped this gate for the wrong reason); the
+#    committed census fixture must match the batch count, and README /
+#    COVERAGE totals must match the registry total
+reg=$(grep -oE 'registry: [0-9]+ queries = [0-9]+ batch \+ [0-9]+ drains' /tmp/gate_census.log | head -1)
+total=$(echo "$reg" | grep -oE '[0-9]+' | sed -n 1p)
+nbatch=$(echo "$reg" | grep -oE '[0-9]+' | sed -n 2p)
+ndrain=$(echo "$reg" | grep -oE '[0-9]+' | sed -n 3p)
+nfixture=$(wc -l < src/test/resources/exchange_counts.tsv)
 readme=$(grep -oE '[0-9]+ registered queries' README.md | head -1 | grep -oE '[0-9]+')
 cover=$(grep -oE 'Totals: [0-9]+ registered queries' docs/COVERAGE.md | grep -oE '[0-9]+')
-if [ "$total" = "$readme" ] && [ "$total" = "$cover" ]; then
-  note doc-counts "PASS registry=$total ($nbatch batch + $ndrain drains) = README = COVERAGE"
+if [ -z "$total" ]; then
+  note doc-counts "FAIL census log has no registry line (census crashed?)"
+  fail=1
+elif [ "$nbatch" != "$nfixture" ]; then
+  note doc-counts "FAIL registry has $nbatch batch queries but census fixture has $nfixture rows"
+  fail=1
+elif [ "$total" = "$readme" ] && [ "$total" = "$cover" ]; then
+  note doc-counts "PASS registry=$total ($nbatch batch + $ndrain drains) = fixture = README = COVERAGE"
 else
   note doc-counts "FAIL registry=$total ($nbatch batch + $ndrain drains), README=$readme, COVERAGE=$cover"
+  fail=1
+fi
+
+# 5. drain budget gate (r15 verdict #6): the census pins batch plans
+#    by name; this pins each q_stream_* drain's median-of-3 runtime
+#    against src/test/resources/drain_budgets.tsv (2x the committed
+#    steady-state medians) so a drain drifting 7 -> 14 s fails BY NAME
+#    pre-snapshot instead of surfacing as trio archaeology. Runs under
+#    the bench isolation conditions (RAM-backed stream tmp, deferred
+#    maintenance). Median-of-3 keeps a single co-load blip from
+#    flipping it; a FAIL on an obviously-busy host is re-runnable.
+if [ "$no_drains" = 1 ]; then
+  note drains "SKIP (--no-drains; NOT sufficient for a snapshot commit)"
+elif sbt -batch "runMain graft.tools.DrainGate" >/tmp/gate_drains.log 2>&1; then
+  note drains "PASS $(grep -c 'drain ok' /tmp/gate_drains.log) drains within budget"
+else
+  note drains "FAIL $(grep -E 'OVER BUDGET|UNBUDGETED|STALE' /tmp/gate_drains.log | head -3 | tr '\n' '; ')(/tmp/gate_drains.log)"
   fail=1
 fi
 

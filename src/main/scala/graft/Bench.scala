@@ -35,6 +35,55 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    def loadavg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    // Wait-for-quiet (r15 verdict #4): BENCH_r14 and BENCH_r15 both
+    // stamped themselves `comparable: false` because the driver
+    // captures the bench whenever the round ends — often seconds
+    // after its own heavy activity, while the 1-minute loadavg EWMA
+    // is still decaying (r15: loadavg_start 2.25). The stamp
+    // correctly flagged those runs, but the official artifact kept
+    // landing as noise. Self-HEAL instead of self-flag: poll loadavg
+    // before starting any timed work and proceed only once it is
+    // under 1.2 (margin below the 1.5 stamp line — this process is
+    // asleep while polling, so it contributes ~0 itself), bounded so
+    // a genuinely busy host can never stall the bench forever
+    // (decay from loadavg 4 to 1.2 takes ~70 s; the 300 s default
+    // covers any plausible post-activity decay, env-tunable for
+    // A/B). The wait is recorded on both output lines
+    // (`quiet_wait_s`) and the stamp still adjudicates on its own
+    // rules afterward — the wait buys comparability, never fakes it.
+    val quietMaxS = sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_S", "300").toInt
+    val quietT0 = System.nanoTime()
+    while (loadavg() > 1.2 && (System.nanoTime() - quietT0) / 1e9 < quietMaxS)
+      Thread.sleep(5000)
+    val quietWaitS = (System.nanoTime() - quietT0) / 1e9
+    // sample the co-load signal HERE, before the session build / entry
+    // warmup / table resolution ramp this process's own 32 threads:
+    // the 1-min EWMA takes minutes to forget that ramp, so sampling
+    // after warmup (the pre-r16 point) measured the bench itself on
+    // top of the ambient load the stamp is trying to adjudicate —
+    // observed 1.43 right after a quiet-wait that exited at 1.2
+    val loadStart = loadavg()
+    // Drain checkpoint isolation (r15 verdict #1): on this host
+    // java.io.tmpdir is DISK-backed, so every state-store commit's
+    // rename+fsync shares a device with whatever else touches the OS
+    // disk — the measured I/O-class bimodality (q_stream_windowed 2.2
+    // vs 9.2 s across identical-code passes while the CPU probe read
+    // clean). A graded bench therefore checkpoints on a RAM-backed
+    // dir when one exists: the drain still pays full state-store
+    // serialization/commit machinery, just not a foreign disk queue.
+    // At cluster scale the analog is a dedicated checkpoint volume.
+    // Explicit SPARK_GRAFT_STREAM_TMP / graft.stream.tmp wins (A/B
+    // diagnostics); the chosen root is recorded in the detail JSON
+    // and guarded by the io_probe stamp fields either way.
+    if (sys.props.get("graft.stream.tmp").isEmpty &&
+        sys.env.get("SPARK_GRAFT_STREAM_TMP").isEmpty &&
+        java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      sys.props("graft.stream.tmp") = "/dev/shm"
+    val streamTmp = graft.streaming.StreamQueries.streamTmpRoot
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -142,10 +191,6 @@ object Bench {
     // a co-loaded run is identifiable from the JSON alone instead of
     // relying on protocol discipline. Best-effort: absent /proc
     // (non-Linux) stamps -1.
-    def loadavg(): Double =
-      try Files.readString(Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
-      catch { case _: Exception => -1.0 }
     // Whole-host throttling calibration (r12 verdict #1): the min-of-2 /
     // 4×-warmup co-load defense compares samples WITHIN a run, so a
     // uniformly slowed JVM (host-level CPU throttling, a cgroup cap, a
@@ -164,6 +209,34 @@ object Bench {
     // > 1.3× nominal ⇒ the run is not comparable cross-round.
     // A short untimed pre-spin absorbs the loop's own JIT compile so
     // the start probe doesn't over-read on a fresh JVM.
+    // I/O-side probe (r15 verdict #1, stamp half): the CPU spin
+    // kernel is blind to checkpoint-volume contention — r15's graded
+    // legs carried clean calib stamps while the drains sat in two
+    // I/O modes. Time a fixed write+force pattern (32 × 256 KiB
+    // chunks, fsync each) on the ACTUAL stream-tmp volume before
+    // warmup and after the graded loop: tmpfs reads ~ms, an idle
+    // disk ~0.1-0.3 s, a contended disk seconds — so a leg whose
+    // drains ran against a busy checkpoint volume self-flags via the
+    // stamp instead of needing cross-run archaeology. Best-effort:
+    // an unwritable volume stamps -1 (unknown), matching loadavg.
+    def ioProbe(): Double =
+      try {
+        val dir = java.nio.file.Paths.get(
+          graft.streaming.StreamQueries.streamTmpRoot)
+        val f = java.nio.file.Files.createTempFile(dir, "graft_ioprobe_", ".bin")
+        val buf = java.nio.ByteBuffer.allocate(262144)
+        while (buf.hasRemaining) buf.put((buf.position() * 31 + 7).toByte)
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        val t0 = System.nanoTime()
+        try {
+          var i = 0
+          while (i < 32) { buf.rewind(); ch.write(buf); ch.force(false); i += 1 }
+        } finally ch.close()
+        val dt = (System.nanoTime() - t0) / 1e9
+        java.nio.file.Files.deleteIfExists(f)
+        dt
+      } catch { case _: Exception => -1.0 }
     val calibSink = new java.util.concurrent.atomic.AtomicLong()
     def calibProbe(): Double = {
       def spin(n: Long): Long = {
@@ -177,7 +250,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibStart = calibProbe()
-    val loadStart = loadavg()
+    val ioStart = ioProbe()
     val warmT0 = System.nanoTime()
     val firstRun = ordered.map { case (name, fn) =>
       name -> (try timeOnce(fn) catch { case _: Throwable => -1.0 })
@@ -308,7 +381,8 @@ object Bench {
     // end probe after ALL timed work (graded loop + median resamples):
     // a throttle that began mid-run shows as calib_end ≫ calib_start
     val calibEnd = calibProbe()
-    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_end_s":${r3(calibEnd)}"""
+    val ioEnd = ioProbe()
+    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_end_s":${r3(calibEnd)},"io_probe_start_s":${r3(ioStart)},"io_probe_end_s":${r3(ioEnd)},"quiet_wait_s":${r3(quietWaitS)},"stream_tmp":"$streamTmp""""
     // Self-adjudication (r13 verdict: the probe measured the
     // condition but nothing acted on it — BENCH_r13 ran at loadavg
     // 2.14 / calib_end 1.158 yet self-reported clean). The artifact
@@ -325,9 +399,15 @@ object Bench {
     // the stamp and the protocol must agree (found live in r14: a leg
     // with degraded=[q_sql_q22] from an external load burst would
     // otherwise have stamped itself comparable)
+    // io_probe > 0.5 s: 32 fsyncs of 256 KiB take ~ms on tmpfs and
+    // ~0.1-0.3 s on an IDLE disk — above half a second the stream-tmp
+    // volume is contended and every drain number in this run carries
+    // foreign I/O (the r15 bimodality class the calib probes missed)
     val notComparable = Seq(
       (calibStart > 1.25) -> s"calib_start_s ${r3(calibStart)} > 1.25",
       (calibEnd > 1.25) -> s"calib_end_s ${r3(calibEnd)} > 1.25",
+      (ioStart > 0.5) -> s"io_probe_start_s ${r3(ioStart)} > 0.5",
+      (ioEnd > 0.5) -> s"io_probe_end_s ${r3(ioEnd)} > 0.5",
       (loadStart > 1.5) -> s"loadavg_start ${r3(loadStart)} > 1.5",
       degradedNames.nonEmpty ->
         s"degraded nonempty: ${degradedNames.mkString(",")}"

@@ -103,7 +103,11 @@ object StreamQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       createdBases.forEach(p =>
         try rmRf(p) catch { case _: Exception => () })))
-    sweepStaleTrees(java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
+    // sweep BOTH the configured root and the JVM default: a crashed
+    // run under the RAM-backed override must not orphan trees that a
+    // later default-root process would never look at (and vice versa)
+    (Set(streamTmpRoot, sys.props("java.io.tmpdir")))
+      .foreach(r => sweepStaleTrees(java.nio.file.Paths.get(r)))
   }
 
   /** Sweep `graft_stream_*_p<pid>` trees whose owning pid is no
@@ -137,10 +141,27 @@ object StreamQueries {
       }.forEach(p => try rmRf(p) catch { case _: Exception => () })
       finally stale.close()
     } catch { case _: Exception => () }
+  /** Root for the per-drain trees. `SPARK_GRAFT_STREAM_TMP` (env) or
+    * `graft.stream.tmp` (sysprop, set by Bench) overrides
+    * `java.io.tmpdir` — the drain-bimodality knob (r15 verdict #1):
+    * on this host /tmp is DISK-backed, so every state-store commit's
+    * rename+fsync lands on a device shared with sbt, spill, and the
+    * OS writeback queue, and identical-code drains measured 2.2 vs
+    * 9.2 s across passes while the CPU probe read clean both times.
+    * Pointing the tree at a RAM-backed dir (/dev/shm) removes the
+    * foreign-I/O coupling; at cluster scale the analog is a dedicated
+    * checkpoint volume (local NVMe / object store), not a shared OS
+    * disk. Correctness is indifferent — every drain wipes and
+    * re-creates its tree regardless of where it lives. */
+  private[graft] def streamTmpRoot: String =
+    sys.props.get("graft.stream.tmp")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_TMP"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+
   private def tmpBase(prefix: String, d: String): java.nio.file.Path = {
     tmpLifecycle
     val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
+      streamTmpRoot,
       prefix + d.replaceAll("[^A-Za-z0-9.]", "_") +
         "_p" + ProcessHandle.current().pid())
     createdBases.add(base)
