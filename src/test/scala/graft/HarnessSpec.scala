@@ -27,4 +27,21 @@ class HarnessSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL with no query: ${orphans.mkString(", ")}")
   }
+
+  test("drain_budgets.tsv names exactly the registry's q_stream_* drains") {
+    // the gate's DrainGate run discovers a mismatch too, but only
+    // after actually draining — this pins the fixture/registry
+    // consistency at suite time (a renamed or added drain with no
+    // budget row must fail fast, same convention as the census
+    // fixture's doc-count check)
+    import scala.jdk.CollectionConverters._
+    val budgeted = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("src/test/resources/drain_budgets.tsv"))
+      .asScala.filter(_.nonEmpty).map(_.split("\t")(0)).toSet
+    val drains = SparkEntry.queries.keySet.filter(_.startsWith("q_stream_"))
+    assert(budgeted == drains,
+      s"unbudgeted drains: ${(drains -- budgeted).mkString(", ")}; " +
+        s"stale budget rows: ${(budgeted -- drains).mkString(", ")} — " +
+        "run `sbt \"runMain graft.tools.DrainGate --write\"` and review the diff")
+  }
 }
