@@ -490,12 +490,74 @@ object VectorOps {
             (SELECT UNNEST(RANGE(64)) AS i)
        ORDER BY vec_id, pos""")
 
+  /** ANN recall evaluation — the index-quality measurement a real
+    * pipeline runs BEFORE trusting an approximate index: recall@3 of
+    * the LSH-bucketed and IVF paths against the exact brute-force
+    * top-3, per query and method, as integer permille (n_hits·1000
+    * DIV 3 — engine-exact, no float ratio). A query whose bucket/cell
+    * held fewer than 3 candidates scores against the fixed k=3
+    * denominator (standard recall@k — a sparse bucket IS a recall
+    * loss). Composes the three graded queries' exact code paths (the
+    * bucketed corpus and the trained IVF index are SessionMemo shared
+    * stages, so the eval adds two candidate joins and an id-only
+    * set-intersection join, not a recompute), and the oracle composes
+    * their oracle texts verbatim, the q_dedup_ensemble convention.
+    *
+    * Scale shape: the intersection join is on (query_id, neighbor_id)
+    * id pairs — output-sized, never corpus-sized; the method×query
+    * grid comes from an explode, no join. At 100 TB you run exactly
+    * this over a sampled query set to pick nprobe / band count before
+    * committing the index.
+    *
+    * Declared lazy AFTER its constituents: the oracle text is
+    * assembled eagerly from theirs. */
+  lazy val qAnnRecall = Q(
+    (s, d) => {
+      val exact3 = qKnnBruteforce.fn(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx =
+        qAnnLsh.fn(s, d).select(col("query_id"), col("neighbor_id"),
+            lit("lsh").as("method"))
+          .unionByName(qAnnIvf.fn(s, d).select(col("query_id"),
+            col("neighbor_id"), lit("ivf").as("method")))
+      val hits = approx.join(exact3, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"), col("method"))
+        .agg(count(lit(1)).as("n_hits"))
+      exact3.select(col("query_id")).distinct()
+        .select(col("query_id"),
+          explode(array(lit("ivf"), lit("lsh"))).as("method"))
+        .join(hits, Seq("query_id", "method"), "left")
+        .select(col("query_id"), col("method"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_permille", expr("n_hits * 1000 DIV 3"))
+        .orderBy(col("query_id"), col("method"))
+    },
+    Some(s"""WITH exact AS (${qKnnBruteforce.oracle.get}),
+       lsh AS (${qAnnLsh.oracle.get}),
+       ivf AS (${qAnnIvf.oracle.get}),
+       e3 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 3),
+       m AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+             UNION ALL
+             SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+       hits AS (SELECT m.query_id, m.method, COUNT(*) AS n_hits
+                FROM m JOIN e3 USING (query_id, neighbor_id)
+                GROUP BY 1, 2),
+       grid AS (SELECT query_id, method
+                FROM (SELECT DISTINCT query_id FROM e3),
+                     (SELECT UNNEST(['ivf', 'lsh']) AS method))
+       SELECT g.query_id, g.method,
+         COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000 // 3 AS recall_permille
+       FROM grid g LEFT JOIN hits h USING (query_id, method)
+       ORDER BY query_id, method"""))
+
   val defs: Map[String, Q] = Map(
     "q_embed_quantize" -> qEmbedQuantize,
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_knn_native" -> qKnnNative,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_recall" -> qAnnRecall,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_embed_incremental" -> qEmbedIncremental,
     "q_embed_centroids" -> qEmbedCentroids)
