@@ -134,12 +134,20 @@ object VectorOps {
     * partial aggregation compresses before any shuffle). The per-plane
     * dot products are summed in DECIMAL(18,12) so the aggregation
     * order can never flip a sign bit between engines. */
-  private def withBucket(e: DataFrame): DataFrame = {
+  private def withBucket(e: DataFrame): DataFrame = withBucketT(e, 0)
+
+  /** Table-`t` signature: the same portable arithmetic with the plane
+    * pattern shifted by `t * 7919` (mod 97 — 7919 ≡ 62, so table 1's
+    * planes are a genuinely different ±1 pattern, not a rotation of
+    * table 0's). t = 0 reproduces [[withBucket]] exactly, so the
+    * single-table queries and their memo keys are untouched. */
+  private def withBucketT(e: DataFrame, t: Int): DataFrame = {
     val s = e.sparkSession
     val exploded = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
     val xd = col("x").cast("decimal(18,12)")
     val dotCols = (0 until 8).map { j =>
-      sum(when(pmod(col("i") * lit(2654435761L) + lit(j * 40503), lit(97)) < 48, xd)
+      sum(when(pmod(col("i") * lit(2654435761L) + lit(j * 40503) + lit(t * 7919),
+        lit(97)) < 48, xd)
         .otherwise(-xd)).as(s"dot$j")
     }
     val buckets = exploded.groupBy(col("vec_id"))
@@ -151,17 +159,19 @@ object VectorOps {
     e.join(buckets, Seq("vec_id"))
   }
 
-  private val duckBuckets =
-    """SELECT vec_id,
+  private def duckBucketsT(t: Int) =
+    s"""SELECT vec_id,
          LIST_REDUCE(LIST_TRANSFORM(RANGE(8), j ->
            CASE WHEN LIST_REDUCE(LIST_TRANSFORM(RANGE(64), i ->
-                  CASE WHEN (i * 2654435761 + j * 40503) % 97 < 48
+                  CASE WHEN (i * 2654435761 + j * 40503 + ${t * 7919}) % 97 < 48
                        THEN CAST(v[i + 1] AS DECIMAL(18,12))
                        ELSE -CAST(v[i + 1] AS DECIMAL(18,12)) END),
                 (a, b) -> a + b) > 0
            THEN (1 << j) ELSE 0 END),
          (a, b) -> a + b) AS bucket
        FROM n"""
+
+  private val duckBuckets = duckBucketsT(0)
 
   /** Bucketed corpus, memoized + persisted per (session, dir): the
     * signature pass is shared by q_ann_lsh and q_embed_neardup (and
@@ -171,6 +181,15 @@ object VectorOps {
   private def bucketed(s: SparkSession, d: String): DataFrame =
     SessionMemo.getOrElseUpdate(s, s"vec_buckets:$d") {
       withBucket(normed(s, d)).persist()
+    }
+
+  /** Second-table bucket index (plane pattern shifted by 7919 mod
+    * 97), its own memoized shared stage — at scale each LSH table is
+    * a separately-maintained index, appended on ingest like the
+    * first. */
+  private def bucketedT1(s: SparkSession, d: String): DataFrame =
+    SessionMemo.getOrElseUpdate(s, s"vec_buckets:$d:t1") {
+      withBucketT(normed(s, d), 1).persist()
     }
 
   /** ANN top-3 via LSH buckets: score only within-bucket candidates.
@@ -197,6 +216,69 @@ object VectorOps {
        b AS (SELECT n.vec_id, n.v, n.norm, bk.bucket FROM n JOIN ($duckBuckets) bk USING (vec_id)),
        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $duckCosine AS cosine
              FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       r AS (SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM p)
+       SELECT query_id, rank, neighbor_id, cosine FROM r
+       WHERE rank <= 3 ORDER BY query_id, rank""")
+
+  /** Multi-table LSH ANN — the recall dial every production LSH
+    * deployment turns: L independent hash tables, candidates = the
+    * UNION of within-bucket matches across tables, exact cosine
+    * scores the distinct candidate set, top-3. Recall grows as
+    * 1-(1-p)^L for per-table collision probability p at roughly L×
+    * candidate cost; q_ann_recall grades the single-table and
+    * two-table paths side by side against the exact baseline, so the
+    * trade-off is a measured number (sf0.1: 0.13 → 0.20 recall@3 for
+    * L = 1 → 2; under the independent-table formula 2 tables would
+    * ~double recall — the shortfall is inter-table correlation from
+    * sharing the one plane family, honestly on display), not a
+    * formula in a comment. Candidates carry ids
+    * only through the union+distinct — vectors join back once per
+    * side, the same no-wide-shuffle discipline as the MinHash
+    * candidate join. Both tables are memoized shared stages; at
+    * scale each is a separately-appended index. */
+  val qAnnLshMulti = Q(
+    (s, d) => {
+      val base = bucketed(s, d).select(col("vec_id"), col("v"), col("norm"))
+      val cand = Seq(bucketed(s, d), bucketedT1(s, d)).map { e =>
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("bucket"))
+        e.select(col("vec_id"), col("bucket"))
+          .join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      }.reduce(_ unionByName _).distinct()
+      val qv = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      cand.join(broadcast(qv), Seq("query_id"))
+        .join(base.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("norm")), Seq("neighbor_id"))
+        .withColumn("cosine", cosineCol)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    s"""WITH n AS ($duckNormed),
+       b0 AS (${duckBucketsT(0)}),
+       b1 AS (${duckBucketsT(1)}),
+       cand AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM b0 q JOIN b0 c ON q.bucket = c.bucket
+           AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+         UNION
+         SELECT q.vec_id, c.vec_id
+         FROM b1 q JOIN b1 c ON q.bucket = c.bucket
+           AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       p AS (SELECT cand.query_id, cand.neighbor_id, $duckCosine AS cosine
+             FROM cand JOIN n q ON q.vec_id = cand.query_id
+                       JOIN n c ON c.vec_id = cand.neighbor_id),
        r AS (SELECT query_id, neighbor_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -518,6 +600,8 @@ object VectorOps {
       val approx =
         qAnnLsh.fn(s, d).select(col("query_id"), col("neighbor_id"),
             lit("lsh").as("method"))
+          .unionByName(qAnnLshMulti.fn(s, d).select(col("query_id"),
+            col("neighbor_id"), lit("lsh_multi").as("method")))
           .unionByName(qAnnIvf.fn(s, d).select(col("query_id"),
             col("neighbor_id"), lit("ivf").as("method")))
       val hits = approx.join(exact3, Seq("query_id", "neighbor_id"))
@@ -525,7 +609,7 @@ object VectorOps {
         .agg(count(lit(1)).as("n_hits"))
       exact3.select(col("query_id")).distinct()
         .select(col("query_id"),
-          explode(array(lit("ivf"), lit("lsh"))).as("method"))
+          explode(array(lit("ivf"), lit("lsh"), lit("lsh_multi"))).as("method"))
         .join(hits, Seq("query_id", "method"), "left")
         .select(col("query_id"), col("method"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
@@ -534,9 +618,12 @@ object VectorOps {
     },
     Some(s"""WITH exact AS (${qKnnBruteforce.oracle.get}),
        lsh AS (${qAnnLsh.oracle.get}),
+       lshm AS (${qAnnLshMulti.oracle.get}),
        ivf AS (${qAnnIvf.oracle.get}),
        e3 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 3),
        m AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+             UNION ALL
+             SELECT 'lsh_multi' AS method, query_id, neighbor_id FROM lshm
              UNION ALL
              SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
        hits AS (SELECT m.query_id, m.method, COUNT(*) AS n_hits
@@ -544,7 +631,7 @@ object VectorOps {
                 GROUP BY 1, 2),
        grid AS (SELECT query_id, method
                 FROM (SELECT DISTINCT query_id FROM e3),
-                     (SELECT UNNEST(['ivf', 'lsh']) AS method))
+                     (SELECT UNNEST(['ivf', 'lsh', 'lsh_multi']) AS method))
        SELECT g.query_id, g.method,
          COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
          COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000 // 3 AS recall_permille
@@ -556,6 +643,7 @@ object VectorOps {
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_knn_native" -> qKnnNative,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_lsh_multi" -> qAnnLshMulti,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_recall" -> qAnnRecall,
     "q_embed_neardup" -> qEmbedNeardup,
