@@ -1587,6 +1587,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup screen quality — MinHash+LSH banding graded against the
+    * exact-jaccard ground truth: one row of corpus-level evidence
+    * (exact pair count, banded pair count, hits, integer-permille
+    * recall and precision). The scaladoc on [[qDedupMinhash]] argues
+    * recall ≈ 1 from the corpus' similarity bimodality; this query
+    * turns that argument into a graded NUMBER the driver hash-checks
+    * (the q_ann_recall convention — measure the approximation, don't
+    * assert it). Precision is structurally 1000 here (band candidates
+    * are exact-confirmed, so every emitted pair passes the exact
+    * threshold) — graded anyway, so a future confirm-step regression
+    * shows up as a value change, not a silent semantic drift. Both
+    * inputs are memoized graded queries; the join is id-pair-sized.
+    * At 100 TB the same query runs over [[exactJaccardSharded]]'s
+    * output on a SAMPLED shard — banding recall is estimated, never
+    * assumed. */
+  lazy val qDedupRecall = Q(
+    (s, d) => {
+      val exact = qNgramJaccard.fn(s, d).select(col("doc_a"), col("doc_b"))
+      val mh = qDedupMinhash.fn(s, d).select(col("doc_a"), col("doc_b"))
+      val hits = exact.join(mh.withColumn("m", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("m"), lit(0))).cast("long").as("n_hit"))
+      val nmh = mh.agg(count(lit(1)).as("n_minhash"))
+      // broadcast-scalar crossJoin: both sides are 1-row aggregates
+      // (the EventsOps/GraphOps convention)
+      hits.crossJoin(nmh)
+        .select(col("n_exact"), col("n_minhash"), col("n_hit"),
+          expr("n_hit * 1000 DIV n_exact").as("recall_permille"),
+          expr("n_hit * 1000 DIV n_minhash").as("precision_permille"))
+    },
+    Some(s"""WITH ex AS (${qNgramJaccard.oracle.get}),
+       mh AS (${qDedupMinhash.oracle.get}),
+       j AS (SELECT COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit
+             FROM ex LEFT JOIN mh m
+               ON ex.doc_a = m.doc_a AND ex.doc_b = m.doc_b),
+       c AS (SELECT COUNT(*) AS n_minhash FROM mh)
+       SELECT j.n_exact, c.n_minhash, j.n_hit,
+         j.n_hit * 1000 // j.n_exact AS recall_permille,
+         j.n_hit * 1000 // c.n_minhash AS precision_permille
+       FROM j, c"""))
+
   // lazy: composes the containment oracle, which is declared further
   // down the object — a strict val here would read it as null during
   // object init
@@ -2490,5 +2533,6 @@ object TextOps {
     "q_ngram_novelty" -> qNgramNovelty,
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
-    "q_dedup_rate_by_source" -> qDedupRateBySource)
+    "q_dedup_rate_by_source" -> qDedupRateBySource,
+    "q_dedup_recall" -> qDedupRecall)
 }
