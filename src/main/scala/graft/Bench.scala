@@ -382,7 +382,10 @@ object Bench {
     // a throttle that began mid-run shows as calib_end ≫ calib_start
     val calibEnd = calibProbe()
     val ioEnd = ioProbe()
-    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_end_s":${r3(calibEnd)},"io_probe_start_s":${r3(ioStart)},"io_probe_end_s":${r3(ioEnd)},"quiet_wait_s":${r3(quietWaitS)},"stream_tmp":"$streamTmp""""
+    // stream_tmp is user-supplied (SPARK_GRAFT_STREAM_TMP) — sanitize
+    // like the memo keys so the detail artifact always parses
+    val streamTmpJson = streamTmp.replaceAll("[\"\\\\\\n\\r]", "_")
+    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_end_s":${r3(calibEnd)},"io_probe_start_s":${r3(ioStart)},"io_probe_end_s":${r3(ioEnd)},"quiet_wait_s":${r3(quietWaitS)},"stream_tmp":"$streamTmpJson""""
     // Self-adjudication (r13 verdict: the probe measured the
     // condition but nothing acted on it — BENCH_r13 ran at loadavg
     // 2.14 / calib_end 1.158 yet self-reported clean). The artifact

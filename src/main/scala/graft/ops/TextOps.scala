@@ -1612,10 +1612,15 @@ object TextOps {
       val nmh = mh.agg(count(lit(1)).as("n_minhash"))
       // broadcast-scalar crossJoin: both sides are 1-row aggregates
       // (the EventsOps/GraphOps convention)
+      // zero-denominator guard (r16 ADVICE): an empty ground-truth or
+      // band-pair set is vacuously satisfied — emit the 1000 sentinel
+      // instead of a NULL-vs-NULL parity row on degenerate corpora
       hits.crossJoin(nmh)
         .select(col("n_exact"), col("n_minhash"), col("n_hit"),
-          expr("n_hit * 1000 DIV n_exact").as("recall_permille"),
-          expr("n_hit * 1000 DIV n_minhash").as("precision_permille"))
+          expr("CASE WHEN n_exact = 0 THEN 1000 " +
+            "ELSE n_hit * 1000 DIV n_exact END").as("recall_permille"),
+          expr("CASE WHEN n_minhash = 0 THEN 1000 " +
+            "ELSE n_hit * 1000 DIV n_minhash END").as("precision_permille"))
     },
     Some(s"""WITH ex AS (${qNgramJaccard.oracle.get}),
        mh AS (${qDedupMinhash.oracle.get}),
@@ -1626,8 +1631,10 @@ object TextOps {
                ON ex.doc_a = m.doc_a AND ex.doc_b = m.doc_b),
        c AS (SELECT COUNT(*) AS n_minhash FROM mh)
        SELECT j.n_exact, c.n_minhash, j.n_hit,
-         j.n_hit * 1000 // j.n_exact AS recall_permille,
-         j.n_hit * 1000 // c.n_minhash AS precision_permille
+         CASE WHEN j.n_exact = 0 THEN 1000
+              ELSE j.n_hit * 1000 // j.n_exact END AS recall_permille,
+         CASE WHEN c.n_minhash = 0 THEN 1000
+              ELSE j.n_hit * 1000 // c.n_minhash END AS precision_permille
        FROM j, c"""))
 
   // lazy: composes the containment oracle, which is declared further

