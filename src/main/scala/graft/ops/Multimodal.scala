@@ -100,24 +100,33 @@ object Multimodal {
     * nFrames)` from the length-prefix directory plus the FIRST frame's
     * PNG IHDR — every other byte is skipped, no frame is ever
     * decoded. */
-  private[graft] def videoHeader(b: Array[Byte]): (Int, Int, Int) = {
+  /** Guarded walk over a length-prefixed frame container — the ONE
+    * demux loop every kernel shares (r16 verdict #3: the header
+    * parser got the corrupt-prefix guards in r16 but the
+    * q_video_decode / q_frame_sample frame kernels kept their own
+    * unguarded `while (toSkip > 0) toSkip -= in.skipBytes(toSkip)` /
+    * unvalidated `readInt` copies — safe on self-planted bytes,
+    * a spin or a 2^31-1 allocation on foreign ones). Every frame's
+    * length prefix is validated BEFORE any allocation or skip: at
+    * least `minFrame` (a PNG signature+IHDR is 24 bytes), at most the
+    * bytes that remain, with a whole 4-byte prefix present. `onFrame`
+    * receives (frameIdx, len, stream) and returns how many of the
+    * frame's bytes it consumed; the walker skips the rest with
+    * EOF detection (skipBytes returning 0 fails loudly, never
+    * spins). Returns the frame count. */
+  private[graft] def walkFrames(b: Array[Byte], minFrame: Int)(
+      onFrame: (Int, Int, java.io.DataInputStream) => Int): Int = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
-    var nf = 0; var w = 0; var h = 0
+    var nf = 0
     while (in.available() > 0) {
+      require(in.available() >= 4, s"truncated length prefix at frame $nf")
       val len = in.readInt()
-      // a corrupt or truncated container must fail loudly, never spin:
-      // an unvalidated prefix with DataInputStream.skipBytes returning
-      // 0 at EOF left `while (toSkip > 0)` an executor-task hang. A
-      // frame is at least a PNG signature+IHDR (24 bytes) and can't
-      // claim more bytes than remain.
-      require(len >= 24 && len <= in.available(),
+      require(len >= minFrame && len <= in.available(),
         s"corrupt frame length $len at frame $nf (${in.available()} bytes remain)")
-      var toSkip = len
-      if (nf == 0) {
-        val hd = new Array[Byte](24); in.readFully(hd)
-        val wh = pngHeader(hd); w = wh._1; h = wh._2
-        toSkip = len - 24
-      }
+      val consumed = onFrame(nf, len, in)
+      require(consumed >= 0 && consumed <= len,
+        s"frame $nf kernel consumed $consumed of $len bytes")
+      var toSkip = len - consumed
       while (toSkip > 0) {
         val skipped = in.skipBytes(toSkip)
         require(skipped > 0, s"unexpected EOF inside frame $nf")
@@ -125,7 +134,82 @@ object Multimodal {
       }
       nf += 1
     }
+    nf
+  }
+
+  private[graft] def videoHeader(b: Array[Byte]): (Int, Int, Int) = {
+    var w = 0; var h = 0
+    val nf = walkFrames(b, 24) { (i, _, in) =>
+      if (i == 0) {
+        val hd = new Array[Byte](24); in.readFully(hd)
+        val wh = pngHeader(hd); w = wh._1; h = wh._2
+        24
+      } else 0
+    }
     (w, h, nf)
+  }
+
+  /** Per-clip FULL-decode kernel (q_video_decode's hot loop, factored
+    * so PropertySpec can fuzz it with the same corrupt containers the
+    * header parsers face): decode every frame through the guarded
+    * [[walkFrames]] demux, fold grayscale sum/max across the clip.
+    * Returns (n_frames, width, height, sum_gray, max_gray). */
+  private[graft] def decodeClip(b: Array[Byte]): (Int, Int, Int, Long, Int) = {
+    var w = 0; var h = 0; var sum = 0L; var mx = 0
+    val nf = walkFrames(b, 24) { (_, len, in) =>
+      val png = new Array[Byte](len); in.readFully(png)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      require(img != null, "undecodable frame payload")
+      w = img.getWidth; h = img.getHeight
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      len
+    }
+    (nf, w, h, sum, mx)
+  }
+
+  /** Per-clip every-2nd-frame SAMPLING kernel (q_frame_sample's hot
+    * loop, factored for the same fuzz coverage): even frames decode,
+    * odd frames advance the guarded demux without touching the codec.
+    * Returns one (frame_id, width, height, sum_gray, max_gray) per
+    * sampled frame. */
+  private[graft] def sampleClip(
+      b: Array[Byte]): Seq[(Int, Int, Int, Long, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long, Int)]()
+    walkFrames(b, 24) { (f, len, in) =>
+      if (f % 2 == 0) {
+        val png = new Array[Byte](len); in.readFully(png)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        require(img != null, "undecodable frame payload")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L; var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v; if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        out += ((f, w, h, sum, mx))
+        len
+      } else 0
+    }
+    out.toSeq
   }
 
   private val metaSchema = StructType(Seq(
@@ -350,39 +434,11 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val in = new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          val out = scala.collection.mutable.ArrayBuffer[Row]()
-          var f = 0
-          while (in.available() > 0) {
-            val len = in.readInt()
-            if (f % 2 == 0) {
-              val png = new Array[Byte](len)
-              in.readFully(png)
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(png))
-              val (w, h) = (img.getWidth, img.getHeight)
-              val raster = img.getRaster
-              var sum = 0L; var mx = 0
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val v = raster.getSample(x, y, 0)
-                  sum += v; if (v > mx) mx = v
-                  x += 1
-                }
-                y += 1
-              }
-              out += Row(id, f, f * 40, w, h, sum, mx)
-            } else {
-              // sampled out: advance the demux, never touch the codec
-              var toSkip = len
-              while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
-            }
-            f += 1
+          // guarded demux + per-frame decode live in the shared
+          // sampleClip kernel (fuzz-covered in PropertySpec)
+          sampleClip(r.getAs[Array[Byte]](1)).map { case (f, w, h, sum, mx) =>
+            Row(id, f, f * 40, w, h, sum, mx)
           }
-          out
         }
       }(decEnc).orderBy(col("doc_id"), col("frame_id"))
     },
@@ -838,32 +894,9 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
         rows.map { r =>
           val id = r.getLong(0)
-          val in = new java.io.DataInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-          var nf = 0
-          var w = 0; var h = 0
-          var sum = 0L
-          var mx = 0
-          while (in.available() > 0) {
-            val len = in.readInt()
-            val png = new Array[Byte](len)
-            in.readFully(png)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(png))
-            w = img.getWidth; h = img.getHeight
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val v = raster.getSample(x, y, 0)
-                sum += v; if (v > mx) mx = v
-                x += 1
-              }
-              y += 1
-            }
-            nf += 1
-          }
+          // guarded demux + full decode live in the shared decodeClip
+          // kernel (fuzz-covered in PropertySpec)
+          val (nf, w, h, sum, mx) = decodeClip(r.getAs[Array[Byte]](1))
           Row(id, nf, w, h, nf * w * h, sum, mx)
         }
       }(decEnc).orderBy(col("doc_id"))

