@@ -286,6 +286,27 @@ object TextOps {
         .as(Seq("band_idx", "band_hash")))
   }
 
+  /** Band-collision candidate id pairs (doc_a < doc_b, distinct) from
+    * a shingled frame — the pre-confirm stage of the banding
+    * pipeline, factored so [[minhashNearDupPairs]] and the
+    * second-decade candidate-volume spec (ScaleSmokeSpec) measure the
+    * IDENTICAL join. */
+  private[graft] def bandCandidatePairs(sh: DataFrame): DataFrame = {
+    val banded = minhashBands(sh)
+    val la = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+    val lb = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+    la.join(lb, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Spec-only convenience: band candidates straight from a (doc_id,
+    * text) frame, through the same shingle pipeline the graded query
+    * uses. */
+  private[graft] def bandCandidatesOf(docs: DataFrame): DataFrame =
+    bandCandidatePairs(withShingles(docs)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz")))
+
   /** MinHash + LSH banding near-dup detection — the scale path: 32
     * minhashes per doc, 8 bands × 4 rows; only same-band docs are
     * paired, then candidates are confirmed with exact jaccard ≥ 0.5.
@@ -316,12 +337,7 @@ object TextOps {
       val sh = withShingles(docs)
         .select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
         .persist()
-      val banded = minhashBands(sh)
-      val la = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-      val lb = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
-      val cand = la.join(lb, Seq("band_idx", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      val cand = bandCandidatePairs(sh)
       val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"), col("sz").as("sz_a"))
       val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"), col("sz").as("sz_b"))
       val pairs = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
