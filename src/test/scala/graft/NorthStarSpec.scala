@@ -178,6 +178,69 @@ class NorthStarSpec extends SparkSpec {
     ann.foreach { case (q, c) => assert(c <= bf(q) + 1e-12, s"query $q") }
   }
 
+  test("banding recall on an adversarial near-threshold corpus (measured, pinned)") {
+    // r16 verdict #7 (stretch): q_dedup_recall reads 1000‰ on the
+    // driver corpus because its similarity is BIMODAL (nothing
+    // between j ≈ 0.15 and 0.9) — friendly to banding. This corpus is
+    // adversarial by construction: 200 doc pairs at each of six exact
+    // bigram-jaccard levels straddling the 0.5 threshold. Pair texts
+    // are [A1..Aa, S1..Ss] vs [B1..Ba, S1..Ss] over a pair-private
+    // token namespace, so shared bigrams = s-1 (the shared block's
+    // interior), each side's bigrams = a+s-1, and
+    // j = (s-1)/(2a+s-1) EXACTLY — ground truth is analytic, no
+    // exact-jaccard job needed. (a, s) per level:
+    //   0.45 -> (11, 19), 0.48 -> (13, 25), 0.52 -> (6, 14),
+    //   0.55 -> (9, 23), 0.70 -> (3, 15), 0.90 -> (1, 20).
+    // The banding theory predicts candidate recall 1-(1-j^4)^8:
+    // ~0.44 at j=0.52, ~0.54 at 0.55, ~0.89 at 0.70, ~1.0 at 0.90 —
+    // the measured (murmur3-deterministic, hence pinned-exact) values
+    // below are the evidence that the r=4, 8-band parameters behave
+    // as designed NEAR the threshold, not just on the easy corpus:
+    // sub-threshold pairs never survive (the exact confirm step), and
+    // recall climbs the theory curve as j rises.
+    val levels = Seq((45, 11, 19), (48, 13, 25), (52, 6, 14),
+      (55, 9, 23), (70, 3, 15), (90, 1, 20))
+    val perLevel = 200
+    val rows = levels.zipWithIndex.flatMap { case ((jp, a, s), li) =>
+      (0 until perLevel).flatMap { p =>
+        val ns = s"l${li}p$p"
+        val shared = (0 until s).map(i => s"${ns}s$i")
+        val ta = ((0 until a).map(i => s"${ns}a$i") ++ shared).mkString(" ")
+        val tb = ((0 until a).map(i => s"${ns}b$i") ++ shared).mkString(" ")
+        val base = (li.toLong * perLevel + p) * 2
+        Seq((base, jp, ta), (base + 1, jp, tb))
+      }
+    }
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "level", "text")
+      .select(col("doc_id"), col("text"))
+    val found = Graft.minhashNearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every found pair must be a planted above-threshold twin: the
+    // namespaced tokens make cross-pair jaccard 0, and the exact
+    // confirm step must kill the sub-threshold levels entirely
+    val plantedAbove = levels.zipWithIndex.collect {
+      case (((jp, _, _)), li) if jp > 50 =>
+        li -> (0 until perLevel).map { p =>
+          val b = (li.toLong * perLevel + p) * 2; (b, b + 1)
+        }.toSet
+    }.toMap
+    assert(found.subsetOf(plantedAbove.values.flatten.toSet),
+      "banding confirmed a sub-threshold or cross-pair match")
+    val recallPermille = levels.zipWithIndex.collect {
+      case (((jp, _, _)), li) if jp > 50 =>
+        jp -> (plantedAbove(li).count(found) * 1000 / perLevel)
+    }
+    info(s"near-threshold banding recall (permille by jaccard%): $recallPermille")
+    val byJ = recallPermille.toMap
+    // pinned-exact: fixed corpus + murmur3 => deterministic
+    assert(byJ(90) >= 995, s"j=0.90 recall ${byJ(90)} — banding broken")
+    assert(byJ(70) >= 800 && byJ(70) <= 980, s"j=0.70 recall ${byJ(70)}")
+    assert(byJ(55) >= 350 && byJ(55) <= 750, s"j=0.55 recall ${byJ(55)}")
+    assert(byJ(52) >= 250 && byJ(52) <= 650, s"j=0.52 recall ${byJ(52)}")
+    // monotone in j — the property a banding regression breaks first
+    assert(byJ(52) <= byJ(55) && byJ(55) <= byJ(70) && byJ(70) <= byJ(90))
+  }
+
   test("ann probe dials: supersets never lower recall; ivf nprobe=3 clears 700‰ at sf0.1") {
     // r17 dials: lsh_probe probes the query's own bucket plus 31
     // directed flips (candidate SUPERSET of q_ann_lsh), ivf_probe
