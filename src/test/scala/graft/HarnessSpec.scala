@@ -37,11 +37,33 @@ class HarnessSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val budgeted = java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get("src/test/resources/drain_budgets.tsv"))
-      .asScala.filter(_.nonEmpty).map(_.split("\t")(0)).toSet
+      .asScala.filter(l => l.nonEmpty && !l.startsWith("#")) // skip provenance header
+      .map(_.split("\t")(0)).toSet
     val drains = SparkEntry.queries.keySet.filter(_.startsWith("q_stream_"))
     assert(budgeted == drains,
       s"unbudgeted drains: ${(drains -- budgeted).mkString(", ")}; " +
         s"stale budget rows: ${(budgeted -- drains).mkString(", ")} — " +
         "run `sbt \"runMain graft.tools.DrainGate --write\"` and review the diff")
+  }
+
+  test("canary_budgets.tsv names registered non-drain queries and carries provenance") {
+    // the bench adjudicates its comparable stamp against this fixture
+    // (r16 verdict #1b) — a renamed canary would silently weaken the
+    // anchor (the bench's resultMap lookup misses and the rule never
+    // trips), so pin fixture/registry consistency at suite time like
+    // the drain budgets above
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get("src/test/resources/canary_budgets.tsv"))
+      .asScala.filter(_.nonEmpty).toSeq
+    assert(lines.exists(_.startsWith("# provenance:")),
+      "canary fixture must carry a provenance header (sf=..., cpus=...)")
+    val canaries = lines.filterNot(_.startsWith("#")).map(_.split("\t")(0))
+    assert(canaries.nonEmpty && canaries.size >= 5)
+    canaries.foreach { c =>
+      assert(SparkEntry.queries.contains(c), s"canary $c is not a registered query")
+      assert(!c.startsWith("q_stream_"),
+        s"canary $c is a drain — drains are budgeted by DrainGate, not the bench stamp")
+    }
   }
 }
