@@ -1,0 +1,112 @@
+package graft.tools
+
+/** Canary-budget maintenance for the bench's comparable-stamp anchor
+  * (r16 verdict #1b; fixture `src/test/resources/canary_budgets.tsv`)
+  * — the same deliberate-regen policy as [[DrainGate]]'s drain
+  * budgets, but sourced from COMMITTED bench detail artifacts rather
+  * than a fresh measuring run: the canary medians must represent the
+  * committed steady state the stamp compares against, not whatever
+  * this minute's host happens to measure.
+  *
+  * Usage:
+  *   runMain graft.tools.CanaryBudgets detail1.json detail2.json ...
+  *     — report mode: recompute per-canary medians across the given
+  *       artifacts, print measured-vs-fixture slack, exit 1 when a
+  *       fixture median drifts outside 2x of the recomputed one in
+  *       either direction (stale-tight AND stale-loose).
+  *   runMain graft.tools.CanaryBudgets --write detail1.json ...
+  *     — rewrite the fixture from the artifacts (review the diff).
+  *
+  * Artifacts must be COMPARABLE legs (`"comparable":true` is
+  * enforced; a hygiene leg legitimately rebuilds memo families in
+  * timed samples and must not feed the medians — hygiene runs stamp
+  * comparable too, so leg selection stays a deliberate, reviewed act,
+  * exactly like choosing which trio to commit). The canary SET comes
+  * from the existing fixture (or the built-in default on first run);
+  * changing the set is an edit, not a regen. */
+object CanaryBudgets {
+  private val defaultCanaries = Seq(
+    "q_json_fns", "q_image_decode", "q_orc_roundtrip",
+    "q_join_salted", "q_bm25")
+
+  def main(args: Array[String]): Unit = {
+    val write = args.contains("--write")
+    val files = args.filterNot(_.startsWith("--")).toSeq
+    require(files.nonEmpty,
+      "pass at least one committed comparable bench_detail_*.json")
+    val fixture = java.nio.file.Paths.get("src/test/resources/canary_budgets.tsv")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val legs = files.map { f =>
+      val root = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(f)))
+      require(root.path("comparable").asBoolean(false),
+        s"$f is not a comparable leg — the stamp's own rules reject it")
+      f -> root
+    }
+    // all artifacts must come from ONE sf (mixed-sf medians are
+    // meaningless — budgets are absolute seconds at a specific scale)
+    val sfs = legs.map(_._2.path("sf").asText()).distinct
+    require(sfs.size == 1, s"artifacts span multiple sfs: $sfs")
+    val sf = sfs.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val streamTmps = legs.map(_._2.path("stream_tmp").asText()).distinct
+    require(streamTmps.size == 1,
+      s"artifacts span multiple stream volumes: $streamTmps")
+    val existing: Seq[String] =
+      if (java.nio.file.Files.exists(fixture)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(fixture).asScala.toSeq
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.split("\t")(0))
+      } else defaultCanaries
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medians = existing.map { name =>
+      val vals = legs.flatMap { case (f, root) =>
+        val v = root.path("queries").path(name)
+        if (v.isMissingNode) { println(s"WARN: $f has no '$name'"); None }
+        else Some(v.asDouble())
+      }
+      require(vals.nonEmpty, s"no artifact carries canary $name")
+      name -> median(vals)
+    }
+    if (write) {
+      val header = s"# provenance: sf=$sf cpus=$cpus stream_tmp=${streamTmps.head}"
+      val note = s"# committed steady-state medians (seconds) over ${files.size} " +
+        "comparable legs; the bench stamps not_comparable when a graded\n" +
+        "# min-of-2 exceeds max(2 x median, 0.5 s). Regenerate via\n" +
+        "# `runMain graft.tools.CanaryBudgets --write <comparable details...>`\n" +
+        "# and review the diff, like drain_budgets.tsv."
+      val rows = medians.map { case (n, m) =>
+        f"$n\t$m%.3f" }.mkString("\n")
+      java.nio.file.Files.writeString(fixture, s"$header\n$note\n$rows\n")
+      println(s"wrote ${medians.size} canary medians from ${files.size} legs: " +
+        medians.map { case (n, m) => f"$n=$m%.3f" }.mkString(", "))
+      return
+    }
+    // report mode: fixture vs recomputed, drift-gated both directions
+    val committed: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(fixture).asScala
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l => val Array(n, b) = l.split("\t"); n -> b.toDouble }.toMap
+    }
+    var failed = false
+    medians.foreach { case (name, fresh) =>
+      committed.get(name) match {
+        case Some(c) if c > fresh * 2 || fresh > c * 2 =>
+          println(f"CANARY MEDIAN DRIFT: $name fixture $c%.3f vs measured " +
+            f"$fresh%.3f — regen with --write and review"); failed = true
+        case Some(c) =>
+          println(f"canary ok: $name fixture $c%.3f vs measured $fresh%.3f " +
+            f"(${math.max(c, fresh) / math.min(c, fresh)}%.2fx)")
+        case None =>
+          println(s"CANARY UNBUDGETED: $name missing from $fixture"); failed = true
+      }
+    }
+    if (failed) sys.exit(1)
+  }
+}
