@@ -228,13 +228,15 @@ object VectorOps {
     * UNION of within-bucket matches across tables, exact cosine
     * scores the distinct candidate set, top-3. Recall grows as
     * 1-(1-p)^L for per-table collision probability p at roughly L×
-    * candidate cost; q_ann_recall grades the single-table and
-    * two-table paths side by side against the exact baseline, so the
-    * trade-off is a measured number (sf0.1: 0.13 → 0.20 recall@3 for
-    * L = 1 → 2; under the independent-table formula 2 tables would
-    * ~double recall — the shortfall is inter-table correlation from
-    * sharing the one plane family, honestly on display), not a
-    * formula in a comment. Candidates carry ids
+    * candidate cost; q_ann_recall grades all five approximate paths
+    * side by side against the exact baseline and q_ann_cost prices
+    * them, so the trade-off is a measured number (sf0.1: 133‰ → 200‰
+    * recall@3 for L = 1 → 2 at 27‰ → 46‰ cost; under the
+    * independent-table formula 2 tables would ~double recall — the
+    * shortfall is inter-table correlation from sharing the one plane
+    * family, honestly on display; the dials that go further are
+    * [[qAnnLshProbe]] and [[qAnnIvfProbe]]), not a formula in a
+    * comment. Candidates carry ids
     * only through the union+distinct — vectors join back once per
     * side, the same no-wide-shuffle discipline as the MinHash
     * candidate join. Both tables are memoized shared stages; at

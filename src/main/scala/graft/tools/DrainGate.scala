@@ -17,11 +17,12 @@ import org.apache.spark.sql.SparkSession
   * (`name<TAB>budget_seconds`), set at 2× the measured steady-state
   * median — the documented honest variance envelope: with checkpoint
   * I/O isolated to the RAM volume, identical-code per-drain medians
-  * vary up to ~1.3× between gate passes (r16 six-leg trio, worst
-  * spread 1.28× — docs/SCALE.md r16 record; the pre-isolation
-  * per-SAMPLE outliers that reached ~1.8× are gone with the tmp-dir
-  * fix), so a 2× line leaves ≥1.5× margin over measured median
-  * jitter while still tripping on q_stream_join drifting 7 → 14 s
+  * vary up to ~1.4× between gate passes (r16 six-leg worst spread
+  * 1.28×, r17 1.39× on the smallest drain — docs/SCALE.md records;
+  * the pre-isolation per-SAMPLE outliers that reached ~1.8× are gone
+  * with the tmp-dir fix), so a 2× line leaves ≥1.4× margin over
+  * measured median jitter while still tripping on q_stream_join
+  * drifting 7 → 14 s
   * (the r15 verdict's example). Regenerate deliberately with
   * `--write` after reviewing the diff, exactly like the exchange
   * census fixture. Budgets are absolute wall-clock seconds measured
