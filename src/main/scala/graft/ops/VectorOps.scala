@@ -192,6 +192,22 @@ object VectorOps {
       withBucketT(normed(s, d), 1).persist()
     }
 
+  /** Spec-only hook (the [[graft.ops.TextOps.bandCandidatesOf]]
+    * convention): within-bucket candidate id pairs for the fixed
+    * query set (vec_id < 20) from any (vec_id, embedding) frame,
+    * through the same signature pipeline the graded LSH queries use —
+    * so the second-decade candidate-volume spec measures the exact
+    * graded join. */
+  private[graft] def lshBucketCandidatesOf(e: DataFrame): DataFrame = {
+    val b = withBucket(normedOf(e))
+    val q = b.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    b.select(col("vec_id").as("neighbor_id"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** ANN top-3 via LSH buckets: score only within-bucket candidates.
     * Approximate by design — but deterministically so, and the oracle
     * runs the same bucketed algorithm, so results still hash-match. */
