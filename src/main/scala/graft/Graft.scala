@@ -259,6 +259,20 @@ object Graft {
                   threshold: Double = 0.35): DataFrame =
     ops.VectorOps.embedScreen(corpus, batch, threshold)
 
+  /** Exact cosine top-k of `queries` against `corpus` (both
+    * (vec_id, embedding float[])) on the native codegen'd kernel —
+    * (query_id, rank, neighbor_id, cosine), broadcast query side.
+    * The exact baseline every approximate path is judged against. */
+  def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
+    ops.VectorOps.knnTopK(corpus, queries, k)
+
+  /** LSH-bucketed approximate top-k — the scale path: queries score
+    * only same-bucket corpus vectors, corpus index memoized per
+    * session. Measure recall on a sampled query set (the
+    * q_ann_recall / q_ann_cost convention) before trusting a dial. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
+    ops.VectorOps.annTopK(corpus, queries, k)
+
   // ---- joins ---------------------------------------------------------
 
   /** Inner-join fact to dim on long keys with a fixed-size bloom

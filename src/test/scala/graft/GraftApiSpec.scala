@@ -250,6 +250,22 @@ class GraftApiSpec extends SparkSpec {
     }
   }
 
+  test("knnTopK / annTopK facade forms equal the graded query outputs") {
+    // the facade entries must BE the graded algorithms, not parallel
+    // implementations — pin row-set equality against q_knn_native
+    // (exact, native kernel) and q_ann_lsh (bucketed scale path) on
+    // the real embeddings table with the graded query set
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Graft.knnTopK(e, q, 5)) ===
+      rows(SparkEntry.queries("q_knn_native")(spark, sfDir)))
+    assert(rows(Graft.annTopK(e, q, 3)) ===
+      rows(SparkEntry.queries("q_ann_lsh")(spark, sfDir)))
+  }
+
   test("embedScreen matches a near-copy against the corpus, ignores orthogonal vectors") {
     val s = spark
     import s.implicits._
