@@ -262,16 +262,25 @@ object Graft {
   /** Exact cosine top-k of `queries` against `corpus` (both
     * (vec_id, embedding float[])) on the native codegen'd kernel —
     * (query_id, rank, neighbor_id, cosine), broadcast query side.
-    * The exact baseline every approximate path is judged against. */
-  def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame =
-    ops.VectorOps.knnTopK(corpus, queries, k)
+    * The exact baseline every approximate path is judged against.
+    * `excludeSelf` (default true) assumes query and corpus vec_ids
+    * share ONE id namespace (a query never returns its own id — the
+    * graded-query convention); pass false when the query frame's ids
+    * are independent of the corpus's, or a true nearest neighbor that
+    * happens to share an id is silently dropped. */
+  def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              excludeSelf: Boolean = true): DataFrame =
+    ops.VectorOps.knnTopK(corpus, queries, k, excludeSelf)
 
   /** LSH-bucketed approximate top-k — the scale path: queries score
     * only same-bucket corpus vectors, corpus index memoized per
     * session. Measure recall on a sampled query set (the
-    * q_ann_recall / q_ann_cost convention) before trusting a dial. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
-    ops.VectorOps.annTopK(corpus, queries, k)
+    * q_ann_recall / q_ann_cost convention) before trusting a dial.
+    * `excludeSelf` as in [[knnTopK]]: default assumes one shared id
+    * namespace; pass false for an independent query id space. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+              excludeSelf: Boolean = true): DataFrame =
+    ops.VectorOps.annTopK(corpus, queries, k, excludeSelf)
 
   // ---- joins ---------------------------------------------------------
 

@@ -197,12 +197,18 @@ object VectorOps {
     * float kernel ([[graft.functions.DotProductExpr]] — the
     * throughput form q_knn_native grades), per-query top-k with the
     * graded queries' deterministic ordering (cosine desc,
-    * neighbor_id asc). Both frames are (vec_id, embedding float[]);
-    * a query whose vec_id also appears in the corpus never returns
-    * itself. The query side is broadcast — correct when |Q| is small
+    * neighbor_id asc). Both frames are (vec_id, embedding float[]).
+    * `excludeSelf` (default true) assumes query and corpus ids share
+    * ONE namespace — the graded-query convention, where the query set
+    * is a corpus subset and a row must not return itself. Pass
+    * `excludeSelf = false` when the query frame uses an independent
+    * id namespace: the default would silently drop any legitimate
+    * nearest neighbor that happens to share an id (r17 ADVICE).
+    * The query side is broadcast — correct when |Q| is small
     * (the retrieval-eval regime); for corpus-sized query sets use
     * [[annTopK]] or [[embedScreen]], the bucketed paths. */
-  def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+  def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              excludeSelf: Boolean = true): DataFrame = {
     def normF(e: DataFrame) = e
       .select(col("vec_id"), col("embedding"))
       .withColumn("norm", sqrt(graft.functions.DotProductExpr.dotF(
@@ -211,7 +217,8 @@ object VectorOps {
       col("embedding").as("qe"), col("norm").as("qnorm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    normF(corpus).join(broadcast(q), col("vec_id") =!= col("query_id"))
+    normF(corpus).join(broadcast(q),
+        if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("cosine",
         graft.functions.DotProductExpr.dotF(col("qe"), col("embedding")) /
           (col("qnorm") * col("norm")))
@@ -232,9 +239,13 @@ object VectorOps {
     * the graded q_ann_recall / q_ann_cost evals (133‰ recall@3 at
     * 27‰ of brute-force cost on the adversarial driver corpus;
     * far higher on clustered real-world embeddings) — run that eval
-    * on a sampled query set before trusting any dial. A query whose
-    * vec_id also appears in the corpus never returns itself. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
+    * on a sampled query set before trusting any dial. `excludeSelf`
+    * (default true) assumes query and corpus ids share ONE namespace
+    * (a query never returns its own id); pass false when the query
+    * frame's ids are an independent namespace, else a legitimate
+    * same-id neighbor is silently dropped (r17 ADVICE). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+              excludeSelf: Boolean = true): DataFrame = {
     val s = corpus.sparkSession
     val c = SessionMemo.getOrElseUpdate(s,
       s"ann_topk_index:${SessionMemo.planKey(corpus)}") {
@@ -247,7 +258,8 @@ object VectorOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
       .withColumn("cosine", cosineCol)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -48,7 +48,23 @@ object CanaryBudgets {
     val sfs = legs.map(_._2.path("sf").asText()).distinct
     require(sfs.size == 1, s"artifacts span multiple sfs: $sfs")
     val sf = sfs.head
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // cpus comes from the LEGS, like sf/stream_tmp (r17 ADVICE: the
+    // regen host's env could misstate the measured conditions); legs
+    // older than r18 don't carry the field — fall back to env with a
+    // warning so historic artifacts stay usable.
+    val cpus = {
+      val fromLegs = legs.flatMap { case (_, root) =>
+        val n = root.path("cpus")
+        if (n.isMissingNode) None else Some(n.asText())
+      }.distinct
+      require(fromLegs.size <= 1, s"artifacts span multiple cpus: $fromLegs")
+      fromLegs.headOption.getOrElse {
+        val env = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+        println(s"WARN: no artifact carries 'cpus' (pre-r18 legs) — " +
+          s"stamping provenance from env: cpus=$env")
+        env
+      }
+    }
     val streamTmps = legs.map(_._2.path("stream_tmp").asText()).distinct
     require(streamTmps.size == 1,
       s"artifacts span multiple stream volumes: $streamTmps")
@@ -87,13 +103,18 @@ object CanaryBudgets {
         medians.map { case (n, m) => f"$n=$m%.3f" }.mkString(", "))
       return
     }
-    // report mode: fixture vs recomputed, drift-gated both directions
-    val committed: Map[String, Double] = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(fixture).asScala
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map { l => val Array(n, b) = l.split("\t"); n -> b.toDouble }.toMap
-    }
+    // report mode: fixture vs recomputed, drift-gated both directions.
+    // A missing fixture is all-unbudgeted, not a stack trace (r17
+    // ADVICE: the unconditional read threw NoSuchFileException here
+    // while `existing` above had already handled the same case).
+    val committed: Map[String, Double] =
+      if (!java.nio.file.Files.exists(fixture)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(fixture).asScala
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l => val Array(n, b) = l.split("\t"); n -> b.toDouble }.toMap
+      }
     var failed = false
     medians.foreach { case (name, fresh) =>
       committed.get(name) match {
@@ -104,7 +125,8 @@ object CanaryBudgets {
           println(f"canary ok: $name fixture $c%.3f vs measured $fresh%.3f " +
             f"(${math.max(c, fresh) / math.min(c, fresh)}%.2fx)")
         case None =>
-          println(s"CANARY UNBUDGETED: $name missing from $fixture"); failed = true
+          println(s"CANARY UNBUDGETED: $name missing from $fixture — " +
+            "regen with --write from committed comparable legs"); failed = true
       }
     }
     if (failed) sys.exit(1)

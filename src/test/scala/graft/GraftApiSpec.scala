@@ -266,6 +266,38 @@ class GraftApiSpec extends SparkSpec {
       rows(SparkEntry.queries("q_ann_lsh")(spark, sfDir)))
   }
 
+  test("knnTopK / annTopK excludeSelf=false keeps a same-id true neighbor") {
+    // r17 ADVICE: a facade caller whose query frame uses an id
+    // namespace INDEPENDENT of the corpus's must be able to turn off
+    // the shared-namespace self-exclusion — else a legitimate nearest
+    // neighbor that happens to share an id is silently dropped. Query
+    // id 0 is byte-identical to corpus id 0 here, so under the default
+    // the cosine-1.0 neighbor vanishes; with excludeSelf=false it is
+    // rank 1 for both the exact and the bucketed path (identical
+    // embedding → identical hyperplane bucket by construction).
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (1L, Array(0.9f, 0.3f, 0.2f, 0.1f)),
+      (2L, Array(-1.0f, 0.5f, -0.4f, 0.2f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    def top1(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = df.filter(col("rank") === 1).collect().head
+      (r.getLong(2), r.getDouble(3))
+    }
+    assert(top1(Graft.knnTopK(corpus, queries, 2))._1 === 1L)
+    val (knnId, knnCos) = top1(Graft.knnTopK(corpus, queries, 2,
+      excludeSelf = false))
+    // sqrt(d)*sqrt(d) may differ from d by an ulp, so the self-cosine
+    // is 1.0 only to within rounding — the rank-1 identity is exact
+    assert(knnId === 0L && math.abs(knnCos - 1.0) < 1e-12)
+    assert(top1(Graft.annTopK(corpus, queries, 2))._1 === 1L)
+    val (annId, annCos) = top1(Graft.annTopK(corpus, queries, 2,
+      excludeSelf = false))
+    assert(annId === 0L && math.abs(annCos - 1.0) < 1e-12)
+  }
+
   test("embedScreen matches a near-copy against the corpus, ignores orthogonal vectors") {
     val s = spark
     import s.implicits._
