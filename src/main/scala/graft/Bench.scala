@@ -282,7 +282,15 @@ object Bench {
               val off =
                 if (maxOff == 0) 0L
                 else ((i * 2654435761L) % maxOff) & ~4095L
-              ch.read(buf, off)
+              // loop to full-chunk: a single ch.read may return short
+              // (r17 ADVICE — a short read would time fewer bytes than
+              // the bandwidth math assumes); EOF only possible in the
+              // maxOff == 0 tiny-file case, where it ends the chunk
+              var pos = off
+              while (buf.hasRemaining) {
+                val n = ch.read(buf, pos)
+                if (n < 0) buf.limit(buf.position()) else pos += n
+              }
               i += 1
             }
           } finally ch.close()
@@ -358,7 +366,21 @@ object Bench {
       hygieneEvery.isEmpty &&
         ts.nonEmpty && fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5
     }
+    // Mid-loop probe checkpoint (r17 verdict #4): the absolute anchors
+    // ran only before warmup and after all timed work, so a co-load
+    // that started after the start probes and ended before the end
+    // probes read nominal at both edges while inflating the middle —
+    // the r17 driver capture inflated warmup 2.3x with clean edge
+    // probes. One probe set between the graded loop's halves (~1.2 s,
+    // untimed — between queries, never inside a sample) closes the
+    // blind window: the stamp adjudicates the worst of the three
+    // checkpoints. -1 when the loop is too short to have a middle.
+    var calibMid = -1.0; var ioMid = -1.0; var dataMid = -1.0
+    val midIdx = ordered.size / 2
     val sampled = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == midIdx && midIdx > 0) {
+        calibMid = calibProbe(); ioMid = ioProbe(); dataMid = dataProbe()
+      }
       hygieneEvery.foreach { n =>
         if (idx > 0 && idx % n == 0) { spark.catalog.clearCache(); System.gc() }
       }
@@ -400,33 +422,6 @@ object Bench {
     // and a comma-decimal locale would emit invalid JSON ("0,123")
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val (ok, bad) = results.partition(_._2 >= 0.0)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    // Graded-total decomposition (r12 verdict #2): the streaming
-    // drains' per-sample cost (fresh checkpoint + state-store
-    // machinery + the drain itself) IS their exhibit, and at 8 drains
-    // it is already ~1/3 of the total — so the cross-round regression
-    // signal, the NON-drain per-query rate, was drowning in drain
-    // growth and had to be judge-recomputed from the detail JSON.
-    // Emit both halves machine-readably: `drain_sec` sums the
-    // `q_stream_*` prefix set (the registry's naming convention for
-    // true Structured Streaming drains), `core_sec` is the rest;
-    // they sum to `value` by construction.
-    val drainSec = ok.collect { case (k, v) if k.startsWith("q_stream_") => v }.sum
-    val coreSec = total - drainSec
-    val split = s""""drain_sec":${r3(drainSec)},"core_sec":${r3(coreSec)}"""
-    val meds = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val firsts = firstRun.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    // memo keys may embed user-ish strings (paths, hashes) — keep only
-    // JSON-safe characters so the detail file always parses
-    val memos = memoBuilds.toSeq.sortBy(-_._2).map { case (k, v) =>
-      "\"" + k.replaceAll("[\"\\\\\\n\\r]", "_") + "\":" + r3(v)
-    }.mkString("{", ",", "}")
     // loadavg_start is the co-load signal (sampled before the bench
     // ramps its own threads); loadavg_end mostly reflects the bench
     // itself on a 32-thread session and is kept for the delta
@@ -436,10 +431,6 @@ object Bench {
     val calibEnd = calibProbe()
     val ioEnd = ioProbe()
     val dataEnd = dataProbe()
-    // stream_tmp is user-supplied (SPARK_GRAFT_STREAM_TMP) — sanitize
-    // like the memo keys so the detail artifact always parses
-    val streamTmpJson = streamTmp.replaceAll("[\"\\\\\\n\\r]", "_")
-    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_end_s":${r3(calibEnd)},"io_probe_start_s":${r3(ioStart)},"io_probe_end_s":${r3(ioEnd)},"data_probe_start_s":${r3(dataStart)},"data_probe_end_s":${r3(dataEnd)},"quiet_wait_s":${r3(quietWaitS)},"stream_tmp":"$streamTmpJson""""
     // Self-adjudication (r13 verdict: the probe measured the
     // condition but nothing acted on it — BENCH_r13 ran at loadavg
     // 2.14 / calib_end 1.158 yet self-reported clean). The artifact
@@ -483,38 +474,215 @@ object Bench {
       import scala.jdk.CollectionConverters._
       Files.readAllLines(canaryFixture).asScala.toSeq.filter(_.nonEmpty)
     } catch { case _: Exception => Seq.empty }
-    val canarySfMatches = canaryLines
-      .find(_.startsWith("# provenance:"))
-      .exists(_.contains(s"sf=$sfDir"))
+    // match the provenance sf as a whole space-delimited token (r17
+    // ADVICE: substring contains() false-matched a prefix, e.g.
+    // sf=/root/testdata/sf0.1 inside a sf0.12 header)
+    val canaryProv = canaryLines.find(_.startsWith("# provenance:"))
+    val canarySfMatches =
+      canaryProv.exists(_.split("\\s+").contains(s"sf=$sfDir"))
     val canaryBudgets: Map[String, Double] = canaryLines
       .filterNot(_.startsWith("#"))
       .map { l => val Array(n, b) = l.split("\t"); n -> b.toDouble }.toMap
-    val resultMap = results.toMap
-    val canaryOver: Seq[String] =
+    // the anchor is REQUIRED on a full graded run: an unreadable or
+    // empty fixture, a missing provenance header, or a matching header
+    // with zero data rows all fail the stamp (r17 ADVICE: only the
+    // last case tripped, so a deleted fixture silently disabled the
+    // one absolute rule). The ONLY silent skip is a genuine sf
+    // mismatch on a readable, provenance-stamped fixture — budgets
+    // are absolute seconds at one sf and cannot adjudicate another.
+    val canaryMissing = canaryAdjudicates &&
+      (canaryLines.isEmpty || canaryProv.isEmpty ||
+        (canarySfMatches && canaryBudgets.isEmpty))
+    def canaryLineOf(med: Double): Double = math.max(2 * med, 0.5)
+    def canaryOverOf(rm: Map[String, Double]): Seq[String] =
       if (!canaryAdjudicates || !canarySfMatches) Seq.empty
       else canaryBudgets.toSeq.sortBy(_._1).collect {
-        case (n, med) if resultMap.getOrElse(n, -1.0) > math.max(2 * med, 0.5) =>
-          s"$n ${r3(resultMap(n))} > ${r3(math.max(2 * med, 0.5))}"
+        case (n, med) if rm.getOrElse(n, -1.0) > canaryLineOf(med) =>
+          s"$n ${r3(rm(n))} > ${r3(canaryLineOf(med))}"
       }
-    val canaryMissing = canaryAdjudicates && canarySfMatches &&
-      canaryBudgets.isEmpty
+    // REMEDIATION (r17 verdict #1): three of the four driver-captured
+    // BENCH artifacts before r18 were unusable because the driver's
+    // capture window overlapped its own co-load — the stamp correctly
+    // named the condition, but the graded number was still lost. A
+    // TRANSIENT co-load is recoverable when the start-side probes
+    // were clean (the warmup and early loop ran idle): re-quiet-wait
+    // (same 1.2 loadavg line, same bound), re-run the affected
+    // queries min-of-2, then re-probe. The re-run set is the NAMED
+    // queries (degraded / canary-over) plus, when an end-state probe
+    // tripped, the SUSPECTS — queries whose graded min-of-2 exceeds
+    // max(1.5x their own warmup first_run, 0.25 s). The suspect rule
+    // exists because min-of-2 already defends any query with one
+    // clean sample: only a query whose BOTH samples fell inside the
+    // co-load window carries a contaminated number, and that number
+    // sits above its own cold first_run (timed steady state is
+    // otherwise at-or-below the cold run) — measured live in the r18
+    // dd experiment, where a 70 s writer burst inflated core_sec
+    // 1.37x while naming zero queries (every per-query check passed;
+    // only the mid data probe saw it). Success needs the NAMED
+    // queries' fresh samples to pass the exact rules that flagged
+    // them AND the remediation-window probes to be clean; suspects
+    // cannot fail the pass — their fresh sample either improves the
+    // splice or CONFIRMS the original number was plan cost. On
+    // success: splice min(all samples) per re-run query, stamp
+    // `remediated:[names]`, and adjudicate the remediation-window
+    // probes as the end state (the contaminated originals are
+    // retained in the detail JSON under `remediation.pre`). A
+    // SUSTAINED co-load fails the re-check and the run keeps
+    // `comparable:false` exactly as before. A probe trip with no
+    // named queries AND no suspects stays non-remediable. Off for
+    // hygiene/subset runs (no canary anchor, and first_run-relative
+    // suspicion is meaningless under cache clearing) and via
+    // SPARK_GRAFT_REMEDIATE=0 for A/B.
+    val preOver = canaryOverOf(results.toMap)
+    val remediationOn = canaryAdjudicates &&
+      !sys.env.get("SPARK_GRAFT_REMEDIATE").contains("0")
+    val startClean = !(calibStart > 1.25) && !(ioStart > 0.5) &&
+      !(dataStart > 0.5) && !(loadStart > 1.5)
+    val endProbeTripped = calibMid > 1.25 || ioMid > 0.5 || dataMid > 0.5 ||
+      calibEnd > 1.25 || ioEnd > 0.5 || dataEnd > 0.5
+    val named =
+      (degradedNames.toSeq ++ preOver.map(_.split(" ")(0))).distinct
+    val suspects: Seq[String] =
+      if (!endProbeTripped && named.isEmpty) Seq.empty
+      else results.collect {
+        case (n, v) if v > 0 && {
+          val fr = firstMap.getOrElse(n, -1.0)
+          fr > 0 && v > math.max(1.5 * fr, 0.25)
+        } => n
+      }
+    val remedTargets = (named ++ suspects).distinct.sorted
+    var remediatedNames: Seq[String] = Seq.empty
+    var remedJson = "\"attempted\":false"
+    // the values the stamp adjudicates; replaced by the remediation-
+    // window probes on success (originals always emitted in detail)
+    var calibEndAdj = calibEnd; var ioEndAdj = ioEnd; var dataEndAdj = dataEnd
+    var calibMidAdj = calibMid; var ioMidAdj = ioMid; var dataMidAdj = dataMid
+    var resultsF = results
+    var degradedF: Seq[String] = degradedNames.toSeq
+    if (remediationOn && startClean && remedTargets.nonEmpty) {
+      val t0r = System.nanoTime()
+      while (loadavg() > 1.2 && (System.nanoTime() - t0r) / 1e9 < quietMaxS)
+        Thread.sleep(5000)
+      val remedWait = (System.nanoTime() - t0r) / 1e9
+      val freshSamples: Seq[(String, Seq[Double])] = remedTargets.map { n =>
+        val fn = SparkEntry.queries(n)
+        n -> (try Seq(timeOnce(fn), timeOnce(fn))
+              catch { case _: Throwable => Seq.empty })
+      }
+      // probes AFTER the re-runs: they adjudicate the remediation
+      // window itself, the same all-timed-work-first discipline as
+      // the main end probes
+      val calibR = calibProbe(); val ioR = ioProbe(); val dataR = dataProbe()
+      val loadR = loadavg()
+      // only the NAMED queries gate the pass (suspects confirm-or-
+      // improve by construction — see the block comment above)
+      val namedSet = named.toSet
+      val freshClean = freshSamples.forall { case (n, ts) =>
+        !namedSet.contains(n) || (ts.nonEmpty && {
+          val fr = firstMap.getOrElse(n, -1.0)
+          val notDegr = !(fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5)
+          val canaryOk =
+            canaryBudgets.get(n).forall(m => ts.min <= canaryLineOf(m))
+          notDegr && canaryOk
+        })
+      }
+      val probesClean = !(calibR > 1.25) && !(ioR > 0.5) && !(dataR > 0.5)
+      val success = freshClean && probesClean
+      var superseded: Seq[String] = Seq.empty
+      if (success) {
+        val freshMap = freshSamples.toMap
+        resultsF = results.map { case (n, v) =>
+          freshMap.get(n) match {
+            case Some(ts) if ts.nonEmpty =>
+              n -> (if (v >= 0) math.min(v, ts.min) else ts.min)
+            case _ => n -> v
+          }
+        }
+        remediatedNames = remedTargets
+        degradedF = Seq.empty
+        superseded = Seq(
+          (calibEnd > 1.25) -> s"calib_end_s ${r3(calibEnd)}",
+          (ioEnd > 0.5) -> s"io_probe_end_s ${r3(ioEnd)}",
+          (dataEnd > 0.5) -> s"data_probe_end_s ${r3(dataEnd)}",
+          (calibMid > 1.25) -> s"calib_mid_s ${r3(calibMid)}",
+          (ioMid > 0.5) -> s"io_probe_mid_s ${r3(ioMid)}",
+          (dataMid > 0.5) -> s"data_probe_mid_s ${r3(dataMid)}",
+          degradedNames.nonEmpty -> s"degraded ${degradedNames.mkString(",")}",
+          preOver.nonEmpty -> s"canary ${preOver.mkString("; ")}"
+        ).collect { case (true, r) => r }
+        calibEndAdj = calibR; ioEndAdj = ioR; dataEndAdj = dataR
+        calibMidAdj = -1.0; ioMidAdj = -1.0; dataMidAdj = -1.0
+      }
+      val sampleJson = freshSamples.map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map(r3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val preJson = s"""{"calib_mid_s":${r3(calibMid)},"io_probe_mid_s":${
+        r3(ioMid)},"data_probe_mid_s":${r3(dataMid)},"calib_end_s":${
+        r3(calibEnd)},"io_probe_end_s":${r3(ioEnd)},"data_probe_end_s":${
+        r3(dataEnd)}}"""
+      remedJson = s""""attempted":true,"success":$success,"wait_s":${
+        r3(remedWait)},"calib_s":${r3(calibR)},"io_s":${r3(ioR)},"data_s":${
+        r3(dataR)},"loadavg":${r3(loadR)},"samples":$sampleJson,"superseded":${
+        superseded.map("\"" + _ + "\"").mkString("[", ",", "]")},"pre":$preJson"""
+    }
+    val (ok, bad) = resultsF.partition(_._2 >= 0.0)
+    val qs = resultsF.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    // Graded-total decomposition (r12 verdict #2): the streaming
+    // drains' per-sample cost (fresh checkpoint + state-store
+    // machinery + the drain itself) IS their exhibit, and at 8 drains
+    // it is already ~1/3 of the total — so the cross-round regression
+    // signal, the NON-drain per-query rate, was drowning in drain
+    // growth and had to be judge-recomputed from the detail JSON.
+    // Emit both halves machine-readably: `drain_sec` sums the
+    // `q_stream_*` prefix set (the registry's naming convention for
+    // true Structured Streaming drains), `core_sec` is the rest;
+    // they sum to `value` by construction.
+    val drainSec = ok.collect { case (k, v) if k.startsWith("q_stream_") => v }.sum
+    val coreSec = total - drainSec
+    val split = s""""drain_sec":${r3(drainSec)},"core_sec":${r3(coreSec)}"""
+    val meds = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val firsts = firstRun.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    // memo keys may embed user-ish strings (paths, hashes) — keep only
+    // JSON-safe characters so the detail file always parses
+    val memos = memoBuilds.toSeq.sortBy(-_._2).map { case (k, v) =>
+      "\"" + k.replaceAll("[\"\\\\\\n\\r]", "_") + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    // stream_tmp is user-supplied (SPARK_GRAFT_STREAM_TMP) — sanitize
+    // like the memo keys so the detail artifact always parses
+    val streamTmpJson = streamTmp.replaceAll("[\"\\\\\\n\\r]", "_")
+    // probe fields carry the ADJUDICATED values (on a remediated run,
+    // the remediation-window probes; the contaminated pre-remediation
+    // readings live in the detail's `remediation.pre`) so the stamp
+    // and the probe numbers on one line can never contradict
+    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_mid_s":${r3(calibMidAdj)},"calib_end_s":${r3(calibEndAdj)},"io_probe_start_s":${r3(ioStart)},"io_probe_mid_s":${r3(ioMidAdj)},"io_probe_end_s":${r3(ioEndAdj)},"data_probe_start_s":${r3(dataStart)},"data_probe_mid_s":${r3(dataMidAdj)},"data_probe_end_s":${r3(dataEndAdj)},"quiet_wait_s":${r3(quietWaitS)},"stream_tmp":"$streamTmpJson""""
+    val canaryOver = canaryOverOf(resultsF.toMap)
     val notComparable = Seq(
       (calibStart > 1.25) -> s"calib_start_s ${r3(calibStart)} > 1.25",
-      (calibEnd > 1.25) -> s"calib_end_s ${r3(calibEnd)} > 1.25",
+      (calibMidAdj > 1.25) -> s"calib_mid_s ${r3(calibMidAdj)} > 1.25",
+      (calibEndAdj > 1.25) -> s"calib_end_s ${r3(calibEndAdj)} > 1.25",
       (ioStart > 0.5) -> s"io_probe_start_s ${r3(ioStart)} > 0.5",
-      (ioEnd > 0.5) -> s"io_probe_end_s ${r3(ioEnd)} > 0.5",
+      (ioMidAdj > 0.5) -> s"io_probe_mid_s ${r3(ioMidAdj)} > 0.5",
+      (ioEndAdj > 0.5) -> s"io_probe_end_s ${r3(ioEndAdj)} > 0.5",
       // data-volume probes: same 0.5 s line as the stream-volume
-      // probe — 8 MiB of O_DIRECT reads take ~10-40 ms on the idle
-      // disk; half a second means a foreign writer owns the device
-      // every graded scan also reads from
+      // probe — the 256 MiB of O_DIRECT reads take ~0.13-0.16 s on
+      // the idle disk (≥512 MB/s sustained, measured r16/r17); half
+      // a second means a foreign writer owns the device every graded
+      // scan also reads from
       (dataStart > 0.5) -> s"data_probe_start_s ${r3(dataStart)} > 0.5",
-      (dataEnd > 0.5) -> s"data_probe_end_s ${r3(dataEnd)} > 0.5",
+      (dataMidAdj > 0.5) -> s"data_probe_mid_s ${r3(dataMidAdj)} > 0.5",
+      (dataEndAdj > 0.5) -> s"data_probe_end_s ${r3(dataEndAdj)} > 0.5",
       (loadStart > 1.5) -> s"loadavg_start ${r3(loadStart)} > 1.5",
-      degradedNames.nonEmpty ->
-        s"degraded nonempty: ${degradedNames.mkString(",")}",
+      degradedF.nonEmpty ->
+        s"degraded nonempty: ${degradedF.mkString(",")}",
       canaryOver.nonEmpty ->
         s"canary over 2x committed median: ${canaryOver.mkString("; ")}",
-      canaryMissing -> "canary_budgets.tsv unreadable or empty"
+      canaryMissing ->
+        "canary_budgets.tsv unreadable, empty, or missing provenance"
     ).collect { case (true, reason) => reason }
     val comparable =
       s""""comparable":${notComparable.isEmpty},"not_comparable":${
@@ -523,11 +691,30 @@ object Bench {
     // first_run even after the bounded retries: their numbers are
     // environmental (machine co-load), not plan cost — consumers
     // should read them as "no clean sample obtained this run"
-    val degraded = degradedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val degraded = degradedF.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val remediated =
+      remediatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the totals line must stay inside the driver's capture window
+    // (round 1 overflowed it at ~3.5 KB) — a suspect-wide remediation
+    // can re-run dozens of queries, so cap the stdout list and point
+    // at the detail artifact for the full set
+    val remediatedTotals = (
+      if (remediatedNames.size <= 12) remediatedNames
+      else remediatedNames.take(12) :+ s"+${remediatedNames.size - 12} more"
+    ).map("\"" + _ + "\"").mkString("[", ",", "]")
     val resamples = resampled.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
+    // mode stamps what KIND of leg this is, machine-readably: hygiene
+    // and subset legs also stamp comparable (their rules differ by
+    // design), so a consumer selecting legs for median maintenance
+    // (CanaryBudgets --check auto-discovery) must be able to exclude
+    // them without human leg-picking
+    val mode =
+      if (hygieneEvery.nonEmpty) "hygiene"
+      else if (only.nonEmpty) "subset"
+      else "full"
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,$comparable,"degraded":$degraded,"resampled":$resamples,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${resultsF.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},"cpus":"$cpus","mode":"$mode",$loads,$comparable,"degraded":$degraded,"remediated":$remediated,"remediation":{$remedJson},"resampled":$resamples,"failed":$failed,"queries":$qs,"medians":$meds,"first_run":$firsts,"memo_builds":$memos,"sf":"$sfDir"}"""
     // best-effort: the detail file must never take down the bench
     // (the driver may run this from a non-writable working directory,
     // and the final stdout line below is the graded artifact).
@@ -546,7 +733,7 @@ object Bench {
     // totals-only JSON as the ONLY stdout line — round 1's full
     // per-query line (~3.5 KB) overflowed the driver's capture window
     // and the round's bench never parsed; keep this short and flushed.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},$loads,$comparable,"degraded":$degraded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${resultsF.size},"n_failed":${bad.size},$split,"warmup_sec":${r3(warmupSec)},"cpus":"$cpus","mode":"$mode",$loads,$comparable,"degraded":$degraded,"remediated":$remediatedTotals,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }
