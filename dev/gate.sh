@@ -1,14 +1,15 @@
 #!/usr/bin/env bash
 # dev/gate.sh — the round gate as ONE command (r14 verdict #7): the
-# five pre-snapshot checks the workflow requires, each printing a
+# six pre-snapshot checks the workflow requires, each printing a
 # PASS/FAIL line, exit non-zero if any fails. Cite its output in the
-# round snapshot commit. Expected wall: ~20 min (suite ~9, census
-# selfcheck+crosssf ~6, drain budgets ~4).
+# round snapshot commit. Expected wall: ~22 min (suite ~9, census
+# selfcheck+crosssf ~6, drain budgets ~4, canary freshness ~2).
 #
-#   ./dev/gate.sh             # all five checks
-#   ./dev/gate.sh --no-suite  # skip the full suite (dev iteration only
-#                             # — a snapshot commit needs the full run)
-#   ./dev/gate.sh --no-drains # skip the drain budget gate (ditto)
+#   ./dev/gate.sh               # all six checks
+#   ./dev/gate.sh --no-suite    # skip the full suite (dev iteration only
+#                               # — a snapshot commit needs the full run)
+#   ./dev/gate.sh --no-drains   # skip the drain budget gate (ditto)
+#   ./dev/gate.sh --no-canaries # skip the canary freshness gate (ditto)
 set -u
 cd "$(dirname "$0")/.."
 fail=0
@@ -19,11 +20,13 @@ note() { printf 'GATE %-12s %s\n' "$1" "$2"; }
 # unknown flag was silently ignored)
 no_suite=0
 no_drains=0
+no_canaries=0
 for arg in "$@"; do
   case "$arg" in
     --no-suite) no_suite=1 ;;
     --no-drains) no_drains=1 ;;
-    *) echo "usage: $0 [--no-suite] [--no-drains]  (unknown argument: $arg)" >&2; exit 2 ;;
+    --no-canaries) no_canaries=1 ;;
+    *) echo "usage: $0 [--no-suite] [--no-drains] [--no-canaries]  (unknown argument: $arg)" >&2; exit 2 ;;
   esac
 done
 
@@ -77,16 +80,19 @@ ndrain=$(echo "$reg" | grep -oE '[0-9]+' | sed -n 3p)
 nfixture=$(wc -l < src/test/resources/exchange_counts.tsv)
 readme=$(grep -oE '[0-9]+ registered queries' README.md | head -1 | grep -oE '[0-9]+')
 cover=$(grep -oE 'Totals: [0-9]+ registered queries' docs/COVERAGE.md | grep -oE '[0-9]+')
+# the verify skill's expected-counts line must track the registry too
+# (r17 verdict #7: it went stale in r16 and cost the next session time)
+skill=$(grep -oE 'over [0-9]+ queries' .claude/skills/verify/SKILL.md | head -1 | grep -oE '[0-9]+')
 if [ -z "$total" ]; then
   note doc-counts "FAIL census log has no registry line (census crashed?)"
   fail=1
 elif [ "$nbatch" != "$nfixture" ]; then
   note doc-counts "FAIL registry has $nbatch batch queries but census fixture has $nfixture rows"
   fail=1
-elif [ "$total" = "$readme" ] && [ "$total" = "$cover" ]; then
-  note doc-counts "PASS registry=$total ($nbatch batch + $ndrain drains) = fixture = README = COVERAGE"
+elif [ "$total" = "$readme" ] && [ "$total" = "$cover" ] && [ "$total" = "$skill" ]; then
+  note doc-counts "PASS registry=$total ($nbatch batch + $ndrain drains) = fixture = README = COVERAGE = verify-skill"
 else
-  note doc-counts "FAIL registry=$total ($nbatch batch + $ndrain drains), README=$readme, COVERAGE=$cover"
+  note doc-counts "FAIL registry=$total ($nbatch batch + $ndrain drains), README=$readme, COVERAGE=$cover, verify-skill=$skill"
   fail=1
 fi
 
@@ -104,6 +110,25 @@ elif sbt -batch "runMain graft.tools.DrainGate" >/tmp/gate_drains.log 2>&1; then
   note drains "PASS $(grep -c 'drain ok' /tmp/gate_drains.log) drains within budget"
 else
   note drains "FAIL $(grep -E 'OVER BUDGET|UNBUDGETED|STALE' /tmp/gate_drains.log | head -3 | tr '\n' '; ')(/tmp/gate_drains.log)"
+  fail=1
+fi
+
+# 6. canary budget freshness gate (r17 verdict #5): the bench's
+#    absolute anchor (canary_budgets.tsv) gets the same self-
+#    maintenance the drains got in r17 — the fixture medians are
+#    drift-gated (2x either way, per-canary slack printed) against
+#    the newest comparable FULL-registry bench legs in the working
+#    dir (the trio provides them; a cold standalone measuring session
+#    times C2/memo warmup, not steady state — measured 3-6x over on
+#    every canary, so legs are the honest yardstick). Fails when the
+#    anchor drifted loose after a speedup, when a canary regressed
+#    vs the committed legs, or when no usable leg exists.
+if [ "$no_canaries" = 1 ]; then
+  note canaries "SKIP (--no-canaries; NOT sufficient for a snapshot commit)"
+elif sbt -batch "runMain graft.tools.CanaryBudgets --check" >/tmp/gate_canaries.log 2>&1; then
+  note canaries "PASS $(grep -c 'canary ok' /tmp/gate_canaries.log) canaries fresh $(grep -oE '\([0-9.]+x\)' /tmp/gate_canaries.log | tr '\n' ' ')"
+else
+  note canaries "FAIL $(grep -E 'CANARY' /tmp/gate_canaries.log | head -3 | tr '\n' '; ')(/tmp/gate_canaries.log)"
   fail=1
 fi
 

@@ -6,7 +6,12 @@ package graft.tools
   * budgets, but sourced from COMMITTED bench detail artifacts rather
   * than a fresh measuring run: the canary medians must represent the
   * committed steady state the stamp compares against, not whatever
-  * this minute's host happens to measure.
+  * this minute's host happens to measure. (The r18 first cut of the
+  * freshness gate DID measure fresh in a standalone 5-query session
+  * and read 3-6x over budget on every canary — a cold JVM times C2
+  * compilation and memo builds, not regressions; full-session
+  * steady state only exists inside a full bench leg, so the gate
+  * compares against legs instead.)
   *
   * Usage:
   *   runMain graft.tools.CanaryBudgets detail1.json detail2.json ...
@@ -16,25 +21,77 @@ package graft.tools
   *       either direction (stale-tight AND stale-loose).
   *   runMain graft.tools.CanaryBudgets --write detail1.json ...
   *     — rewrite the fixture from the artifacts (review the diff).
+  *   runMain graft.tools.CanaryBudgets --check
+  *     — freshness gate (r17 verdict #5, dev/gate.sh check 6): the
+  *       report-mode comparison against the newest (up to 3)
+  *       bench_detail artifacts in the working directory that are
+  *       `comparable:true`, full-registry (`mode:"full"` — hygiene
+  *       legs legitimately rebuild memo families in timed samples
+  *       and must not feed medians), and at this run's sf. Fails
+  *       OVER-style drift (2x either way, slack printed per canary,
+  *       mirroring DrainGate's self-maintenance) and fails when NO
+  *       usable leg exists — run a bench leg first; the round trio
+  *       always provides them. Without this, drains had
+  *       self-maintaining budgets while the canary anchor could
+  *       silently loosen after a speedup.
   *
   * Artifacts must be COMPARABLE legs (`"comparable":true` is
-  * enforced; a hygiene leg legitimately rebuilds memo families in
-  * timed samples and must not feed the medians — hygiene runs stamp
-  * comparable too, so leg selection stays a deliberate, reviewed act,
-  * exactly like choosing which trio to commit). The canary SET comes
-  * from the existing fixture (or the built-in default on first run);
-  * changing the set is an edit, not a regen. */
+  * enforced). The canary SET comes from the existing fixture (or the
+  * built-in default on first run); changing the set is an edit, not
+  * a regen. */
 object CanaryBudgets {
   private val defaultCanaries = Seq(
     "q_json_fns", "q_image_decode", "q_orc_roundtrip",
     "q_join_salted", "q_bm25")
 
+  private val fixture =
+    java.nio.file.Paths.get("src/test/resources/canary_budgets.tsv")
+
+  /** --check: discover usable legs, then run the report comparison. */
+  private def check(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (!java.nio.file.Files.exists(fixture)) {
+      println(s"CANARY FIXTURE MISSING: $fixture — regen with --write " +
+        "from comparable full-registry bench legs")
+      sys.exit(1)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    val candidates = try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(f => f.startsWith("bench_detail_") && f.endsWith(".json"))
+        .toSeq.sorted
+      finally stream.close()
+    val usable = candidates.filter { f =>
+      try {
+        val root = mapper.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(f)))
+        root.path("comparable").asBoolean(false) &&
+          root.path("sf").asText() == sfDir &&
+          root.path("mode").asText() == "full"
+      } catch { case _: Exception => false }
+    }.takeRight(3) // newest: run-stamped names sort chronologically
+    if (usable.isEmpty) {
+      println(s"CANARY CHECK HAS NO LEGS: no comparable full-registry " +
+        s"bench_detail_*.json at sf=$sfDir in the working directory — " +
+        "run a bench leg (the round trio provides them), then re-run")
+      sys.exit(1)
+    }
+    println(s"checking fixture against ${usable.size} legs: " +
+      usable.mkString(", "))
+    run(usable, write = false)
+  }
+
   def main(args: Array[String]): Unit = {
-    val write = args.contains("--write")
+    if (args.contains("--check")) { check(); return }
     val files = args.filterNot(_.startsWith("--")).toSeq
     require(files.nonEmpty,
       "pass at least one committed comparable bench_detail_*.json")
-    val fixture = java.nio.file.Paths.get("src/test/resources/canary_budgets.tsv")
+    run(files, write = args.contains("--write"))
+  }
+
+  private def run(files: Seq[String], write: Boolean): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val legs = files.map { f =>
       val root = mapper.readTree(java.nio.file.Files.readString(
