@@ -149,7 +149,9 @@ object CanaryBudgets {
     if (write) {
       val header = s"# provenance: sf=$sf cpus=$cpus stream_tmp=${streamTmps.head}"
       val note = s"# committed steady-state medians (seconds) over ${files.size} " +
-        "comparable legs; the bench stamps not_comparable when a graded\n" +
+        "comparable legs:\n" +
+        files.map(f => s"#   $f").mkString("\n") + "\n" +
+        "# the bench stamps not_comparable when a graded\n" +
         "# min-of-2 exceeds max(2 x median, 0.5 s). Regenerate via\n" +
         "# `runMain graft.tools.CanaryBudgets --write <comparable details...>`\n" +
         "# and review the diff, like drain_budgets.tsv."

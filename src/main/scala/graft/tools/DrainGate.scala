@@ -51,6 +51,20 @@ object DrainGate {
         sys.env.get("SPARK_GRAFT_STREAM_TMP").isEmpty &&
         java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
       sys.props("graft.stream.tmp") = "/dev/shm"
+    // quiet-wait (the bench's own discipline, added r18): gate.sh runs
+    // this right after the census/canary JVMs exit, and their 1-min
+    // loadavg EWMA decays for minutes — one r18 gate pass measured
+    // every drain uniformly ~2-3x its bench-leg value and flipped the
+    // gate on q_stream_transitions (6.76 s vs 1.6-2.1 s across five
+    // same-day bench legs) purely from that decay. Bounded, so a
+    // genuinely busy host can never stall the gate forever.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val t0q = System.nanoTime()
+    while (loadavg() > 1.2 && (System.nanoTime() - t0q) / 1e9 < 300)
+      Thread.sleep(5000)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
