@@ -278,16 +278,24 @@ object Bench {
           try {
             var i = 0L
             while (i < 256) {
-              buf.clear(); buf.limit(chunk)
               val off =
                 if (maxOff == 0) 0L
                 else ((i * 2654435761L) % maxOff) & ~4095L
               // loop to full-chunk: a single ch.read may return short
               // (r17 ADVICE — a short read would time fewer bytes than
-              // the bandwidth math assumes); EOF only possible in the
-              // maxOff == 0 tiny-file case, where it ends the chunk
+              // the bandwidth math assumes). O_DIRECT demands BOTH the
+              // position and the REQUEST length be block-aligned (a
+              // capped unaligned limit EINVALs instantly), so always
+              // request the aligned full chunk — a request crossing
+              // EOF legally returns the short tail — and stop once
+              // pos reaches EOF: in the maxOff == 0 small-file case
+              // (sf0.01's largest parquet is just under 1 MiB) the
+              // tail leaves pos unaligned, and ANOTHER read there is
+              // EINVAL, not EOF — the naive full-chunk loop stamped
+              // every sf0.01 probe -1 (caught live in r18).
+              buf.clear(); buf.limit(chunk)
               var pos = off
-              while (buf.hasRemaining) {
+              while (buf.hasRemaining && pos < size) {
                 val n = ch.read(buf, pos)
                 if (n < 0) buf.limit(buf.position()) else pos += n
               }
@@ -581,7 +589,9 @@ object Bench {
         !namedSet.contains(n) || (ts.nonEmpty && {
           val fr = firstMap.getOrElse(n, -1.0)
           val notDegr = !(fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5)
-          val canaryOk =
+          // budgets are absolute seconds at the fixture's sf — at any
+          // other sf only the degraded rule gates the fresh sample
+          val canaryOk = !canarySfMatches ||
             canaryBudgets.get(n).forall(m => ts.min <= canaryLineOf(m))
           notDegr && canaryOk
         })
