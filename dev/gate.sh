@@ -126,7 +126,7 @@ fi
 if [ "$no_canaries" = 1 ]; then
   note canaries "SKIP (--no-canaries; NOT sufficient for a snapshot commit)"
 elif sbt -batch "runMain graft.tools.CanaryBudgets --check" >/tmp/gate_canaries.log 2>&1; then
-  note canaries "PASS $(grep -c 'canary ok' /tmp/gate_canaries.log) canaries fresh $(grep -oE '\([0-9.]+x\)' /tmp/gate_canaries.log | tr '\n' ' ')"
+  note canaries "PASS $(grep 'canary ok' /tmp/gate_canaries.log | head -1)"
 else
   note canaries "FAIL $(grep -E 'CANARY' /tmp/gate_canaries.log | head -3 | tr '\n' '; ')(/tmp/gate_canaries.log)"
   fail=1

@@ -25,20 +25,23 @@ import java.nio.file.{Files, Paths}
   * failures are excluded from the total and surfaced via
   * `n_failed` in the totals line.
   *
-  * Machine co-load is detected per query (timed sample ≫ the query's
-  * own warmup first_run — identical plans cannot slow down after
-  * warmup, so the excess is environmental), retried with bounded
-  * extra samples, and surfaced in the `degraded` array on BOTH output
-  * lines when no clean sample was obtained — see the inline note at
-  * the sampling loop. */
+  * Machine co-load is detected per query (timed sample ≫ min(the
+  * query's own warmup first_run, its committed median from the
+  * per-sf anchor fixture) — identical plans cannot slow down after
+  * warmup, so the excess is environmental; the median cap keeps a
+  * warmup-window co-load from poisoning the reference, the r18
+  * false-clean's mechanism), retried with bounded extra samples, and
+  * surfaced in the `degraded` array on BOTH output lines when no
+  * clean sample was obtained — see the inline note at the sampling
+  * loop. The stamp's absolute rules (full-registry per-query medians,
+  * the core/drain aggregate envelope, probe lines) live in
+  * [[BenchRules]] / [[Probes]], replayable offline via
+  * `tools.StampReplay`. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    def loadavg(): Double =
-      try Files.readString(Paths.get("/proc/loadavg"))
-        .split("\\s+")(0).toDouble
-      catch { case _: Exception => -1.0 }
+    def loadavg(): Double = Probes.loadavg()
     // Wait-for-quiet (r15 verdict #4): BENCH_r14 and BENCH_r15 both
     // stamped themselves `comparable: false` because the driver
     // captures the bench whenever the round ends — often seconds
@@ -56,10 +59,7 @@ object Bench {
     // (`quiet_wait_s`) and the stamp still adjudicates on its own
     // rules afterward — the wait buys comparability, never fakes it.
     val quietMaxS = sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_S", "300").toInt
-    val quietT0 = System.nanoTime()
-    while (loadavg() > 1.2 && (System.nanoTime() - quietT0) / 1e9 < quietMaxS)
-      Thread.sleep(5000)
-    val quietWaitS = (System.nanoTime() - quietT0) / 1e9
+    val quietWaitS = Probes.quietWait(quietMaxS)
     // sample the co-load signal HERE, before the session build / entry
     // warmup / table resolution ramp this process's own 32 threads:
     // the 1-min EWMA takes minutes to forget that ramp, so sampling
@@ -219,105 +219,22 @@ object Bench {
     // drains ran against a busy checkpoint volume self-flags via the
     // stamp instead of needing cross-run archaeology. Best-effort:
     // an unwritable volume stamps -1 (unknown), matching loadavg.
+    // r19: the probe implementations live in graft.Probes (shared
+    // with DrainGate's environmental adjudication and the
+    // ProbeNominal diagnostic); this file keeps the protocol —
+    // when they run, what the stamp does with them. New this round
+    // (r18 verdict #4): calib_par_*, an all-cores sibling of the
+    // single-thread spin — BENCH_r18's co-load cost 32-way stages
+    // ~35% while every single-thread calib read nominal, because one
+    // spin thread always finds a free core; 32 cannot.
     def ioProbe(): Double =
-      try {
-        val dir = java.nio.file.Paths.get(
-          graft.streaming.StreamQueries.streamTmpRoot)
-        val f = java.nio.file.Files.createTempFile(dir, "graft_ioprobe_", ".bin")
-        val buf = java.nio.ByteBuffer.allocate(262144)
-        while (buf.hasRemaining) buf.put((buf.position() * 31 + 7).toByte)
-        val ch = java.nio.channels.FileChannel.open(f,
-          java.nio.file.StandardOpenOption.WRITE)
-        val t0 = System.nanoTime()
-        try {
-          var i = 0
-          while (i < 32) { buf.rewind(); ch.write(buf); ch.force(false); i += 1 }
-        } finally ch.close()
-        val dt = (System.nanoTime() - t0) / 1e9
-        java.nio.file.Files.deleteIfExists(f)
-        dt
-      } catch { case _: Exception => -1.0 }
-    // DATA-volume read probe (r16 verdict #1a): the io probe watches
-    // the STREAM volume (/dev/shm here) while the testdata and the
-    // warehouse live on the OS disk — BENCH_r16 ran ~1.4x the
-    // same-code committed pair under foreign DISK I/O and passed
-    // every stamp rule because nothing watched that device. This
-    // probe reads 256 x 1 MiB O_DIRECT (page-cache-bypassing, so a
-    // warm cache cannot fake an idle disk) from scattered aligned
-    // offsets of the LARGEST parquet in the sf dir, before warmup and
-    // after all timed work: identical bytes every run, so its time
-    // moves only with the data device's effective read bandwidth.
-    // Sized bandwidth-dominated deliberately: an 8 MiB latency probe
-    // read only 0.12 s under four O_DIRECT dd writers on this virtio
-    // disk (fair scheduling hides per-request latency), while the
-    // 256 MiB form separates cleanly — measured ~0.1-0.2 s idle vs
-    // >1 s under the same writers. Best-effort: a filesystem without
-    // O_DIRECT (tmpfs) or an unreadable dir stamps -1 (unknown),
-    // matching the other probes.
-    val dataProbeTarget: Option[java.nio.file.Path] =
-      try {
-        val s = Files.list(Paths.get(sfDir))
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-            .toSeq.sortBy(p => -Files.size(p)).headOption
-        } finally s.close()
-      } catch { case _: Exception => None }
-    def dataProbe(): Double =
-      dataProbeTarget.map { target =>
-        try {
-          val size = Files.size(target)
-          val chunk = 1048576
-          val buf = java.nio.ByteBuffer.allocateDirect(chunk + 8192)
-            .alignedSlice(4096)
-          val ch = java.nio.channels.FileChannel.open(target,
-            java.nio.file.StandardOpenOption.READ,
-            com.sun.nio.file.ExtendedOpenOption.DIRECT)
-          val maxOff = math.max(0L, size - chunk)
-          val t0 = System.nanoTime()
-          try {
-            var i = 0L
-            while (i < 256) {
-              val off =
-                if (maxOff == 0) 0L
-                else ((i * 2654435761L) % maxOff) & ~4095L
-              // loop to full-chunk: a single ch.read may return short
-              // (r17 ADVICE — a short read would time fewer bytes than
-              // the bandwidth math assumes). O_DIRECT demands BOTH the
-              // position and the REQUEST length be block-aligned (a
-              // capped unaligned limit EINVALs instantly), so always
-              // request the aligned full chunk — a request crossing
-              // EOF legally returns the short tail — and stop once
-              // pos reaches EOF: in the maxOff == 0 small-file case
-              // (sf0.01's largest parquet is just under 1 MiB) the
-              // tail leaves pos unaligned, and ANOTHER read there is
-              // EINVAL, not EOF — the naive full-chunk loop stamped
-              // every sf0.01 probe -1 (caught live in r18).
-              buf.clear(); buf.limit(chunk)
-              var pos = off
-              while (buf.hasRemaining && pos < size) {
-                val n = ch.read(buf, pos)
-                if (n < 0) buf.limit(buf.position()) else pos += n
-              }
-              i += 1
-            }
-          } finally ch.close()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Exception => -1.0 }
-      }.getOrElse(-1.0)
-    val calibSink = new java.util.concurrent.atomic.AtomicLong()
-    def calibProbe(): Double = {
-      def spin(n: Long): Long = {
-        var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0L
-        while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1 }
-        acc
-      }
-      calibSink.addAndGet(spin(25000000L)) // JIT warm, untimed
-      val t0 = System.nanoTime()
-      calibSink.addAndGet(spin(450000000L)) // published: not eliminable
-      (System.nanoTime() - t0) / 1e9
-    }
+      Probes.io(graft.streaming.StreamQueries.streamTmpRoot)
+    val dataProbeTargets = Probes.dataTargets(sfDir)
+    def dataProbe(): Double = Probes.data(dataProbeTargets)
+    def calibProbe(): Double = Probes.calib()
+    def calibParProbe(): Double = Probes.calibPar()
     val calibStart = calibProbe()
+    val calibParStart = calibParProbe()
     val ioStart = ioProbe()
     val dataStart = dataProbe()
     val warmT0 = System.nanoTime()
@@ -356,7 +273,25 @@ object Bench {
     // ratio test. first_run is an upper bound on steady state (it
     // includes the memo builds), which makes 4× over it a conservative
     // detector — real co-load inflates 5-20× (r10: 0.91 s → 17.1 s).
+    // Since r19 the committed median CAPS that reference (see the
+    // anchor note below): first_run alone is only an upper bound when
+    // the warmup itself ran clean, and BENCH_r18's co-load did not
+    // spare it.
     val firstMap = firstRun.toMap
+    // ABSOLUTE anchor (r18 verdict #1/#5): per-query committed
+    // medians for the FULL registry plus the core/drain envelope,
+    // one fixture per anchored sf (BenchRules.loadAnchor validates
+    // provenance + envelope; every failure reason starts with
+    // "anchor" so CanaryBudgets can bootstrap a new sf). Loaded
+    // BEFORE the graded loop because the degraded rule's reference
+    // is now min(own first_run, committed median) — BENCH_r18's
+    // co-load hit the warmup pass too (q_copurchase first_run
+    // 45.95 s vs 4.0 s normal), so the old 4x-own-first_run line sat
+    // at 198 s and the contaminated graded samples walked under it.
+    val canaryAdjudicates = hygieneEvery.isEmpty && only.isEmpty
+    val anchorE = BenchRules.loadAnchor(sfDir)
+    val canaryBudgets: Map[String, Double] =
+      anchorE.toOption.map(_.budgets).getOrElse(Map.empty)
     val degradedNames = scala.collection.mutable.ArrayBuffer[String]()
     // per-query count of co-load re-samples taken (detail JSON only):
     // makes the defense auditable — a clean run shows {}, a defended
@@ -369,11 +304,10 @@ object Bench {
     // the three memoized dedup families). Hygiene is diagnostic-only,
     // so the co-load defense is off there rather than mislabeling
     // cache rebuilds as machine noise.
-    def looksDegraded(name: String, ts: Seq[Double]): Boolean = {
-      val fr = firstMap.getOrElse(name, -1.0)
-      hygieneEvery.isEmpty &&
-        ts.nonEmpty && fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5
-    }
+    def looksDegraded(name: String, ts: Seq[Double]): Boolean =
+      hygieneEvery.isEmpty && ts.nonEmpty &&
+        BenchRules.looksDegraded(ts.min,
+          firstMap.getOrElse(name, -1.0), canaryBudgets.get(name))
     // Mid-loop probe checkpoint (r17 verdict #4): the absolute anchors
     // ran only before warmup and after all timed work, so a co-load
     // that started after the start probes and ended before the end
@@ -383,11 +317,13 @@ object Bench {
     // untimed — between queries, never inside a sample) closes the
     // blind window: the stamp adjudicates the worst of the three
     // checkpoints. -1 when the loop is too short to have a middle.
-    var calibMid = -1.0; var ioMid = -1.0; var dataMid = -1.0
+    var calibMid = -1.0; var calibParMid = -1.0
+    var ioMid = -1.0; var dataMid = -1.0
     val midIdx = ordered.size / 2
     val sampled = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == midIdx && midIdx > 0) {
-        calibMid = calibProbe(); ioMid = ioProbe(); dataMid = dataProbe()
+        calibMid = calibProbe(); calibParMid = calibParProbe()
+        ioMid = ioProbe(); dataMid = dataProbe()
       }
       hygieneEvery.foreach { n =>
         if (idx > 0 && idx % n == 0) { spark.catalog.clearCache(); System.gc() }
@@ -437,6 +373,7 @@ object Bench {
     // end probe after ALL timed work (graded loop + median resamples):
     // a throttle that began mid-run shows as calib_end ≫ calib_start
     val calibEnd = calibProbe()
+    val calibParEnd = calibParProbe()
     val ioEnd = ioProbe()
     val dataEnd = dataProbe()
     // Self-adjudication (r13 verdict: the probe measured the
@@ -459,55 +396,44 @@ object Bench {
     // ~0.1-0.3 s on an IDLE disk — above half a second the stream-tmp
     // volume is contended and every drain number in this run carries
     // foreign I/O (the r15 bimodality class the calib probes missed)
-    // Canary budget anchor (r16 verdict #1b): every rule below except
-    // this one is RUN-RELATIVE — a uniformly slow run (foreign disk
-    // I/O inflating calib-blind queries AND their own first_run by
-    // the same factor) passes the degraded check, the load line, and
-    // the calib spin, which is exactly how BENCH_r16 stamped
-    // `comparable: true` at ~1.4x the same-code committed pair. The
-    // absolute yardstick is the same one drain_budgets.tsv gives the
-    // drains: committed steady-state medians for a 5-canary batch set
-    // spanning the I/O classes (codegen CPU, media decode, warehouse
-    // write, shuffle join, memoized text agg). A graded min-of-2
-    // above max(2x committed median, 0.5 s) cannot be plan cost at
-    // identical code — the run stamps not_comparable BY NAME.
-    // Adjudicated only for full-registry non-hygiene runs at the
-    // fixture's own sf (hygiene legitimately rebuilds memo families
-    // in timed samples; a different sf has different medians); a
-    // full graded run with no readable fixture fails the stamp too —
-    // a silently skipped anchor would recreate the blind spot.
-    val canaryAdjudicates = hygieneEvery.isEmpty && only.isEmpty
-    val canaryFixture = Paths.get("src/test/resources/canary_budgets.tsv")
-    val canaryLines: Seq[String] = try {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(canaryFixture).asScala.toSeq.filter(_.nonEmpty)
-    } catch { case _: Exception => Seq.empty }
-    // match the provenance sf as a whole space-delimited token (r17
-    // ADVICE: substring contains() false-matched a prefix, e.g.
-    // sf=/root/testdata/sf0.1 inside a sf0.12 header)
-    val canaryProv = canaryLines.find(_.startsWith("# provenance:"))
-    val canarySfMatches =
-      canaryProv.exists(_.split("\\s+").contains(s"sf=$sfDir"))
-    val canaryBudgets: Map[String, Double] = canaryLines
-      .filterNot(_.startsWith("#"))
-      .map { l => val Array(n, b) = l.split("\t"); n -> b.toDouble }.toMap
-    // the anchor is REQUIRED on a full graded run: an unreadable or
-    // empty fixture, a missing provenance header, or a matching header
-    // with zero data rows all fail the stamp (r17 ADVICE: only the
-    // last case tripped, so a deleted fixture silently disabled the
-    // one absolute rule). The ONLY silent skip is a genuine sf
-    // mismatch on a readable, provenance-stamped fixture — budgets
-    // are absolute seconds at one sf and cannot adjudicate another.
-    val canaryMissing = canaryAdjudicates &&
-      (canaryLines.isEmpty || canaryProv.isEmpty ||
-        (canarySfMatches && canaryBudgets.isEmpty))
-    def canaryLineOf(med: Double): Double = math.max(2 * med, 0.5)
+    // Absolute anchor application (r16 verdict #1b widened by r18
+    // verdict #1/#3/#5 — loading happens above the graded loop; rule
+    // definitions live in BenchRules, replayable offline via
+    // tools.StampReplay and pinned by BenchStampSpec against the
+    // committed BENCH_r18 false-clean): every other rule here is
+    // RUN-RELATIVE, which is exactly how BENCH_r16 and BENCH_r18
+    // stamped `comparable: true` at 1.4-1.6x the committed envelope.
+    // Three absolute rules now adjudicate every full non-hygiene run:
+    //  - per-query: graded min-of-2 > max(2x committed median, 0.5 s)
+    //    for ANY of the registry's queries (r18: 5 sentinels missed
+    //    the six contaminated queries; now all are budgeted);
+    //  - aggregate: core_sec / drain_sec > 1.3x the committed
+    //    envelope (broad 1.3-1.4x inflation hides under per-query
+    //    2x lines — BENCH_r18 carried 16.6 s of exactly that);
+    //  - anchor presence: a full graded run with no readable per-sf
+    //    fixture fails the stamp rather than silently skipping (the
+    //    r16/r18 blind spot was an sf with no absolute rule; per-sf
+    //    fixtures mean sf0.01 legs are anchored too).
+    // Hygiene legitimately rebuilds memo families in timed samples
+    // and subset runs have no meaningful envelope — both skip the
+    // anchor and stamp mode != "full" so consumers can exclude them.
+    def splitOf(rs: Seq[(String, Double)]): (Double, Double) = {
+      val okRs = rs.filter(_._2 >= 0.0)
+      val drain = okRs.collect {
+        case (k, v) if k.startsWith("q_stream_") => v }.sum
+      (okRs.map(_._2).sum - drain, drain)
+    }
     def canaryOverOf(rm: Map[String, Double]): Seq[String] =
-      if (!canaryAdjudicates || !canarySfMatches) Seq.empty
-      else canaryBudgets.toSeq.sortBy(_._1).collect {
-        case (n, med) if rm.getOrElse(n, -1.0) > canaryLineOf(med) =>
-          s"$n ${r3(rm(n))} > ${r3(canaryLineOf(med))}"
+      if (!canaryAdjudicates) Seq.empty
+      else BenchRules.canaryOver(canaryBudgets, rm)
+    def envelopeOverOf(rs: Seq[(String, Double)]): Seq[String] =
+      if (!canaryAdjudicates) Seq.empty
+      else anchorE.toOption.toSeq.flatMap { a =>
+        val (c, d) = splitOf(rs)
+        BenchRules.envelopeOver(c, d, a)
       }
+    val anchorMissing: Option[String] =
+      if (canaryAdjudicates) anchorE.left.toOption else None
     // REMEDIATION (r17 verdict #1): three of the four driver-captured
     // BENCH artifacts before r18 were unusable because the driver's
     // capture window overlapped its own co-load — the stamp correctly
@@ -542,21 +468,36 @@ object Bench {
     // suspicion is meaningless under cache clearing) and via
     // SPARK_GRAFT_REMEDIATE=0 for A/B.
     val preOver = canaryOverOf(results.toMap)
+    val preEnvelope = envelopeOverOf(results)
+    // the aggregate envelope is an end-state trip like the probes:
+    // it widens the suspect sweep (SweepFactor) because broad
+    // 1.3-1.4x inflation sits UNDER the 1.5x per-query suspect line
+    // (the r18 dd experiment named zero queries at core_sec 1.37x)
+    val envelopeTripped = preEnvelope.nonEmpty
     val remediationOn = canaryAdjudicates &&
       !sys.env.get("SPARK_GRAFT_REMEDIATE").contains("0")
-    val startClean = !(calibStart > 1.25) && !(ioStart > 0.5) &&
-      !(dataStart > 0.5) && !(loadStart > 1.5)
-    val endProbeTripped = calibMid > 1.25 || ioMid > 0.5 || dataMid > 0.5 ||
-      calibEnd > 1.25 || ioEnd > 0.5 || dataEnd > 0.5
+    val startClean = !(calibStart > Probes.CalibLine) &&
+      !(calibParStart > Probes.CalibParLine) &&
+      !(ioStart > Probes.IoLine) &&
+      !(dataStart > Probes.DataLine) && !(loadStart > 1.5)
+    val endProbeTripped =
+      calibMid > Probes.CalibLine || calibEnd > Probes.CalibLine ||
+      calibParMid > Probes.CalibParLine || calibParEnd > Probes.CalibParLine ||
+      ioMid > Probes.IoLine || ioEnd > Probes.IoLine ||
+      dataMid > Probes.DataLine || dataEnd > Probes.DataLine
     val named =
       (degradedNames.toSeq ++ preOver.map(_.split(" ")(0))).distinct
+    // suspects join the re-run set ONLY when an end-state trip
+    // (probe or envelope) says the loop ran dirty — on a clean-probe
+    // run a named query re-runs alone (r18 ADVICE: the code swept
+    // suspects whenever anything was named, against the documented
+    // rule, splicing min-of-4 values biased slightly low)
     val suspects: Seq[String] =
-      if (!endProbeTripped && named.isEmpty) Seq.empty
+      if (!endProbeTripped && !envelopeTripped) Seq.empty
       else results.collect {
-        case (n, v) if v > 0 && {
-          val fr = firstMap.getOrElse(n, -1.0)
-          fr > 0 && v > math.max(1.5 * fr, 0.25)
-        } => n
+        case (n, v) if v > 0 && BenchRules.isSuspect(v,
+          firstMap.getOrElse(n, -1.0), canaryBudgets.get(n),
+          envelopeTripped) => n
       }
     val remedTargets = (named ++ suspects).distinct.sorted
     var remediatedNames: Seq[String] = Seq.empty
@@ -565,13 +506,11 @@ object Bench {
     // window probes on success (originals always emitted in detail)
     var calibEndAdj = calibEnd; var ioEndAdj = ioEnd; var dataEndAdj = dataEnd
     var calibMidAdj = calibMid; var ioMidAdj = ioMid; var dataMidAdj = dataMid
+    var calibParEndAdj = calibParEnd; var calibParMidAdj = calibParMid
     var resultsF = results
     var degradedF: Seq[String] = degradedNames.toSeq
     if (remediationOn && startClean && remedTargets.nonEmpty) {
-      val t0r = System.nanoTime()
-      while (loadavg() > 1.2 && (System.nanoTime() - t0r) / 1e9 < quietMaxS)
-        Thread.sleep(5000)
-      val remedWait = (System.nanoTime() - t0r) / 1e9
+      val remedWait = Probes.quietWait(quietMaxS)
       val freshSamples: Seq[(String, Seq[Double])] = remedTargets.map { n =>
         val fn = SparkEntry.queries(n)
         n -> (try Seq(timeOnce(fn), timeOnce(fn))
@@ -580,58 +519,77 @@ object Bench {
       // probes AFTER the re-runs: they adjudicate the remediation
       // window itself, the same all-timed-work-first discipline as
       // the main end probes
-      val calibR = calibProbe(); val ioR = ioProbe(); val dataR = dataProbe()
+      val calibR = calibProbe(); val calibParR = calibParProbe()
+      val ioR = ioProbe(); val dataR = dataProbe()
       val loadR = loadavg()
       // only the NAMED queries gate the pass (suspects confirm-or-
       // improve by construction — see the block comment above)
       val namedSet = named.toSet
       val freshClean = freshSamples.forall { case (n, ts) =>
         !namedSet.contains(n) || (ts.nonEmpty && {
-          val fr = firstMap.getOrElse(n, -1.0)
-          val notDegr = !(fr > 0.0 && ts.min > 4.0 * fr && ts.min > 0.5)
-          // budgets are absolute seconds at the fixture's sf — at any
-          // other sf only the degraded rule gates the fresh sample
-          val canaryOk = !canarySfMatches ||
-            canaryBudgets.get(n).forall(m => ts.min <= canaryLineOf(m))
+          val notDegr = !BenchRules.looksDegraded(ts.min,
+            firstMap.getOrElse(n, -1.0), canaryBudgets.get(n))
+          val canaryOk = canaryBudgets.get(n)
+            .forall(m => ts.min <= BenchRules.canaryLine(m))
           notDegr && canaryOk
         })
       }
-      val probesClean = !(calibR > 1.25) && !(ioR > 0.5) && !(dataR > 0.5)
-      val success = freshClean && probesClean
+      val probesClean = !(calibR > Probes.CalibLine) &&
+        !(calibParR > Probes.CalibParLine) &&
+        !(ioR > Probes.IoLine) && !(dataR > Probes.DataLine)
+      // splice candidate first, so the AGGREGATE envelope can be
+      // re-adjudicated on what the artifact would actually publish
+      // (r18 ADVICE: remediation could clear the stamp while
+      // non-target queries kept co-load-inflated numbers — with the
+      // full-registry anchor any >2x residue is named, and the
+      // envelope recheck here catches the broad sub-2x residue)
+      val freshMap = freshSamples.toMap
+      val spliced = results.map { case (n, v) =>
+        freshMap.get(n) match {
+          case Some(ts) if ts.nonEmpty =>
+            n -> (if (v >= 0) math.min(v, ts.min) else ts.min)
+          case _ => n -> v
+        }
+      }
+      val postEnvelope = envelopeOverOf(spliced)
+      val success = freshClean && probesClean && postEnvelope.isEmpty
       var superseded: Seq[String] = Seq.empty
       if (success) {
-        val freshMap = freshSamples.toMap
-        resultsF = results.map { case (n, v) =>
-          freshMap.get(n) match {
-            case Some(ts) if ts.nonEmpty =>
-              n -> (if (v >= 0) math.min(v, ts.min) else ts.min)
-            case _ => n -> v
-          }
-        }
+        resultsF = spliced
         remediatedNames = remedTargets
         degradedF = Seq.empty
         superseded = Seq(
-          (calibEnd > 1.25) -> s"calib_end_s ${r3(calibEnd)}",
-          (ioEnd > 0.5) -> s"io_probe_end_s ${r3(ioEnd)}",
-          (dataEnd > 0.5) -> s"data_probe_end_s ${r3(dataEnd)}",
-          (calibMid > 1.25) -> s"calib_mid_s ${r3(calibMid)}",
-          (ioMid > 0.5) -> s"io_probe_mid_s ${r3(ioMid)}",
-          (dataMid > 0.5) -> s"data_probe_mid_s ${r3(dataMid)}",
+          (calibEnd > Probes.CalibLine) -> s"calib_end_s ${r3(calibEnd)}",
+          (calibParEnd > Probes.CalibParLine) ->
+            s"calib_par_end_s ${r3(calibParEnd)}",
+          (ioEnd > Probes.IoLine) -> s"io_probe_end_s ${r3(ioEnd)}",
+          (dataEnd > Probes.DataLine) -> s"data_probe_end_s ${r3(dataEnd)}",
+          (calibMid > Probes.CalibLine) -> s"calib_mid_s ${r3(calibMid)}",
+          (calibParMid > Probes.CalibParLine) ->
+            s"calib_par_mid_s ${r3(calibParMid)}",
+          (ioMid > Probes.IoLine) -> s"io_probe_mid_s ${r3(ioMid)}",
+          (dataMid > Probes.DataLine) -> s"data_probe_mid_s ${r3(dataMid)}",
           degradedNames.nonEmpty -> s"degraded ${degradedNames.mkString(",")}",
-          preOver.nonEmpty -> s"canary ${preOver.mkString("; ")}"
+          preOver.nonEmpty -> s"canary ${preOver.mkString("; ")}",
+          preEnvelope.nonEmpty -> s"envelope ${preEnvelope.mkString("; ")}"
         ).collect { case (true, r) => r }
         calibEndAdj = calibR; ioEndAdj = ioR; dataEndAdj = dataR
+        calibParEndAdj = calibParR
         calibMidAdj = -1.0; ioMidAdj = -1.0; dataMidAdj = -1.0
+        calibParMidAdj = -1.0
       }
       val sampleJson = freshSamples.map { case (n, ts) =>
         "\"" + n + "\":[" + ts.map(r3).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val preJson = s"""{"calib_mid_s":${r3(calibMid)},"io_probe_mid_s":${
+      val preJson = s"""{"calib_mid_s":${r3(calibMid)},"calib_par_mid_s":${
+        r3(calibParMid)},"io_probe_mid_s":${
         r3(ioMid)},"data_probe_mid_s":${r3(dataMid)},"calib_end_s":${
-        r3(calibEnd)},"io_probe_end_s":${r3(ioEnd)},"data_probe_end_s":${
-        r3(dataEnd)}}"""
+        r3(calibEnd)},"calib_par_end_s":${r3(calibParEnd)},"io_probe_end_s":${
+        r3(ioEnd)},"data_probe_end_s":${r3(dataEnd)},"envelope":${
+        preEnvelope.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       remedJson = s""""attempted":true,"success":$success,"wait_s":${
-        r3(remedWait)},"calib_s":${r3(calibR)},"io_s":${r3(ioR)},"data_s":${
+        r3(remedWait)},"calib_s":${r3(calibR)},"calib_par_s":${
+        r3(calibParR)},"io_s":${r3(ioR)},"data_s":${
         r3(dataR)},"loadavg":${r3(loadR)},"samples":$sampleJson,"superseded":${
         superseded.map("\"" + _ + "\"").mkString("[", ",", "]")},"pre":$preJson"""
     }
@@ -650,10 +608,15 @@ object Bench {
     // `q_stream_*` prefix set (the registry's naming convention for
     // true Structured Streaming drains), `core_sec` is the rest;
     // they sum to `value` by construction.
-    val drainSec = ok.collect { case (k, v) if k.startsWith("q_stream_") => v }.sum
-    val coreSec = total - drainSec
+    val (coreSec, drainSec) = splitOf(resultsF)
     val split = s""""drain_sec":${r3(drainSec)},"core_sec":${r3(coreSec)}"""
-    val meds = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // medians are the cross-round regression signal, but a remediated
+    // query's median-of-3 mixes contaminated samples — suppress those
+    // names rather than publish a number the splice already disowned
+    // (r18 ADVICE; the raw samples stay under remediation.samples)
+    val meds = medians
+      .filterNot { case (k, _) => remediatedNames.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val firsts = firstRun.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -669,30 +632,46 @@ object Bench {
     // the remediation-window probes; the contaminated pre-remediation
     // readings live in the detail's `remediation.pre`) so the stamp
     // and the probe numbers on one line can never contradict
-    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_mid_s":${r3(calibMidAdj)},"calib_end_s":${r3(calibEndAdj)},"io_probe_start_s":${r3(ioStart)},"io_probe_mid_s":${r3(ioMidAdj)},"io_probe_end_s":${r3(ioEndAdj)},"data_probe_start_s":${r3(dataStart)},"data_probe_mid_s":${r3(dataMidAdj)},"data_probe_end_s":${r3(dataEndAdj)},"quiet_wait_s":${r3(quietWaitS)},"stream_tmp":"$streamTmpJson""""
+    val loads = s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"calib_start_s":${r3(calibStart)},"calib_mid_s":${r3(calibMidAdj)},"calib_end_s":${r3(calibEndAdj)},"calib_par_start_s":${r3(calibParStart)},"calib_par_mid_s":${r3(calibParMidAdj)},"calib_par_end_s":${r3(calibParEndAdj)},"io_probe_start_s":${r3(ioStart)},"io_probe_mid_s":${r3(ioMidAdj)},"io_probe_end_s":${r3(ioEndAdj)},"data_probe_start_s":${r3(dataStart)},"data_probe_mid_s":${r3(dataMidAdj)},"data_probe_end_s":${r3(dataEndAdj)},"quiet_wait_s":${r3(quietWaitS)},"stream_tmp":"$streamTmpJson""""
     val canaryOver = canaryOverOf(resultsF.toMap)
+    val envelopeF = envelopeOverOf(resultsF)
+    val cl = Probes.CalibLine; val cpl = Probes.CalibParLine
+    val il = Probes.IoLine; val dl = Probes.DataLine
     val notComparable = Seq(
-      (calibStart > 1.25) -> s"calib_start_s ${r3(calibStart)} > 1.25",
-      (calibMidAdj > 1.25) -> s"calib_mid_s ${r3(calibMidAdj)} > 1.25",
-      (calibEndAdj > 1.25) -> s"calib_end_s ${r3(calibEndAdj)} > 1.25",
-      (ioStart > 0.5) -> s"io_probe_start_s ${r3(ioStart)} > 0.5",
-      (ioMidAdj > 0.5) -> s"io_probe_mid_s ${r3(ioMidAdj)} > 0.5",
-      (ioEndAdj > 0.5) -> s"io_probe_end_s ${r3(ioEndAdj)} > 0.5",
+      (calibStart > cl) -> s"calib_start_s ${r3(calibStart)} > $cl",
+      (calibMidAdj > cl) -> s"calib_mid_s ${r3(calibMidAdj)} > $cl",
+      (calibEndAdj > cl) -> s"calib_end_s ${r3(calibEndAdj)} > $cl",
+      // parallel calib (r18 verdict #4): on a 32-core host a co-load
+      // that costs 32-way stages ~35% leaves the single-thread spin
+      // at nominal (one thread always finds a free core) — the
+      // all-cores sibling is the yardstick for that class
+      (calibParStart > cpl) ->
+        s"calib_par_start_s ${r3(calibParStart)} > $cpl",
+      (calibParMidAdj > cpl) ->
+        s"calib_par_mid_s ${r3(calibParMidAdj)} > $cpl",
+      (calibParEndAdj > cpl) ->
+        s"calib_par_end_s ${r3(calibParEndAdj)} > $cpl",
+      (ioStart > il) -> s"io_probe_start_s ${r3(ioStart)} > $il",
+      (ioMidAdj > il) -> s"io_probe_mid_s ${r3(ioMidAdj)} > $il",
+      (ioEndAdj > il) -> s"io_probe_end_s ${r3(ioEndAdj)} > $il",
       // data-volume probes: same 0.5 s line as the stream-volume
-      // probe — the 256 MiB of O_DIRECT reads take ~0.13-0.16 s on
-      // the idle disk (≥512 MB/s sustained, measured r16/r17); half
-      // a second means a foreign writer owns the device every graded
-      // scan also reads from
-      (dataStart > 0.5) -> s"data_probe_start_s ${r3(dataStart)} > 0.5",
-      (dataMidAdj > 0.5) -> s"data_probe_mid_s ${r3(dataMidAdj)} > 0.5",
-      (dataEndAdj > 0.5) -> s"data_probe_end_s ${r3(dataEndAdj)} > 0.5",
+      // probe — the 256 MiB of O_DIRECT reads take ~0.13-0.26 s on
+      // the idle disk (measured r16-r19); half a second means a
+      // foreign writer owns the device every graded scan reads from
+      (dataStart > dl) -> s"data_probe_start_s ${r3(dataStart)} > $dl",
+      (dataMidAdj > dl) -> s"data_probe_mid_s ${r3(dataMidAdj)} > $dl",
+      (dataEndAdj > dl) -> s"data_probe_end_s ${r3(dataEndAdj)} > $dl",
       (loadStart > 1.5) -> s"loadavg_start ${r3(loadStart)} > 1.5",
       degradedF.nonEmpty ->
         s"degraded nonempty: ${degradedF.mkString(",")}",
       canaryOver.nonEmpty ->
         s"canary over 2x committed median: ${canaryOver.mkString("; ")}",
-      canaryMissing ->
-        "canary_budgets.tsv unreadable, empty, or missing provenance"
+      // the aggregate envelope catches broad inflation that hides
+      // under every per-query line (r18 verdict #3: BENCH_r18 kept
+      // 16.6 s of 1.3-1.4x residue after its named six)
+      envelopeF.nonEmpty ->
+        s"aggregate envelope: ${envelopeF.mkString("; ")}",
+      anchorMissing.isDefined -> anchorMissing.getOrElse("")
     ).collect { case (true, reason) => reason }
     val comparable =
       s""""comparable":${notComparable.isEmpty},"not_comparable":${

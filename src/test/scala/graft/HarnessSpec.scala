@@ -46,24 +46,52 @@ class HarnessSpec extends SparkSpec {
         "run `sbt \"runMain graft.tools.DrainGate --write\"` and review the diff")
   }
 
-  test("canary_budgets.tsv names registered non-drain queries and carries provenance") {
-    // the bench adjudicates its comparable stamp against this fixture
-    // (r16 verdict #1b) — a renamed canary would silently weaken the
-    // anchor (the bench's resultMap lookup misses and the rule never
-    // trips), so pin fixture/registry consistency at suite time like
-    // the drain budgets above
+  test("canary budget fixtures cover the FULL registry per anchored sf") {
+    // the bench adjudicates its comparable stamp against these
+    // fixtures (r16 verdict #1b, widened to the full registry + the
+    // aggregate envelope by r18 verdict #1/#3/#5 after BENCH_r18
+    // false-cleaned: 5 sentinels missed all six contaminated
+    // queries). A renamed or added query with no budget row silently
+    // weakens the anchor, so pin EXACT fixture/registry equality at
+    // suite time for every anchored sf, same convention as the drain
+    // budgets above. Registry changes therefore require a fresh leg
+    // per anchored sf + `CanaryBudgets --write` — that is the point:
+    // an sf either has a complete absolute anchor or fails loudly.
     import scala.jdk.CollectionConverters._
-    val lines = java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get("src/test/resources/canary_budgets.tsv"))
-      .asScala.filter(_.nonEmpty).toSeq
-    assert(lines.exists(_.startsWith("# provenance:")),
-      "canary fixture must carry a provenance header (sf=..., cpus=...)")
-    val canaries = lines.filterNot(_.startsWith("#")).map(_.split("\t")(0))
-    assert(canaries.nonEmpty && canaries.size >= 5)
-    canaries.foreach { c =>
-      assert(SparkEntry.queries.contains(c), s"canary $c is not a registered query")
-      assert(!c.startsWith("q_stream_"),
-        s"canary $c is a drain — drains are budgeted by DrainGate, not the bench stamp")
+    val fixtures = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get("src/test/resources"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(f => f.startsWith("canary_budgets_") && f.endsWith(".tsv"))
+        .toSeq.sorted
+      finally s.close()
+    }
+    assert(fixtures.size >= 2,
+      s"expected anchored fixtures for at least sf0.1 and sf0.01, found: $fixtures")
+    fixtures.foreach { f =>
+      val lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("src/test/resources", f))
+        .asScala.filter(_.nonEmpty).toSeq
+      assert(lines.exists(_.startsWith("# provenance:")),
+        s"$f must carry a provenance header (sf=..., cpus=...)")
+      assert(lines.exists(_.startsWith("# envelope:")),
+        s"$f must carry the core_sec/drain_sec envelope header")
+      // the provenance sf must round-trip through BenchRules' path
+      // derivation — a fixture named for one sf but stamped for
+      // another would never be loaded by the bench
+      val sfTok = lines.find(_.startsWith("# provenance:")).get
+        .split("\\s+").find(_.startsWith("sf=")).map(_.stripPrefix("sf="))
+      assert(sfTok.exists(sf =>
+          BenchRules.fixturePath(sf).getFileName.toString == f),
+        s"$f provenance sf=$sfTok does not derive this fixture's name")
+      val budgeted = lines.filterNot(_.startsWith("#"))
+        .map(_.split("\t")(0)).toSet
+      assert(budgeted == SparkEntry.queries.keySet,
+        s"$f: unbudgeted queries: " +
+          s"${(SparkEntry.queries.keySet -- budgeted).toSeq.sorted.take(5).mkString(", ")}; " +
+          s"stale rows: ${(budgeted -- SparkEntry.queries.keySet).toSeq.sorted.take(5).mkString(", ")} — " +
+          "run a bench leg at that sf, then " +
+          "`sbt \"runMain graft.tools.CanaryBudgets --write <legs...>\"`")
     }
   }
 }
