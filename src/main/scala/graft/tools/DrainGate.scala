@@ -38,7 +38,16 @@ import org.apache.spark.sql.SparkSession
   * machinery JIT-stabilizes on its 2nd-3rd in-JVM run — r14 measured
   * 27.9 → 11.2 → 9.7 s), then 3 timed, compare the MEDIAN (a single
   * co-load blip cannot flip the gate; a real regression moves all
-  * three). ~4-6 min wall for the 8 drains at sf0.1. */
+  * three). ~4-6 min wall for the 8 drains at sf0.1.
+  *
+  * Since r19 (r18 verdict #6) an over-budget drain is ADJUDICATED,
+  * not just reported: the gate prints the [[graft.Probes]] readings
+  * (the environment the drain ran under), re-quiet-waits (bounded),
+  * and re-measures the over-budget drains once — a transient host
+  * interference window (the class that flipped the r18 judge's gate
+  * on q_stream_join at 80.9 s vs its 5.7-8.8 s same-HEAD envelope)
+  * clears on the retry and passes with the environment on record; a
+  * genuine regression fails both passes. */
 object DrainGate {
   def main(args: Array[String]): Unit = {
     val write = args.contains("--write")
@@ -58,13 +67,7 @@ object DrainGate {
     // gate on q_stream_transitions (6.76 s vs 1.6-2.1 s across five
     // same-day bench legs) purely from that decay. Bounded, so a
     // genuinely busy host can never stall the gate forever.
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
-      catch { case _: Exception => -1.0 }
-    val t0q = System.nanoTime()
-    while (loadavg() > 1.2 && (System.nanoTime() - t0q) / 1e9 < 300)
-      Thread.sleep(5000)
+    graft.Probes.quietWait()
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -119,10 +122,46 @@ object DrainGate {
       val Array(n, b) = l.split("\t"); n -> b.toDouble
     }.toMap
     var failed = false
-    medians.foreach { case (name, med) =>
+    // Environmental adjudication (r18 verdict #6): the r18 judge's
+    // gate flipped on q_stream_join (80.9 s vs a 17 s budget, re-run
+    // 41.6 s, solo leg 11.8 s an hour later) purely from host
+    // interference, and adjudicating that took manual archaeology
+    // across 30+ legs. The gate now carries the bench's instruments:
+    // an over-budget drain triggers the probe set (the condition the
+    // drain ran under), then ONE bounded re-quiet-wait + re-measure
+    // (Bench's remediation discipline — a transient co-load clears
+    // and the retry passes; a genuine regression fails both passes).
+    val overBudget = medians.filter { case (n, m) =>
+      budgets.get(n).exists(m > _) }
+    val retried: Map[String, Double] =
+      if (overBudget.isEmpty) Map.empty
+      else {
+        val dataTargets = graft.Probes.dataTargets(sfDir)
+        println(f"environment at failure: loadavg=${graft.Probes.loadavg()}%.2f " +
+          f"calib=${graft.Probes.calib()}%.3f " +
+          f"calib_par=${graft.Probes.calibPar()}%.3f " +
+          f"io=${graft.Probes.io(graft.streaming.StreamQueries.streamTmpRoot)}%.3f " +
+          f"data=${graft.Probes.data(dataTargets)}%.3f " +
+          f"(lines ${graft.Probes.CalibLine}/${graft.Probes.CalibParLine}/" +
+          f"${graft.Probes.IoLine}/${graft.Probes.DataLine})")
+        val wait = graft.Probes.quietWait()
+        println(f"bounded retry after $wait%.0f s quiet-wait: " +
+          overBudget.map(_._1).mkString(", "))
+        overBudget.map { case (name, _) =>
+          val ts = Seq(timeOnce(name), timeOnce(name), timeOnce(name)).sorted
+          name -> ts(1)
+        }.toMap
+      }
+    medians.foreach { case (name, med0) =>
+      val med = retried.getOrElse(name, med0)
       budgets.get(name) match {
         case Some(b) if med > b =>
-          println(f"DRAIN OVER BUDGET: $name median $med%.2f s > $b%.1f s budget"); failed = true
+          println(f"DRAIN OVER BUDGET: $name median $med%.2f s > $b%.1f s " +
+            f"budget${if (retried.contains(name)) " (failed both passes)" else ""}")
+          failed = true
+        case Some(b) if retried.contains(name) =>
+          println(f"drain ok (environmental, passed bounded retry): $name " +
+            f"first-pass median $med0%.2f s, retry $med%.2f s <= $b%.1f s budget")
         case Some(b) if b > med * 3 =>
           // stale-loose: code got faster, the 2x envelope drifted past
           // 3x measured — the budget no longer constrains anything
