@@ -171,14 +171,15 @@ object Medallion {
     * is exact end-to-end (one double cast at the very end); the
     * oracle recomputes the same numbers straight from the source
     * tables, so the hash matches iff the partitioned round-trip loses
-    * no rows and no value precision. The sink lands under
-    * java.io.tmpdir keyed by the SF dir, so suites running different
-    * SFs in one JVM never collide; overwrite mode keeps repeat runs
-    * idempotent. */
+    * no rows and no value precision. The sink lands under the drains'
+    * scratch root (RAM-backed when available — r19, the r15
+    * volume-isolation rationale extended to sink round-trips) keyed
+    * by the SF dir, so suites running different SFs in one JVM never
+    * collide; overwrite mode keeps repeat runs idempotent. */
   val qGoldRoundtrip = Q(
     (s, d) => {
       val dest = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        graft.streaming.StreamQueries.streamTmpRoot,
         "graft_gold_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))

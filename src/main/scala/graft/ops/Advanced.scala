@@ -341,9 +341,10 @@ object Advanced {
 
   /** Association mining (market-basket co-occurrence): part pairs
     * appearing in the same order, with support counts and an
-    * integer-exact lift score. The pair join is WITHIN the basket key
-    * (a.o = b.o, a.p < b.p) — pair volume is Σ k·(k−1)/2 over basket
-    * sizes, bounded by small baskets, never parts². Lift =
+    * integer-exact lift score. Pairs are generated WITHIN the basket
+    * key (per-basket sorted item array, a.p < b.p) — pair volume is
+    * Σ k·(k−1)/2 over basket sizes, bounded by small baskets, never
+    * parts². Lift =
     * nab·N / (na·nb) is emitted as `lift_permille` via integer DIV;
     * the nab·N·1000 product stays inside int64 while nab·N < 9.2e15,
     * and that headroom is now ENFORCED in-plan by [[liftPermille]]:
@@ -355,8 +356,8 @@ object Advanced {
   def copurchasePairs(baskets: org.apache.spark.sql.DataFrame,
                       basketCol: String, itemCol: String,
                       minSupport: Long = 2L): org.apache.spark.sql.DataFrame = {
-    // the distinct basket-item table feeds FOUR consumers (total,
-    // item counts, both self-join sides) — memoized + persisted once
+    // the distinct basket-item table feeds THREE consumers (total,
+    // item counts, the basket grouping) — memoized + persisted once
     // per input per session (same lifecycle pattern as the dedup pair
     // families; bench 1.4 s → see bench_detail)
     val op = graft.SessionMemo.getOrElseUpdate(baskets.sparkSession,
@@ -365,10 +366,28 @@ object Advanced {
         .distinct().persist()
     }
     val total = op.agg(countDistinct(col("o")).as("total_orders"))
-    val itemCounts = op.groupBy(col("p")).agg(count(lit(1)).as("np"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // pinned: both enrich joins below broadcast this frame — without
+    // the pin each BroadcastExchange re-runs the groupBy from the
+    // cached op table (r19 plan audit: the subtree appeared twice)
+    val itemCounts = graft.SessionMemo.pinned(
+      op.groupBy(col("p")).agg(count(lit(1)).as("np")))
+    // r19: within-basket pairs via per-basket sorted-array expansion
+    // instead of the op⋈op self-join. Same pair set by construction
+    // (op is DISTINCT (o,p), so each basket's sorted item array
+    // yields exactly the a.p < b.p pairs), but ONE hash-partitioned
+    // exchange on the basket key replaces the join (which at sf0.1
+    // re-broadcast a ~9 MB build of op every run, and past the
+    // broadcast threshold would flip to a sort-merge join — the
+    // 100 TB shape is the same single shuffle here, pair volume still
+    // Σ k·(k−1)/2 over basket sizes, never parts²).
+    val pairs = op.groupBy(col("o"))
+      .agg(sort_array(collect_list(col("p"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+             transform(slice(items, i + 2, size(items)),
+               y -> named_struct('pa', x, 'pb', y))))""")).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("nab"))
       .filter(col("nab") >= minSupport)
     pairs

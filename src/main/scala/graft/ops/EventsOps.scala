@@ -392,9 +392,17 @@ object EventsOps {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(idCols.nonEmpty, "idCols must not be empty")
     import org.apache.spark.sql.expressions.Window
-    val base = iv.select(
+    // `base` feeds SEVEN subtrees (startBins, endBins, the spine agg,
+    // and both marker/probe unions twice each), and Catalyst inlines
+    // the upstream plan at every reference — with a session_window
+    // aggregation as the input, the r19 plan audit counted 16 scans
+    // of the events table in one invocation. Pin the projected
+    // intervals once per call (interval-count rows, ~40 B each — tiny
+    // vs the upstream it replaces; materialized INSIDE the invocation,
+    // so repeated calls recompute it, never reuse across runs).
+    val base = graft.SessionMemo.pinned(iv.select(
       idCols.map(col) :+ col(sCol).cast("long").as("__s") :+
-        col(eCol).cast("long").as("__e"): _*)
+        col(eCol).cast("long").as("__e"): _*))
     val idT = base.select(struct(idCols.map(col): _*).as("id")).schema("id").dataType
     val idS = struct(idCols.map(col): _*).as("id")
     val nid = lit(null).cast(idT).as("id")
@@ -419,6 +427,11 @@ object EventsOps {
           .otherwise(raise_error(guardMsg).cast("long")))).as("bin"))
     val wSpine = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // NOT pinned (unlike `base`): both sweep passes join `prefix`,
+    // but its chain reads the pinned base and ends in a single-task
+    // cumulative window — a pin here would serialize an extra
+    // materialization barrier for a subtree that is spine-sized and
+    // broadcast to both consumers anyway
     val prefix = spine
       .join(startBins, Seq("bin"), "left").join(endBins, Seq("bin"), "left")
       .select(col("bin"),

@@ -240,7 +240,8 @@ object Multimodal {
   val qMediaMeta = Q(
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(mediaSchema)
-      val payloads = Tables.documents(s, d).select(col("doc_id"))
+      val payloads = graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .mapPartitions { rows =>
           javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
           rows.map { r =>
@@ -348,7 +349,8 @@ object Multimodal {
   val qMediaMetaPermissive = Q(
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(mediaSchema)
-      val payloads = Tables.documents(s, d).select(col("doc_id"))
+      val payloads = graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .mapPartitions { rows =>
           javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
           rows.map { r =>
@@ -422,7 +424,8 @@ object Multimodal {
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(videoSchema)
       val decEnc = RowEncoder.encoderFor(frameSampleSchema)
-      val clips = Tables.documents(s, d).select(col("doc_id"))
+      val clips = graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .mapPartitions { rows =>
           javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
           rows.map { r =>
@@ -519,7 +522,8 @@ object Multimodal {
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(pngSchema)
       val decEnc = RowEncoder.encoderFor(resizedSchema)
-      val pngs = Tables.documents(s, d).select(col("doc_id"))
+      val pngs = graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .mapPartitions { rows =>
           javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
           rows.map { r =>
@@ -654,7 +658,8 @@ object Multimodal {
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(pngSchema)
       val decEnc = RowEncoder.encoderFor(imageMetaSchema)
-      val pngs = Tables.documents(s, d).select(col("doc_id"))
+      val pngs = graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .mapPartitions { rows =>
           javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
           rows.map { r =>
@@ -714,24 +719,37 @@ object Multimodal {
   private[graft] def plantedRate(id: Long): Int = 8000 + (id % 5).toInt * 2000
   private[graft] def plantedLen(id: Long): Int = 20 + (id % 30).toInt
 
+  /** Canonical 44-byte RIFF/WAVE container around the 16-bit mono PCM
+    * samples, written directly (r19): `AudioSystem.write` produced the
+    * identical canonical layout but serializes on the JVM-global
+    * audio SPI registry, so the synthesis stage could never
+    * parallelize (measured: fanning the audio queries out to 32 tasks
+    * made them SLOWER while the ImageIO queries halved). The DECODE
+    * side deliberately stays `AudioSystem.getAudioInputStream` — the
+    * real-codec exhibit is the read path, not the byte layout of the
+    * planted fixture. */
   private[graft] def plantedWav(id: Long): Array[Byte] = {
     val n = plantedLen(id)
-    val pcm = new Array[Byte](n * 2) // 16-bit mono, little-endian
+    val rate = plantedRate(id)
+    val dataLen = n * 2 // 16-bit mono, little-endian
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
-      val v = plantedSample(id, i)
-      pcm(i * 2) = (v & 0xff).toByte
-      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      b.putShort(plantedSample(id, i).toShort)
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      plantedRate(id).toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    b.array()
   }
 
   private val wavSchema = StructType(Seq(
@@ -764,7 +782,8 @@ object Multimodal {
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(wavSchema)
       val decEnc = RowEncoder.encoderFor(audioMetaSchema)
-      val wavs = Tables.documents(s, d).select(col("doc_id"))
+      val wavs = graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .mapPartitions { rows =>
           // encoder init once per partition (provider registry warm)
           rows.map { r =>
@@ -882,7 +901,8 @@ object Multimodal {
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(videoSchema)
       val decEnc = RowEncoder.encoderFor(videoMetaSchema)
-      val clips = Tables.documents(s, d).select(col("doc_id"))
+      val clips = graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
         .mapPartitions { rows =>
           javax.imageio.ImageIO.setUseCache(false) // per-partition codec-init stand-in (JVM-global flag)
           rows.map { r =>

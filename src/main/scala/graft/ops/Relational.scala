@@ -1758,7 +1758,11 @@ object Relational {
     * to a co-partitioned SMJ at scale. */
   val qMergeUpsert = Q(
     (s, d) => {
-      val delta = qSnapshotDiff.fn(s, d)
+      // pinned (r19): the delta feeds TWO consumers (upserts +
+      // tombstones) and its full-outer join would otherwise re-run
+      // per reference — the pin materializes the (small) changed-rows
+      // set once per invocation, inside the timed run
+      val delta = graft.SessionMemo.pinned(qSnapshotDiff.fn(s, d))
       val upserts = delta.filter(col("change_type") =!= "removed")
         .select(col("o_orderkey"), col("price_new").as("price"), lit(1).as("pri"))
       val tombstones = delta.filter(col("change_type") === "removed")

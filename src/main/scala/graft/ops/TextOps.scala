@@ -672,7 +672,7 @@ object TextOps {
       // token would make DuckDB's no-init LIST_REDUCE error on an
       // empty list while Spark folds sequence(1,0) = [1,0] DESCENDING
       // over two phantom ascii('')=0 chars — divergent, not just ugly
-      val toks = docs
+      val toks = graft.Par.fanOut(docs, "doc_id")
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .filter(col("t") =!= "")
       val hashCols = simhashBands.zipWithIndex.map { case ((b, p), k) =>
@@ -848,7 +848,7 @@ object TextOps {
         ("es", "query"), ("es", "row"), ("es", "scan"),
         ("zh", "spark"), ("zh", "join"), ("zh", "hash")))
         .toDF("cand_lang", "word")
-      val hits = Tables.documents(s, d)
+      val hits = graft.Par.fanOut(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .join(broadcast(lex), col("token") === col("word"))
         .groupBy(col("doc_id"), col("cand_lang"))
@@ -981,7 +981,7 @@ object TextOps {
   private[graft] def termCounts(docs: DataFrame): DataFrame =
     SessionMemo.getOrElseUpdate(docs.sparkSession,
       s"tf_counts:${SessionMemo.planKey(docs)}") {
-      docs
+      graft.Par.fanOut(docs, "doc_id")
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
@@ -1059,9 +1059,15 @@ object TextOps {
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").as("avgdl"))
     val qtf = tf.filter(col("term").isin(terms: _*))
-    val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df stamped by a per-term window over qtf instead of a separate
+    // groupBy + broadcast join (r19): the join form re-scanned the
+    // full cached term-count table a second time just to re-derive
+    // qtf for the aggregation — the window computes the identical
+    // per-term row count on the one qtf pass, and its partition
+    // volume is the query-term posting lists, never the corpus
     val scored = qtf
-      .join(broadcast(df), Seq("term"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       // written as one SQL expression so both engines parse the same
@@ -1170,7 +1176,7 @@ object TextOps {
   def fluencyScore(docs: DataFrame): DataFrame = {
     // token stream → sequential bigrams (with multiplicity — this is
     // evidence counting, not shingle dedup)
-    val bi = docs
+    val bi = graft.Par.fanOut(docs, "doc_id")
       .withColumn("tokens", tokens(col("text")))
       .filter(size(col("tokens")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1223,7 +1229,7 @@ object TextOps {
   /** Trigram frequency: top 30 corpus-wide n-grams. */
   val qNgramStats = Q(
     (s, d) =>
-      Tables.documents(s, d)
+      graft.Par.fanOut(Tables.documents(s, d), "doc_id")
         .withColumn("tokens", tokens(col("text")))
         .filter(size(col("tokens")) >= 3)
         .select(explode(expr(
@@ -1896,7 +1902,7 @@ object TextOps {
     // (bench: 1.8 s → 0.6 s at sf0.1)
     val sets = SessionMemo.getOrElseUpdate(docs.sparkSession,
       s"containment_sets:${SessionMemo.planKey(docs)}:$k") {
-      docs
+      graft.Par.fanOut(docs, "doc_id")
         .withColumn("tokens", tokens(col("text")))
         .filter(size(col("tokens")) >= k)
         .select(col("doc_id"), explode(expr(
@@ -2318,7 +2324,7 @@ object TextOps {
   /** PUBLIC composable form (exported via [[graft.Graft]]): per-doc
     * novel-trigram attribution over any (doc_id, text) frame. */
   def ngramNovelty(docs: DataFrame): DataFrame = {
-    val tri = docs
+    val tri = graft.Par.fanOut(docs, "doc_id")
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(

@@ -37,8 +37,12 @@ object VectorOps {
 
   /** vec_id, v (double[]), norm. */
   private def normed(s: SparkSession, d: String): DataFrame =
-    normedOf(Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-      col("embedding")))
+    // fanned out (r19): the embeddings corpus ships as ONE small
+    // parquet file = a single-task scan, and every per-row HOF/norm
+    // kernel downstream ran single-threaded (Par.fanOut is a no-op
+    // once the scan arrives with real parallelism)
+    normedOf(graft.Par.fanOut(Tables.embeddings(s, d), "vec_id")
+      .select(col("vec_id"), col("label"), col("embedding")))
 
   private val duckNormed =
     """SELECT vec_id, label, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -105,7 +109,7 @@ object VectorOps {
     * at sf0.1. */
   val qKnnNative = Q(
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = graft.Par.fanOut(Tables.embeddings(s, d), "vec_id")
         .select(col("vec_id"), col("embedding"))
         .withColumn("norm", sqrt(graft.functions.DotProductExpr.dotF(
           col("embedding"), col("embedding"))))

