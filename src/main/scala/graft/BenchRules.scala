@@ -42,8 +42,19 @@ object BenchRules {
     * tripping the ratio; honest same-code per-query spread measured
     * up to ~2.04x on one sub-second query across the four committed
     * r18 legs — a rare jitter name self-heals through remediation
-    * (fresh min-of-2 passes), a real regression or co-load does not. */
-  val CanaryFloor = 0.5
+    * (fresh min-of-2 passes), a real regression or co-load does not.
+    *
+    * 0.15, down from the r19 0.5 (r19 verdict #2 "what's wrong"): in
+    * the driver's r19 32-cpu capture five sub-0.15 s queries ran
+    * 2.6-4x their committed medians (q_variant_extract 0.109→0.434,
+    * q_unpivot, q_string_fns, q_udaf_money_sum, q_tsv_roundtrip — a
+    * uniform ~+0.35 s burst) and the leg still stamped comparable
+    * because they all sat under the 0.5 s absolute floor. 0.15 names
+    * that class (replayed via tools.StampReplay on the r19 capture)
+    * while staying above honest scheduling jitter on the ~0.01-0.05 s
+    * tail (a 2x-median trip additionally requires the ratio, and a
+    * rare jitter name self-heals through remediation). */
+  val CanaryFloor = 0.15
   /** core_sec / drain_sec line over the committed envelope medians:
     * committed r18 legs span 55.6-65.1 s core around a 62.0 s median
     * (1.17x worst), so 1.3x separates honest session variance from

@@ -178,9 +178,10 @@ object Medallion {
     * collide; overwrite mode keeps repeat runs idempotent. */
   val qGoldRoundtrip = Q(
     (s, d) => {
-      val dest = java.nio.file.Paths.get(
-        graft.streaming.StreamQueries.streamTmpRoot,
-        "graft_gold_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // through the drains' tmpBase lifecycle (r20, r19 ADVICE):
+      // pid-suffixed, shutdown-hook cleaned, stale-swept on a crash
+      val dest = graft.streaming.StreamQueries
+        .tmpBase("graft_stream_gold_rt_", d).toString
       Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segment"),

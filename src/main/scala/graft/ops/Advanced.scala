@@ -368,8 +368,11 @@ object Advanced {
     val total = op.agg(countDistinct(col("o")).as("total_orders"))
     // pinned: both enrich joins below broadcast this frame — without
     // the pin each BroadcastExchange re-runs the groupBy from the
-    // cached op table (r19 plan audit: the subtree appeared twice)
-    val itemCounts = graft.SessionMemo.pinned(
+    // cached op table (r19 plan audit: the subtree appeared twice).
+    // One-slot form (r20): each invocation frees the previous one's
+    // snapshot, so repeated runs hold one live pin, not a pile.
+    val itemCounts = graft.SessionMemo.pinnedSlot(
+      s"copurchase_itemCounts:${graft.SessionMemo.planKey(op)}")(
       op.groupBy(col("p")).agg(count(lit(1)).as("np")))
     // r19: within-basket pairs via per-basket sorted-array expansion
     // instead of the op⋈op self-join. Same pair set by construction

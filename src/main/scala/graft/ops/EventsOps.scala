@@ -399,10 +399,15 @@ object EventsOps {
     // of the events table in one invocation. Pin the projected
     // intervals once per call (interval-count rows, ~40 B each — tiny
     // vs the upstream it replaces; materialized INSIDE the invocation,
-    // so repeated calls recompute it, never reuse across runs).
-    val base = graft.SessionMemo.pinned(iv.select(
+    // so repeated calls recompute it, never reuse across runs). One-
+    // slot form (r20, r19 verdict #4): each invocation frees the
+    // previous one's snapshot instead of parking another dead RDD in
+    // the block manager for the session's life.
+    val baseSel = iv.select(
       idCols.map(col) :+ col(sCol).cast("long").as("__s") :+
-        col(eCol).cast("long").as("__e"): _*))
+        col(eCol).cast("long").as("__e"): _*)
+    val base = graft.SessionMemo.pinnedSlot(
+      s"intervalOverlap_base:${graft.SessionMemo.planKey(baseSel)}")(baseSel)
     val idT = base.select(struct(idCols.map(col): _*).as("id")).schema("id").dataType
     val idS = struct(idCols.map(col): _*).as("id")
     val nid = lit(null).cast(idT).as("id")

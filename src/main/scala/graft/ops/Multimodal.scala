@@ -782,8 +782,17 @@ object Multimodal {
     (s, d) => {
       val encEnc = RowEncoder.encoderFor(wavSchema)
       val decEnc = RowEncoder.encoderFor(audioMetaSchema)
-      val wavs = graft.Par.fanOut(
-        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      // NO Par.fanOut here (r20 — the r19 round's only reproducible
+      // regression, +11-34% in all three legs): the decode stage's
+      // `AudioSystem.getAudioInputStream` probes the JVM-GLOBAL audio
+      // SPI provider registry per call, so 32 tasks serialize on one
+      // lock and the added exchange is pure cost — the same mechanism
+      // the r19 A/B measured on the (since removed) AudioSystem.write
+      // synthesis path. The single-task scan is the cheaper shape for
+      // this query until the decode itself is lock-free; ImageIO-path
+      // siblings keep their fanOut (they parallelize cleanly).
+      val wavs =
+        Tables.documents(s, d).select(col("doc_id"))
         .mapPartitions { rows =>
           // encoder init once per partition (provider registry warm)
           rows.map { r =>

@@ -1058,16 +1058,25 @@ object TextOps {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").as("avgdl"))
-    val qtf = tf.filter(col("term").isin(terms: _*))
-    // df stamped by a per-term window over qtf instead of a separate
-    // groupBy + broadcast join (r19): the join form re-scanned the
-    // full cached term-count table a second time just to re-derive
-    // qtf for the aggregation — the window computes the identical
-    // per-term row count on the one qtf pass, and its partition
-    // volume is the query-term posting lists, never the corpus
+    // df via groupBy + broadcast join over a PINNED qtf (r20, r19
+    // ADVICE): the r19 count-over-window form buffered one term's
+    // ENTIRE posting list in a single window task (parallelism capped
+    // at |terms|) — at 100 TB a frequent query term's posting list
+    // approaches corpus size, exactly the guide-§2.5 skew hazard.
+    // The window's original motivation (the join form re-scanned the
+    // cached corpus-wide term-count table a SECOND time just to
+    // re-derive qtf for the df aggregation) is kept by pinning qtf
+    // once per invocation: |terms|·df rows — posting-list-sized,
+    // never corpus-sized — so the corpus table is scanned ONCE, df is
+    // a scalable partial aggregation over the pin, and the join back
+    // broadcasts |terms| rows. One-slot pin: repeated invocations
+    // free the previous snapshot (r19 verdict #4 discipline).
+    val qtf0 = tf.filter(col("term").isin(terms: _*))
+    val qtf = graft.SessionMemo.pinnedSlot(
+      s"bm25_qtf:${graft.SessionMemo.planKey(qtf0)}")(qtf0)
+    val dfCounts = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = qtf
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .join(broadcast(dfCounts), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       // written as one SQL expression so both engines parse the same

@@ -1111,17 +1111,45 @@ object VectorOps {
     (s, d) => {
       val exact3 = qKnnBruteforce.fn(s, d).filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"))
-      val approx =
-        qAnnLsh.fn(s, d).select(col("query_id"), col("neighbor_id"),
-            lit("lsh").as("method"))
-          .unionByName(qAnnLshMulti.fn(s, d).select(col("query_id"),
-            col("neighbor_id"), lit("lsh_multi").as("method")))
-          .unionByName(qAnnLshProbe.fn(s, d).select(col("query_id"),
-            col("neighbor_id"), lit("lsh_probe").as("method")))
-          .unionByName(qAnnIvf.fn(s, d).select(col("query_id"),
-            col("neighbor_id"), lit("ivf").as("method")))
-          .unionByName(qAnnIvfProbe.fn(s, d).select(col("query_id"),
-            col("neighbor_id"), lit("ivf_probe").as("method")))
+      // ONE shared exact-scoring pass for all five methods (r20,
+      // r19 verdict #7: 50 census exchanges, the registry's highest
+      // — composing the five graded queries re-ran 5 qv broadcasts,
+      // 10 vector joins and 5 ranking windows). The eval needs only
+      // each method's top-3 ID SET, and every method scores its
+      // candidates with the IDENTICAL cosine kernel over the
+      // IDENTICAL normed vectors — so the five candidate-pair frames
+      // (the exact helpers q_ann_cost prices, one row per pair by
+      // construction) union tagged by method through a single qv
+      // broadcast + one vectors join + one window partitioned by
+      // (method, query_id). Per-method rankings are bit-identical to
+      // the standalone graded queries' (same candidate multisets,
+      // same IEEE cosine dag, same tie-break), so the recall numbers
+      // — the graded quantity — are unchanged; the oracle still
+      // composes the five methods' oracle texts verbatim.
+      val baseV = bucketed(s, d).select(col("vec_id"), col("v"), col("norm"))
+      val cands = Seq(
+        "lsh" -> bucketPairsOf(bucketed(s, d)),
+        "lsh_multi" -> bucketPairsOf(bucketed(s, d))
+          .unionByName(bucketPairsOf(bucketedT1(s, d))).distinct(),
+        "lsh_probe" -> lshProbeCands(s, d),
+        "ivf" -> cellPairsOf(ivfIndexed(s, d)),
+        "ivf_probe" -> ivfProbeCands(s, d))
+        .map { case (m, df) =>
+          df.select(lit(m).as("method"), col("query_id"), col("neighbor_id")) }
+        .reduce(_ unionByName _)
+      val qv = baseV.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qnorm"))
+      val wm = Window.partitionBy(col("method"), col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val approx = cands
+        .join(broadcast(qv), Seq("query_id"))
+        .join(baseV.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("norm")), Seq("neighbor_id"))
+        .withColumn("cosine", cosineCol)
+        .withColumn("rank", row_number().over(wm))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("method"))
       val hits = approx.join(exact3, Seq("query_id", "neighbor_id"))
         .groupBy(col("query_id"), col("method"))
         .agg(count(lit(1)).as("n_hits"))

@@ -25,18 +25,20 @@ object SourceQueries {
   val qTsvRoundtrip = Q(
     (s, d) => {
       val fmt = classOf[graft.sources.v2.TsvDataSource].getName
-      // sink root keyed by SF dir — suites running different SFs in
-      // one JVM never collide; overwrite keeps repeat runs idempotent
-      // (same convention as q_gold_roundtrip). r19: the root is the
-      // drains' scratch root (RAM-backed when available, same env
-      // overrides) — a graded round-trip exhibits the FORMAT's
-      // write/read fidelity, and parking its few MB on the shared OS
-      // disk only coupled the number to foreign I/O (the r15 drain
-      // bimodality class); at cluster scale the analog is a dedicated
-      // staging volume/object store, not the OS tmp disk
-      val dest = java.nio.file.Paths.get(
-        graft.streaming.StreamQueries.streamTmpRoot,
-        "graft_tsv_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // sink base keyed by (SF dir, pid) — suites running different
+      // SFs in one JVM never collide; overwrite keeps repeat runs
+      // idempotent (same convention as q_gold_roundtrip). r19: the
+      // root is the drains' scratch root (RAM-backed when available,
+      // same env overrides) — a graded round-trip exhibits the
+      // FORMAT's write/read fidelity, and parking its few MB on the
+      // shared OS disk only coupled the number to foreign I/O (the
+      // r15 drain bimodality class); at cluster scale the analog is a
+      // dedicated staging volume/object store, not the OS tmp disk.
+      // r20 (r19 ADVICE): through the drains' tmpBase lifecycle —
+      // pid-suffixed (two concurrent JVMs never race one dest),
+      // shutdown-hook cleaned, and stale-swept by prefix on a crash.
+      val dest = graft.streaming.StreamQueries
+        .tmpBase("graft_stream_tsv_rt_", d).toString
       // all four header types on the wire: long, string, int, double
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"),
@@ -66,9 +68,9 @@ object SourceQueries {
     * conversion in this path). */
   val qOrcRoundtrip = Q(
     (s, d) => {
-      val dest = java.nio.file.Paths.get(
-        graft.streaming.StreamQueries.streamTmpRoot,
-        "graft_orc_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // same tmpBase lifecycle as q_tsv_roundtrip (r20, r19 ADVICE)
+      val dest = graft.streaming.StreamQueries
+        .tmpBase("graft_stream_orc_rt_", d).toString
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
@@ -106,9 +108,9 @@ object SourceQueries {
     * escapes newlines at produce time and keeps splittable reads. */
   val qCsvRoundtrip = Q(
     (s, d) => {
-      val dest = java.nio.file.Paths.get(
-        graft.streaming.StreamQueries.streamTmpRoot,
-        "graft_csv_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // same tmpBase lifecycle as q_tsv_roundtrip (r20, r19 ADVICE)
+      val dest = graft.streaming.StreamQueries
+        .tmpBase("graft_stream_csv_rt_", d).toString
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
           concat(col("s_name"), lit(",\"\n#"),
@@ -153,9 +155,9 @@ object SourceQueries {
     * Oracle recomputes from the source parquet. */
   val qJsonRoundtrip = Q(
     (s, d) => {
-      val dest = java.nio.file.Paths.get(
-        graft.streaming.StreamQueries.streamTmpRoot,
-        "graft_json_roundtrip_" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      // same tmpBase lifecycle as q_tsv_roundtrip (r20, r19 ADVICE)
+      val dest = graft.streaming.StreamQueries
+        .tmpBase("graft_stream_json_rt_", d).toString
       Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
           // comma, quote, backslash, newline, non-ASCII — every class

@@ -41,9 +41,12 @@ object StreamQueries {
     * store INSTANCE per shuffle partition per stateful operator (a
     * stream-stream join keeps four), each committed every micro-batch
     * — at the bench session's 32 partitions that is pure per-batch
-    * overhead for corpus-sized drains. 8 partitions carry the graded
-    * volume comfortably; every drained result is partition-count
-    * invariant (proven by the CPUS sweep), so the knob is cost-only.
+    * overhead for corpus-sized drains. 4 partitions (r19, down from
+    * the r12-era 8: DrainProfile showed per-batch cost is flat
+    * store-commit overhead, so halving the store count halves it)
+    * carry the graded volume comfortably; every drained result is
+    * partition-count invariant (proven by the CPUS sweep), so the
+    * knob is cost-only.
     * Checkpoints are fresh per run, so the pinned partitioning never
     * conflicts with a resumed state layout. At 100 TB the same knob
     * goes the other way: size state partitions to the key volume. */
@@ -158,7 +161,13 @@ object StreamQueries {
       .orElse(sys.env.get("SPARK_GRAFT_STREAM_TMP"))
       .getOrElse(sys.props("java.io.tmpdir"))
 
-  private def tmpBase(prefix: String, d: String): java.nio.file.Path = {
+  /** `private[graft]`: the format round-trip sinks (SourceQueries,
+    * Medallion's gold mart) share this lifecycle too (r19 ADVICE —
+    * their r19 move to `streamTmpRoot` bypassed the pid suffix, the
+    * shutdown hook and the stale-tree sweep, so a crashed run's
+    * leftovers on a RAM-backed root held memory until reboot and two
+    * concurrent JVMs raced on one shared dest path). */
+  private[graft] def tmpBase(prefix: String, d: String): java.nio.file.Path = {
     tmpLifecycle
     val base = java.nio.file.Paths.get(
       streamTmpRoot,
@@ -328,9 +337,9 @@ object StreamQueries {
       val stream = s.readStream.schema(stagedSchema4)
         .option("maxFilesPerTrigger", "2")
         .parquet(staging.toString)
-      // 8 state partitions per the file's drain convention (r12
-      // ADVICE: this drain and the v2 totals drain were the only two
-      // left at the session's 32 — pure per-batch state-store commit
+      // 4 state partitions per the file's drain convention (r12
+      // ADVICE moved this drain off the session's 32; r19 lowered the
+      // convention 8 → 4 — pure per-batch state-store commit
       // overhead; results are partition-count invariant)
       withStatePartitions(s, 4) {
         val q = StreamingDemo.transitionPairs(s, stream)
@@ -400,9 +409,10 @@ object StreamQueries {
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try withStatePartitions(s, 4) {
-        // 8 state partitions per the drain convention (r12 ADVICE):
-        // at 32, each micro-batch commits 32 RocksDB instances —
-        // pure overhead; the snapshots are partition-count invariant
+        // 4 state partitions per the drain convention (r12 ADVICE
+        // moved it off the session's 32, r19 lowered 8 → 4): at 32,
+        // each micro-batch commits 32 RocksDB instances — pure
+        // overhead; the snapshots are partition-count invariant
         val stream = s.readStream.schema(stagedSchemaTotals)
           .option("maxFilesPerTrigger", "2")
           .parquet(staging.toString)
@@ -781,6 +791,12 @@ object StreamQueries {
       // (= staged file count, 3), never the corpus.
       val perBatch = kept.groupBy(col("batch_id").cast("long").as("b"))
         .agg(count(lit(1)).as("n")).collect()
+      // named diagnostic instead of a bare empty.min (r19 ADVICE): a
+      // kept sink with no survivors means batch 0 emitted nothing —
+      // the staging degenerated, and the error should say so
+      if (perBatch.isEmpty) throw new IllegalStateException(
+        "q_stream_dedup: the kept sink is empty — batch 0 emitted no " +
+          "survivors; the first-events staging slice degenerated")
       val firstBatch = perBatch.map(_.getLong(0)).min
       val leaked = perBatch.collect {
         case r if r.getLong(0) > firstBatch => r.getLong(1) }.sum
