@@ -168,6 +168,14 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // guide §1.5: label each query's jobs so a UI/event-log capture of
+    // a bench run attributes stages to queries without archaeology.
+    // setJobDescription is thread-local and ~free; cleared after.
+    def timeNamed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.setJobDescription(name)
+      try timeOnce(fn) finally spark.sparkContext.setJobDescription(null)
+    }
     // SPARK_GRAFT_ORDER=reverse flips the query sequence — the
     // diagnostic for "is a slow query slow, or just late?" (round-3
     // verdict: late-position queries reproducibly cost 3-4× their
@@ -266,7 +274,8 @@ object Bench {
     val dataStart = dataProbe()
     val warmT0 = System.nanoTime()
     val firstRun = ordered.map { case (name, fn) =>
-      name -> (try timeOnce(fn) catch { case _: Throwable => -1.0 })
+      name -> (try timeNamed(s"warmup:$name", fn)
+               catch { case _: Throwable => -1.0 })
     }
     // Second drain-only warmup pass (r14): the streaming machinery
     // JIT-stabilizes on its THIRD in-JVM execution (DrainProfile on
@@ -281,7 +290,7 @@ object Bench {
     // reports the true first execution.
     ordered.foreach { case (name, fn) =>
       if (name.startsWith("q_stream_"))
-        try timeOnce(fn) catch { case _: Throwable => () }
+        try timeNamed(s"warmup2:$name", fn) catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val memoBuilds = SessionMemo.buildTimes(spark)
@@ -355,11 +364,12 @@ object Bench {
       hygieneEvery.foreach { n =>
         if (idx > 0 && idx % n == 0) { spark.catalog.clearCache(); System.gc() }
       }
-      var ts = try Seq(timeOnce(fn), timeOnce(fn))
+      var ts = try Seq(timeNamed(name, fn), timeNamed(name, fn))
                catch { case _: Throwable => Seq.empty }
       var retries = 0
       while (looksDegraded(name, ts) && retries < 2) {
-        ts = try ts :+ timeOnce(fn) catch { case _: Throwable => ts }
+        ts = try ts :+ timeNamed(s"resample:$name", fn)
+             catch { case _: Throwable => ts }
         retries += 1
       }
       if (retries > 0) resampled += (name -> retries)
@@ -377,7 +387,8 @@ object Bench {
     // noise does not (docs/SCALE.md variance section).
     val medians = sampled.collect {
       case (name, fn, ts) if ts.nonEmpty && ts.min > 0.5 =>
-        val t3 = try timeOnce(fn) catch { case _: Throwable => ts.max }
+        val t3 = try timeNamed(s"median3:$name", fn)
+                 catch { case _: Throwable => ts.max }
         // true median — ts may hold 2-4 samples when the co-load
         // retries fired, so even sizes occur exactly for the queries
         // that took retries; picking the upper-middle element there
@@ -540,7 +551,8 @@ object Bench {
       val remedWait = Probes.quietWait(quietMaxS)
       val freshSamples: Seq[(String, Seq[Double])] = remedTargets.map { n =>
         val fn = SparkEntry.queries(n)
-        n -> (try Seq(timeOnce(fn), timeOnce(fn))
+        n -> (try Seq(timeNamed(s"remediate:$n", fn),
+                      timeNamed(s"remediate:$n", fn))
               catch { case _: Throwable => Seq.empty })
       }
       // probes AFTER the re-runs: they adjudicate the remediation
