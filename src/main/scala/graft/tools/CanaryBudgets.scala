@@ -175,7 +175,7 @@ object CanaryBudgets {
         s"${files.size} usable legs:\n" +
         files.map(f => s"#   $f").mkString("\n") + "\n" +
         "# the bench stamps not_comparable when a graded min-of-2\n" +
-        "# exceeds max(2 x median, 0.5 s) or core_sec/drain_sec exceeds\n" +
+        s"# exceeds max(2 x median, ${graft.BenchRules.CanaryFloor} s) or core_sec/drain_sec exceeds\n" +
         "# 1.3 x the envelope. Regenerate via\n" +
         "# `runMain graft.tools.CanaryBudgets --write <usable details...>`\n" +
         "# and review the diff, like drain_budgets.tsv."

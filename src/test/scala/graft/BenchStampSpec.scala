@@ -17,11 +17,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchStampSpec extends AnyFunSuite {
 
   private val contaminated = "bench_detail_20260816T232752Z_29155.json"
+  // r20: the anchor fixture now carries the r20 trio's medians (the
+  // round's optimizations made the registry ~1.1-1.3x faster and the
+  // canary floor dropped 0.5 -> 0.15 s — r19 verdict #5), so the
+  // clean-replay exhibit is the committed r20 trio; the r18 honest
+  // legs are era-valid only against the r18-era fixture and would
+  // now (correctly) read as regressions.
   private val honestSf01 = Seq(
-    "bench_detail_20260816T175717Z_13960.json",
-    "bench_detail_20260816T182625Z_27718.json",
-    "bench_detail_20260816T193616Z_22017.json",
-    "bench_detail_20260816T194548Z_12411.json")
+    "bench_detail_20260819T123544Z_10579.json",
+    "bench_detail_20260819T124321Z_5899.json",
+    "bench_detail_20260819T125005Z_1032.json")
 
   test("BENCH_r18's false-clean artifact cannot replay clean: six queries named") {
     val r = tools.StampReplay.replay(contaminated)
