@@ -84,7 +84,18 @@ object BenchRules {
       sfDir: String,
       budgets: Map[String, Double],
       coreEnvelope: Double,
-      drainEnvelope: Double)
+      drainEnvelope: Double,
+      cpus: Option[String] = None)
+
+  /** Absolute budgets are wall-clock seconds measured at a specific
+    * core count (the fixture's provenance header): a compute-bound
+    * query legitimately runs ~4x its 32-cpu median on an 8-cpu leg,
+    * so applying the anchor cross-cpu would stamp an HONEST low-cpu
+    * leg not-comparable (r20 — the driver measures scaling with an
+    * 8-cpu leg every round). A fixture without a recorded cpus
+    * (pre-r20) applies everywhere, as before. */
+  def anchorAppliesTo(anchor: Anchor, cpus: String): Boolean =
+    anchor.cpus.forall(_ == cpus)
 
   /** One fixture per anchored sf, keyed by the sf dir's basename:
     * /root/testdata/sf0.1 -> canary_budgets_sf0.1.tsv. */
@@ -136,7 +147,9 @@ object BenchRules {
     }.toMap
     if (rows.isEmpty)
       return Left(s"anchor fixture $path has no budget rows")
-    Right(Anchor(sfDir, rows, core, drain))
+    val cpus = prov.split("\\s+").collectFirst {
+      case t if t.startsWith("cpus=") => t.stripPrefix("cpus=") }
+    Right(Anchor(sfDir, rows, core, drain, cpus))
   }
 
   def canaryLine(med: Double): Double = math.max(2 * med, CanaryFloor)

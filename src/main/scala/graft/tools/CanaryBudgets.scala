@@ -73,12 +73,19 @@ object CanaryBudgets {
         .filter(f => f.startsWith("bench_detail_") && f.endsWith(".json"))
         .toSeq.sorted
       finally stream.close()
+    // the fixture's provenance cpus bounds which legs may feed the
+    // freshness check (r20): an 8-cpu scaling leg is an honest leg
+    // but its absolute seconds are not this fixture's condition
+    val fixtureCpus = graft.BenchRules.loadAnchor(sfDir)
+      .toOption.flatMap(_.cpus)
     val usable = candidates.filter { f =>
       try {
         val root = mapper.readTree(java.nio.file.Files.readString(
           java.nio.file.Paths.get(f)))
         legUsable(root) && root.path("sf").asText() == sfDir &&
           root.path("mode").asText() == "full" &&
+          fixtureCpus.forall(c => root.path("cpus").isMissingNode ||
+            root.path("cpus").asText() == c) &&
           // a leg whose REPLAYED aggregate envelope trips under the
           // current anchor is a recorded false-clean (BENCH_r18
           // stamped comparable:true at core 1.47x — the very

@@ -97,8 +97,14 @@ object DrainGate {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_TMP", "java.io.tmpdir"))
     val provenance = s"# provenance: cpus=$cpus sf=$sfDir stream_tmp=$streamTmp"
     if (write) {
+      // one-decimal budgets (r20): the old integer ceil inflated small
+      // budgets by up to ~28% (2x1.56 -> 4), and with the drains now
+      // ~2x faster that arbitrary slack alone crossed the 3x
+      // stale-loose line whenever the host's regime drifted — budgets
+      // ping-ponged between over-budget and stale-loose. ceil to one
+      // decimal keeps the documented 2x envelope exact.
       val out = (provenance +: medians.map { case (n, m) =>
-        f"$n\t${math.ceil(m * 2).toInt}%d" }).mkString("", "\n", "\n")
+        f"$n\t${math.ceil(m * 2 * 10) / 10}%.1f" }).mkString("", "\n", "\n")
       java.nio.file.Files.writeString(fixture, out)
       println(s"wrote ${medians.size} drain budgets (2x measured medians: " +
         medians.map { case (n, m) => f"$n=$m%.2f" }.mkString(", ") + ")")

@@ -48,14 +48,26 @@ object StampReplay {
       case Left(reason) =>
         Replay(file, Nil, Nil, Nil, Nil, Some(reason))
       case Right(anchor) =>
-        val over = graft.BenchRules.canaryOver(anchor.budgets, queries)
+        // cpu-provenance gate (r20, mirrors Bench): the anchor's
+        // absolute seconds only adjudicate legs recorded at the
+        // fixture's core count — a compute-bound query legitimately
+        // runs ~4x its 32-cpu median on an 8-cpu scaling leg.
+        // Artifacts without a cpus field (pre-r18) apply, as before.
+        val legCpus = root.path("cpus")
+        val applies = legCpus.isMissingNode ||
+          graft.BenchRules.anchorAppliesTo(anchor, legCpus.asText())
+        val budgets =
+          if (applies) anchor.budgets else Map.empty[String, Double]
+        val over = graft.BenchRules.canaryOver(budgets, queries)
         val degraded = queries.toSeq.sortBy(_._1).collect {
           case (n, v) if graft.BenchRules.looksDegraded(v,
-            firstRun.getOrElse(n, -1.0), anchor.budgets.get(n)) => n
+            firstRun.getOrElse(n, -1.0), budgets.get(n)) => n
         }
-        val envelope = graft.BenchRules.envelopeOver(
-          root.path("core_sec").asDouble(),
-          root.path("drain_sec").asDouble(), anchor)
+        val envelope =
+          if (!applies) Nil
+          else graft.BenchRules.envelopeOver(
+            root.path("core_sec").asDouble(),
+            root.path("drain_sec").asDouble(), anchor)
         // recorded probe fields vs today's lines; fields absent from
         // older artifacts (calib_par_* pre-r19) are skipped, and -1
         // means unknown-by-design

@@ -105,6 +105,28 @@ class BenchStampSpec extends AnyFunSuite {
     assert(BenchRules.isSuspect(1.6, fr, med, envelopeTripped = false))
   }
 
+  test("the anchor only adjudicates legs at its provenance core count (r20)") {
+    // absolute budgets are seconds at a recorded cpu count: a
+    // compute-bound query legitimately runs ~4x its 32-cpu median on
+    // the driver's 8-cpu scaling leg, so cross-cpu application would
+    // stamp an honest leg not-comparable. The committed r19 driver
+    // 8-cpu capture is the exhibit: replayed under the r20 32-cpu
+    // fixture it must skip the anchor rules (and its probes were
+    // clean, so it replays clean overall).
+    val anchor = BenchRules.loadAnchor("/root/testdata/sf0.1")
+      .fold(reason => fail(s"sf0.1 anchor must load: $reason"), identity)
+    assert(anchor.cpus.contains("32"), s"provenance cpus: ${anchor.cpus}")
+    assert(BenchRules.anchorAppliesTo(anchor, "32"))
+    assert(!BenchRules.anchorAppliesTo(anchor, "8"))
+    // a fixture with no recorded cpus (pre-r20) applies everywhere
+    assert(BenchRules.anchorAppliesTo(anchor.copy(cpus = None), "8"))
+    val c8 = tools.StampReplay.replay("bench_detail_20260819T062247Z_11959.json")
+    assert(c8.canaryOver.isEmpty && c8.envelope.isEmpty,
+      s"8-cpu leg must not be canary/envelope-adjudicated by a 32-cpu " +
+        s"fixture: ${c8.canaryOver ++ c8.envelope}")
+    assert(!c8.tripped, s"the clean r19 8-cpu capture must replay clean: $c8")
+  }
+
   test("anchor loading fails loudly, with the bootstrap-recognizable prefix") {
     val missing = BenchRules.loadAnchor("/nonexistent/sf9.9")
     assert(missing.isLeft)
